@@ -1,0 +1,150 @@
+"""Analysis chain: StandardAnalyzer-parity tokenization, Arrow-vectorized.
+
+Semantics replicated from the reference (behavior only, re-implemented):
+
+- token pattern ``[\\w\\*]+(\\.?[\\w\\*]+)*`` compiled with ``re.UNICODE``
+  (ref: src/whoosh/analysis/tokenizers.py:31, util/text.py:125-135)
+- tokens are enumerated with positions 0,1,2,... in match order
+  (ref: tokenizers.py:144-155)
+- LowercaseFilter = ``str.lower()`` (ref: analysis/filters.py:253-265)
+- StopFilter drops tokens with ``len < minsize`` (default 2), ``len > maxsize``
+  or membership in the stop set; surviving tokens are *renumbered* such that
+  the FIRST surviving token keeps its original position and every later
+  survivor increments from there (ref: filters.py:334-362 — note ``pos`` is
+  seeded from the first survivor's original pos, not 0)
+- default stop list: the reference's 33-word English list
+  (ref: filters.py:37-74)
+
+The hot path is :func:`tokenize_udf` — a pandas UDF so the exact Python ``re``
+module runs Arrow-batched inside executors.  Java regex is NOT a substitute:
+``\\w`` has different Unicode semantics, and byte-identical token streams vs
+the reference are a hard requirement (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+# The reference's default English stop list (analysis/filters.py:37-74).
+STOP_WORDS = frozenset(
+    """a an and are as at be by can for from have if in is it may not of on
+    or tbd that the this to us we when will with yet you your""".split()
+)
+
+DEFAULT_PATTERN = r"[\w\*]+(\.?[\w\*]+)*"
+
+TOKENS_SCHEMA = "array<struct<term:string,pos:int>>"
+
+
+class StandardAnalyzer:
+    """Pure-Python analyzer with reference StandardAnalyzer semantics.
+
+    One instance is pickled into the pandas UDF closure; the compiled regex
+    and frozenset make per-batch work cheap.
+    """
+
+    __slots__ = ("pattern", "stoplist", "minsize", "maxsize")
+
+    def __init__(
+        self,
+        expression: str = DEFAULT_PATTERN,
+        stoplist=STOP_WORDS,
+        minsize: int = 2,
+        maxsize: Optional[int] = None,
+    ):
+        self.pattern = re.compile(expression, re.UNICODE)
+        self.stoplist = frozenset(stoplist) if stoplist is not None else None
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    def __call__(self, text: str) -> List[Tuple[str, int]]:
+        """Return [(term, pos), ...] — lowercased, stop-filtered, renumbered."""
+        stoplist = self.stoplist
+        minsize = self.minsize
+        maxsize = self.maxsize
+        out = []
+        renumbered = None
+        for pos, match in enumerate(self.pattern.finditer(text)):
+            t = match.group(0).lower()
+            n = len(t)
+            if n < minsize or (maxsize is not None and n > maxsize):
+                continue
+            if stoplist is not None and t in stoplist:
+                continue
+            # StopFilter renumbering: first survivor keeps its original pos,
+            # later survivors increment from there (filters.py:345-354).
+            if renumbered is None:
+                renumbered = pos
+            else:
+                renumbered += 1
+            out.append((t, renumbered))
+        return out
+
+    def query_terms(self, text: str) -> List[str]:
+        """Analyze query text (mode='query' — same chain, terms only)."""
+        return [t for t, _ in self(text)]
+
+
+_DEFAULT = StandardAnalyzer()
+
+
+def standard_tokens(text: str) -> List[Tuple[str, int]]:
+    """Module-level convenience: default StandardAnalyzer token stream."""
+    return _DEFAULT(text)
+
+
+def make_tokenize_udf(analyzer: Optional[StandardAnalyzer] = None):
+    """Build an Arrow-batched pandas UDF: text -> array<struct<term,pos>>.
+
+    Vectorized over a pandas Series (one Python call per Arrow batch, not per
+    row-by-row Spark task), which keeps the Python boundary cost amortized.
+
+    The closure captures only plain data (pattern string, stop set, sizes) so
+    cloudpickle serializes it fully by value — executors do NOT need this
+    package on their PYTHONPATH (works with or without spark-submit
+    --py-files).
+    """
+    ana = analyzer or _DEFAULT
+    pattern_str = ana.pattern.pattern
+    stoplist = ana.stoplist
+    minsize = ana.minsize
+    maxsize = ana.maxsize
+
+    @pandas_udf(TOKENS_SCHEMA)
+    def tokenize(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        pat = _re.compile(pattern_str, _re.UNICODE)
+
+        def one(v):
+            if not isinstance(v, str):
+                return []
+            out = []
+            renumbered = None
+            for pos, m in enumerate(pat.finditer(v)):
+                t = m.group(0).lower()
+                n = len(t)
+                if n < minsize or (maxsize is not None and n > maxsize):
+                    continue
+                if stoplist is not None and t in stoplist:
+                    continue
+                if renumbered is None:
+                    renumbered = pos
+                else:
+                    renumbered += 1
+                out.append((t, renumbered))
+            return out
+
+        return texts.map(one)
+
+    return tokenize
+
+
+def make_query_terms(analyzer: Optional[StandardAnalyzer] = None):
+    """Driver-side query text analysis (tiny input — plain Python)."""
+    ana = analyzer or _DEFAULT
+    return ana.query_terms

@@ -1,0 +1,238 @@
+"""Index build: corpus DataFrame -> posting/docmeta/term_stats tables.
+
+The reference's build path (writer.add_document -> PostingPool external sort
+-> W3FieldWriter posting blocks; src/whoosh/writing.py:748-822,
+codec/whoosh3.py:301-373) is re-expressed as ONE declarative Spark job:
+
+    corpus --assign docids--> tokenize (pandas UDF) --explode-->
+    groupBy(docid, term).agg(tf, positions) --> postings
+    postings.groupBy(docid).sum(tf) --> field lengths (byte-quantized)
+    postings.groupBy(field, term).agg(...) --> term_stats
+    global aggregates --> stats
+
+Spark's shuffle replaces the reference's PostingPool external merge sort
+(externalsort.py:85-223); a Parquet/Iceberg snapshot commit replaces the TOC
+generation file (index.py:576).  Segments are directories of term-range
+sorted parquet; merging segments is a `unionByName` + re-aggregation
+(see segments.py), mirroring writing.py:730-746 add_reader.
+
+Scale notes (100 TB design):
+- docid assignment is the only global ordering step; it is done with a
+  range-partitioned two-phase rank (per-partition counts -> offsets), NOT a
+  single-reducer Window.  See :func:`assign_docids`.
+- postings are written repartitionByRange(term) + sortWithinPartitions(term,
+  docid): parquet min/max page stats then give term-dictionary pruning for
+  query-time `term IN (...)` filters (the reference's ordered term hash file,
+  filedb/filetables.py:444-476, falls out of columnar storage).
+- all aggregations are partial-aggregate friendly (sum/count/max) => map-side
+  combine bounds shuffle volume by distinct keys, not input rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.analysis import StandardAnalyzer, make_tokenize_udf
+from whoosh_reloaded_spark.lengths import length_to_byte_expr
+
+DEFAULT_FIELD = "text"
+
+
+@dataclass
+class InvertedIndex:
+    """The four tables that make up an index (cf. the reference's segment
+    files .trm/.pst/.col, docs/source/tech/filedb.rst:8-28)."""
+
+    docmeta: DataFrame      # docid, uid, length, len_byte [, stored cols]
+    postings: DataFrame     # field, term, docid, weight, tf, positions, len_byte
+    term_stats: DataFrame   # field, term, df, total_weight, max_weight
+    stats: Dict[str, float]  # doc_count, field_length, avg_field_length
+    uid_col: str = "url"
+    fieldname: str = DEFAULT_FIELD
+
+    def persist(self) -> "InvertedIndex":
+        self.docmeta.persist()
+        self.postings.persist()
+        self.term_stats.persist()
+        return self
+
+    def unpersist(self) -> "InvertedIndex":
+        for df in (self.docmeta, self.postings, self.term_stats):
+            df.unpersist()
+        return self
+
+
+def assign_docids(df: DataFrame, uid_col: str, num_partitions: int = 0) -> DataFrame:
+    """Deterministic dense docid = global rank of `uid_col` (0-based).
+
+    Docids define BM25 tie-break order and must match the reference's
+    insertion-order docnums (documents added in uid order), so they must be
+    stable across runs (FIXTURES.md §5 'build determinism').
+
+    Distributed two-phase rank (no single-reducer global Window):
+      1. range-partition by uid and sort within partitions,
+      2. count rows per partition (small job) -> cumulative offsets,
+      3. docid = offset[partition] + local row_number.
+
+    The partitioned frame is persisted so both phases observe identical range
+    boundaries (repartitionByRange samples its boundaries).  On a real
+    cluster/Iceberg deployment the sort order would be a table property and
+    boundaries computed once from a deterministic sample.
+    """
+    spark = df.sparkSession
+    if num_partitions <= 0:
+        num_partitions = spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(num_partitions, F.col(uid_col))
+        .sortWithinPartitions(uid_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = part.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(uid_col)
+    out = (
+        part.join(offsets_df, "_pid")
+        .withColumn("docid", F.row_number().over(w) - 1 + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def build_index(
+    corpus: DataFrame,
+    uid_col: str = "url",
+    text_col: str = "text",
+    fieldname: str = DEFAULT_FIELD,
+    analyzer: Optional[StandardAnalyzer] = None,
+    stored_cols: Optional[List[str]] = None,
+    field_boost: float = 1.0,
+    num_partitions: int = 0,
+    with_docids: bool = False,
+) -> InvertedIndex:
+    """Run the index-build job. Everything is lazy until persisted/written.
+
+    Posting weight = tf * field_boost (token boost 1.0 — the reference's
+    Frequency/Positions formats sum per-token boosts, formats.py:190-236).
+    """
+    tokenize = make_tokenize_udf(analyzer)
+    docs = corpus if with_docids else assign_docids(corpus, uid_col, num_partitions)
+
+    toks = docs.select(
+        "docid",
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    postings = (
+        toks.groupBy("docid", F.col("tok.term").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list("tok.pos")).alias("positions"),
+        )
+        .withColumn("weight", (F.col("tf") * F.lit(field_boost)).cast("double"))
+        .withColumn("field", F.lit(fieldname))
+    )
+
+    # field length per doc = number of surviving tokens (= sum tf); quantized
+    # to one byte exactly like codec/whoosh3.py:234-242 stores it.
+    doclen = postings.groupBy("docid").agg(F.sum("tf").alias("length"))
+    meta_cols = ["docid", uid_col] + list(stored_cols or [])
+    docmeta = (
+        docs.select(*meta_cols)
+        .join(doclen, "docid", "left")
+        .na.fill({"length": 0})
+        .withColumn("len_byte", length_to_byte_expr("length"))
+        .withColumnRenamed(uid_col, "uid")
+    )
+
+    # attach len_byte to postings (scoring needs it next to the weight; this
+    # is a docid-copartitioned join right after the docid-keyed aggregation)
+    postings = postings.join(
+        docmeta.select("docid", "len_byte"), "docid"
+    ).select("field", "term", "docid", "weight", "tf", "positions", "len_byte")
+
+    term_stats = postings.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("weight").alias("total_weight"),
+        F.max("weight").alias("max_weight"),
+        F.min("len_byte").alias("min_len_byte"),
+    )
+
+    g = docmeta.agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("length").alias("field_length"),
+    ).collect()[0]
+    doc_count = int(g["doc_count"])
+    field_length = int(g["field_length"] or 0)
+    stats = {
+        "doc_count": doc_count,
+        "field_length": field_length,
+        # exact avg length (searching.py:277-280) — NOT byte-decoded
+        "avg_field_length": (field_length / doc_count) if doc_count else 0.0,
+    }
+    return InvertedIndex(
+        docmeta=docmeta,
+        postings=postings,
+        term_stats=term_stats,
+        stats=stats,
+        uid_col="uid",
+        fieldname=fieldname,
+    )
+
+
+def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
+    """Write the index as term-sorted parquet (segment commit ≙ TOC write).
+
+    Postings and term_stats are range-partitioned and sorted by (term, docid)
+    so parquet column stats give term-range data skipping at query time.
+    """
+    spark = ix.postings.sparkSession
+    if term_partitions <= 0:
+        term_partitions = spark.sparkContext.defaultParallelism
+    (
+        ix.postings.repartitionByRange(term_partitions, "term", "docid")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    (
+        ix.term_stats.repartitionByRange(max(1, term_partitions // 4), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_stats")
+    )
+    ix.docmeta.repartitionByRange(
+        max(1, term_partitions // 4), "docid"
+    ).sortWithinPartitions("docid").write.mode("overwrite").parquet(f"{path}/docmeta")
+    stats_path = os.path.join(path, "stats.json")
+    os.makedirs(path, exist_ok=True)
+    with open(stats_path, "w") as f:
+        json.dump(
+            {"stats": ix.stats, "uid_col": ix.uid_col, "fieldname": ix.fieldname}, f
+        )
+
+
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    with open(os.path.join(path, "stats.json")) as f:
+        meta = json.load(f)
+    return InvertedIndex(
+        docmeta=spark.read.parquet(f"{path}/docmeta"),
+        postings=spark.read.parquet(f"{path}/postings"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        stats=meta["stats"],
+        uid_col=meta["uid_col"],
+        fieldname=meta["fieldname"],
+    )

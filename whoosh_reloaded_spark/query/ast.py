@@ -1,0 +1,304 @@
+"""Logical query tree + normalization rewrites.
+
+Mirrors the reference's Query classes (src/whoosh/query/{qcore,terms,compound,
+ranges,positional}.py) as plain dataclasses.  `normalize()` applies the same
+logical rewrites the reference applies (compound.py:116-184): flatten nested
+same-type And/Or, push boosts down, dedup identical subqueries, drop
+NullQuery, collapse singleton groups.  Catalyst then handles predicate-level
+optimization of the physical DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Query:
+    def normalize(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class NullQuery(Query):
+    """Matches nothing (qcore.py:593-648)."""
+
+
+@dataclass(frozen=True)
+class Every(Query):
+    """Matches every document, score 1*boost (qcore.py:650-737)."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    """Documents containing `text` in `fieldname` (query/terms.py:39-146)."""
+
+    text: str
+    fieldname: str = "text"
+    boost: float = 1.0
+
+
+class _Compound(Query):
+    pass
+
+
+def _flatten(cls, children: Tuple[Query, ...], boost: float) -> List[Query]:
+    """Flatten same-class children, multiplying boosts down
+    (compound.py:116-126); dedup identical subqueries (compound.py:160-169);
+    drop NullQuery (compound.py:171-184)."""
+    out: List[Query] = []
+    for c in children:
+        c = c.normalize()
+        if isinstance(c, NullQuery):
+            continue
+        if isinstance(c, cls):
+            for gc in c.children:
+                if c.boost != 1.0 and hasattr(gc, "boost"):
+                    gc = replace(gc, boost=gc.boost * c.boost)
+                out.append(gc)
+        else:
+            out.append(c)
+    seen, dedup = set(), []
+    for c in out:
+        key = repr(c)
+        if key not in seen:
+            seen.add(key)
+            dedup.append(c)
+    return dedup
+
+
+@dataclass(frozen=True)
+class And(_Compound):
+    children: Tuple[Query, ...]
+    boost: float = 1.0
+
+    def __init__(self, children, boost: float = 1.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        kids = _flatten(And, self.children, self.boost)
+        if not kids:
+            return NullQuery()
+        if len(kids) == 1 and not isinstance(kids[0], Not):
+            k = kids[0]
+            if self.boost != 1.0 and hasattr(k, "boost"):
+                k = replace(k, boost=k.boost * self.boost)
+            return k
+        return And(tuple(kids), self.boost)
+
+
+@dataclass(frozen=True)
+class Or(_Compound):
+    children: Tuple[Query, ...]
+    boost: float = 1.0
+    scale: Optional[float] = None  # coordination bonus (matching/wrappers.py:532+)
+
+    def __init__(self, children, boost: float = 1.0, scale: Optional[float] = None):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "scale", scale)
+
+    def normalize(self) -> Query:
+        kids = _flatten(Or, self.children, self.boost)
+        if not kids:
+            return NullQuery()
+        if len(kids) == 1 and not isinstance(kids[0], Not):
+            k = kids[0]
+            if self.boost != 1.0 and hasattr(k, "boost"):
+                k = replace(k, boost=k.boost * self.boost)
+            return k
+        return Or(tuple(kids), self.boost, self.scale)
+
+
+@dataclass(frozen=True)
+class DisjunctionMax(_Compound):
+    """score = max(sub) + tiebreak*(sum(others)) (compound.py:446-490)."""
+
+    children: Tuple[Query, ...]
+    boost: float = 1.0
+    tiebreak: float = 0.0
+
+    def __init__(self, children, boost: float = 1.0, tiebreak: float = 0.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "tiebreak", tiebreak)
+
+    def normalize(self) -> Query:
+        kids = [c.normalize() for c in self.children]
+        kids = [c for c in kids if not isinstance(c, NullQuery)]
+        if not kids:
+            return NullQuery()
+        if len(kids) == 1:
+            return kids[0]
+        return DisjunctionMax(tuple(kids), self.boost, self.tiebreak)
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    """Complement; only meaningful nested under And/Or (wrappers.py:76-145)."""
+
+    child: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if isinstance(c, NullQuery):
+            return NullQuery()
+        return Not(c, self.boost)
+
+
+@dataclass(frozen=True)
+class AndNot(Query):
+    """In a but not b; scored by a (compound.py:548-577) → left-anti join."""
+
+    a: Query
+    b: Query
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return NullQuery()
+        if isinstance(b, NullQuery):
+            return a
+        return AndNot(a, b)
+
+
+@dataclass(frozen=True)
+class Require(Query):
+    """Docs in both, scored only by a (compound.py:592-628) → left-semi."""
+
+    a: Query
+    b: Query
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery) or isinstance(b, NullQuery):
+            return NullQuery()
+        return Require(a, b)
+
+
+@dataclass(frozen=True)
+class AndMaybe(Query):
+    """Docs of a; b's score added when present (compound.py:629+) → left join."""
+
+    a: Query
+    b: Query
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return NullQuery()
+        if isinstance(b, NullQuery):
+            return a
+        return AndMaybe(a, b)
+
+
+@dataclass(frozen=True)
+class Otherwise(Query):
+    """a if it has any hits, else b (compound.py:578-591)."""
+
+    a: Query
+    b: Query
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    """Terms adjacent in order, slop=1 (positional.py:134-277).
+
+    Normalization: single-word phrase collapses to Term
+    (positional.py:208-215)."""
+
+    words: Tuple[str, ...]
+    fieldname: str = "text"
+    slop: int = 1
+    boost: float = 1.0
+
+    def __init__(self, words, fieldname="text", slop=1, boost=1.0):
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "fieldname", fieldname)
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        if not self.words:
+            return NullQuery()
+        if len(self.words) == 1:
+            return Term(self.words[0], self.fieldname, self.boost)
+        return self
+
+
+# ---- multi-term (lexicon-expanding) queries (query/terms.py:150-520) --------
+
+
+@dataclass(frozen=True)
+class _MultiTerm(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class Prefix(_MultiTerm):
+    text: str
+    fieldname: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(_MultiTerm):
+    """Glob pattern with * and ? (terms.py:333-376)."""
+
+    text: str
+    fieldname: str = "text"
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        # pattern without wildcards is a plain Term; trailing-star-only is a
+        # Prefix (same rewrites the reference applies in Wildcard.normalize)
+        t = self.text
+        if "*" not in t and "?" not in t:
+            return Term(t, self.fieldname, self.boost)
+        if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+            return Prefix(t[:-1], self.fieldname, self.boost)
+        return self
+
+
+@dataclass(frozen=True)
+class Regex(_MultiTerm):
+    text: str
+    fieldname: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyTerm(_MultiTerm):
+    """Terms within Damerau-Levenshtein maxdist (terms.py:436-520)."""
+
+    text: str
+    fieldname: str = "text"
+    boost: float = 1.0
+    maxdist: int = 1
+    prefixlength: int = 1
+
+
+@dataclass(frozen=True)
+class TermRange(_MultiTerm):
+    """Lexicographic term range (query/ranges.py:153-252)."""
+
+    start: Optional[str]
+    end: Optional[str]
+    fieldname: str = "text"
+    startexcl: bool = False
+    endexcl: bool = False
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        if self.start is None and self.end is None:
+            return Every(self.boost)  # ranges.py:190-208
+        if self.start is not None and self.start == self.end:
+            if self.startexcl or self.endexcl:
+                return NullQuery()
+            return Term(self.start, self.fieldname, self.boost)
+        return self

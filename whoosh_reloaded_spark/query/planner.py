@@ -1,0 +1,395 @@
+"""Physical planning: Query AST -> DataFrame plan -> top-k results.
+
+The reference executes queries with a single-threaded pull-based Matcher tree
+(src/whoosh/matching/*.py); here each AST node evaluates to a docid-unique
+DataFrame of ``(docid, score)`` and the combinators become relational ops:
+
+    And       -> union + groupBy(docid) having count == n, score = sum
+                 (IntersectionMatcher sums scores, matching/binary.py:95-96)
+    Or        -> union + groupBy(docid).sum  (UnionMatcher, binary.py:252-268)
+    DisMax    -> groupBy(docid): max + tiebreak*(sum-max) (binary.py:298-404)
+    AndNot    -> left-anti join          (binary.py:559-676)
+    Require   -> left-semi join          (wrappers.py:431-494)
+    AndMaybe  -> left-outer join         (binary.py:677-793)
+    Not       -> anti join vs docmeta    (matching/wrappers.py:335-430)
+    Phrase    -> join position arrays on docid + higher-order-function
+                 adjacency intersection  (spans.py:653-699 semantics)
+    top-k     -> orderBy(desc(score), asc(docid)).limit(k)
+                 == TakeOrderedAndProject, ties broken by LOWER docid first
+                 exactly like the reference heap (collectors.py:466-483)
+
+idf values for the query's terms are looked up once per search and embedded
+as literals (the reference caches idf per searcher, searching.py:334-351) —
+no join against term_stats on the hot path.  Every score expression runs in
+whole-stage codegen; Python appears only in driver-side planning.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.index.build import InvertedIndex
+from whoosh_reloaded_spark.query import ast as Q
+from whoosh_reloaded_spark.scoring import BM25F, idf_value
+
+TOO_MANY_CLAUSES = 1024  # compound.py:282 heuristic bound for expansions
+
+
+def osa_distance(a: str, b: str, limit: Optional[int] = None) -> int:
+    """Restricted Damerau-Levenshtein (optimal string alignment) distance —
+    the classic public DP algorithm; matches the reference's fuzzy expansion
+    semantics (support/levenshtein.py behavior, re-implemented)."""
+    la, lb = len(a), len(b)
+    if limit is not None and abs(la - lb) > limit:
+        return limit + 1
+    prev2: Optional[List[int]] = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+                and a[i - 1] != b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        prev2, prev = prev, cur
+        if limit is not None and min(prev) > limit:
+            return limit + 1
+    return prev[lb]
+
+
+def glob_to_java_regex(pat: str) -> str:
+    """Translate a * / ? glob into an anchored Java regex for rlike()."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def glob_literal_prefix(pat: str) -> str:
+    """Leading literal run of a glob — pushed down as startswith
+    (the reference slices the term dict the same way, terms.py:282-307)."""
+    for i, ch in enumerate(pat):
+        if ch in "*?[":
+            return pat[:i]
+    return pat
+
+
+class Searcher:
+    """Plans and executes queries against an :class:`InvertedIndex`."""
+
+    def __init__(self, ix: InvertedIndex, weighting: Optional[BM25F] = None):
+        self.ix = ix
+        self.weighting = weighting or BM25F()
+        self.N = int(ix.stats["doc_count"])
+        self.avgfl = float(ix.stats["avg_field_length"]) or 1.0
+        self._idf_cache: Dict[str, float] = {}
+        self._df_cache: Dict[str, int] = {}
+
+    # -- statistics ----------------------------------------------------------
+
+    def _lookup_stats(self, terms: Sequence[str]) -> None:
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if not missing:
+            return
+        rows = (
+            self.ix.term_stats.where(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        for t in missing:
+            df = found.get(t, 0)
+            self._df_cache[t] = df
+            self._idf_cache[t] = idf_value(self.N, df)
+
+    # -- leaf evaluation -----------------------------------------------------
+
+    def _scored_postings(
+        self, terms: Sequence[str], boosts: Optional[Dict[str, float]] = None,
+        with_positions: bool = False, raw_weight: bool = False,
+    ) -> DataFrame:
+        """Postings restricted to `terms` with a vectorized score column.
+
+        `term IN (...)` reaches the parquet scan as a pushed filter over the
+        term-sorted files (data skipping ≙ the reference's term dictionary
+        lookup).  idf constants are embedded as a literal map.
+        """
+        terms = [t for t in dict.fromkeys(terms)]
+        self._lookup_stats(terms)
+        p = self.ix.postings.where(F.col("term").isin(list(terms)))
+        idf_pairs = []
+        for t in terms:
+            idf_pairs += [F.lit(t), F.lit(self._idf_cache[t])]
+        idf_col = F.element_at(F.create_map(*idf_pairs), F.col("term"))
+        if raw_weight:
+            # constant-score context (weighting=None -> WeightScorer,
+            # scoring.py:134-158): score = stored weight
+            score = F.col("weight")
+        else:
+            score = self.weighting.score_col(
+                F.col("weight"), F.col("len_byte"), F.col("weight"),
+                idf_col, self.avgfl, self.ix.fieldname,
+            )
+        if boosts:
+            bpairs = []
+            for t in terms:
+                bpairs += [F.lit(t), F.lit(float(boosts.get(t, 1.0)))]
+            score = score * F.element_at(F.create_map(*bpairs), F.col("term"))
+        cols = ["term", "docid", score.alias("score")]
+        if with_positions:
+            cols.append("positions")
+        return p.select(*cols)
+
+    def _all_docs(self, score: float = 1.0) -> DataFrame:
+        return self.ix.docmeta.select(
+            "docid", F.lit(float(score)).alias("score")
+        )
+
+    # -- lexicon expansion for multi-term queries ----------------------------
+
+    def expand_terms(self, q: Q.Query) -> List[str]:
+        ts = self.ix.term_stats
+        if isinstance(q, Q.Prefix):
+            c = ts.where(F.col("term").startswith(q.text))
+        elif isinstance(q, Q.Wildcard):
+            pre = glob_literal_prefix(q.text)
+            c = ts.where(F.col("term").rlike(glob_to_java_regex(q.text)))
+            if pre:
+                c = c.where(F.col("term").startswith(pre))
+        elif isinstance(q, Q.Regex):
+            c = ts.where(F.col("term").rlike(q.text))
+        elif isinstance(q, Q.TermRange):
+            c = ts
+            if q.start is not None:
+                c = c.where(
+                    F.col("term") > q.start if q.startexcl else F.col("term") >= q.start
+                )
+            if q.end is not None:
+                c = c.where(
+                    F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
+                )
+        elif isinstance(q, Q.FuzzyTerm):
+            # prefix-slice the dictionary then exact DP distance on the small
+            # candidate set, like reading.py:516-544
+            pre = q.text[: q.prefixlength]
+            c = ts.where(F.col("term").startswith(pre)) if pre else ts
+            cand = [r["term"] for r in c.select("term").collect()]
+            return sorted(
+                t for t in cand if osa_distance(q.text, t, q.maxdist) <= q.maxdist
+            )
+        else:
+            raise TypeError(f"not a multiterm query: {q!r}")
+        return sorted(r["term"] for r in c.select("term").limit(TOO_MANY_CLAUSES + 1).collect())
+
+    # -- node evaluation -----------------------------------------------------
+
+    def _eval(self, q: Q.Query) -> DataFrame:
+        """Evaluate to a docid-unique (docid, score) frame."""
+        spark = self.ix.postings.sparkSession
+        if isinstance(q, Q.NullQuery):
+            return spark.createDataFrame([], "docid long, score double")
+        if isinstance(q, Q.Every):
+            return self._all_docs(q.boost)
+        if isinstance(q, Q.Term):
+            df = self._scored_postings([q.text])
+            return df.select("docid", (F.col("score") * F.lit(q.boost)).alias("score"))
+        if isinstance(q, Q.Or) and all(isinstance(c, Q.Term) for c in q.children):
+            # fused fast path: one scan, no per-child union
+            boosts = {c.text: c.boost for c in q.children}
+            df = self._scored_postings([c.text for c in q.children], boosts=boosts)
+            out = df.groupBy("docid").agg(F.sum("score").alias("score"))
+            return out.select(
+                "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+            )
+        if isinstance(q, Q.And) and all(isinstance(c, Q.Term) for c in q.children):
+            # fused: one scan + single aggregation with match-count filter
+            boosts = {c.text: c.boost for c in q.children}
+            n = len({c.text for c in q.children})
+            df = self._scored_postings([c.text for c in q.children], boosts=boosts)
+            out = (
+                df.groupBy("docid")
+                .agg(
+                    F.sum("score").alias("score"),
+                    F.count_distinct(F.col("term")).alias("_n"),
+                )
+                .where(F.col("_n") == n)
+                .drop("_n")
+            )
+            return out.select(
+                "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+            )
+        if isinstance(q, Q.Or):
+            # Not children evaluate to their complement frame (score = boost,
+            # like the reference's InverseMatcher, matching/wrappers.py:424-428)
+            frames = [self._eval(c) for c in q.children]
+            u = frames[0]
+            for f2 in frames[1:]:
+                u = u.unionByName(f2)
+            out = u.groupBy("docid").agg(F.sum("score").alias("score"))
+            if q.boost != 1.0:
+                out = out.select(
+                    "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+                )
+            return out
+        if isinstance(q, Q.And):
+            pos = [c for c in q.children if not isinstance(c, Q.Not)]
+            neg = [c for c in q.children if isinstance(c, Q.Not)]
+            n = len(pos)
+            frames = [
+                self._eval(c).withColumn("_cid", F.lit(i))
+                for i, c in enumerate(pos)
+            ]
+            u = frames[0]
+            for f2 in frames[1:]:
+                u = u.unionByName(f2)
+            out = (
+                u.groupBy("docid")
+                .agg(
+                    F.sum("score").alias("score"),
+                    F.count_distinct("_cid").alias("_n"),
+                )
+                .where(F.col("_n") == n)
+                .drop("_n")
+            )
+            # anti-join each negated child; the InverseMatcher still SCORES
+            # its boost for surviving docs (wrappers.py:424-428), so add it
+            neg_bonus = 0.0
+            for nq in neg:
+                out = out.join(self._eval(nq.child), "docid", "left_anti")
+                neg_bonus += nq.boost
+            if neg_bonus:
+                out = out.select(
+                    "docid", (F.col("score") + F.lit(neg_bonus)).alias("score")
+                )
+            if q.boost != 1.0:
+                out = out.select(
+                    "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+                )
+            return out
+        if isinstance(q, Q.DisjunctionMax):
+            # NOTE: the reference's DisjunctionMaxMatcher.score() is a pure
+            # max — its `tiebreak` argument is stored but never used in
+            # scoring (matching/binary.py:367-374).  We mirror that exactly.
+            frames = [self._eval(c) for c in q.children]
+            u = frames[0]
+            for f2 in frames[1:]:
+                u = u.unionByName(f2)
+            agg = u.groupBy("docid").agg(F.max("score").alias("_mx"))
+            return agg.select(
+                "docid", (F.col("_mx") * F.lit(q.boost)).alias("score")
+            )
+        if isinstance(q, Q.AndNot):
+            return self._eval(q.a).join(self._eval(q.b), "docid", "left_anti")
+        if isinstance(q, Q.Require):
+            return self._eval(q.a).join(self._eval(q.b), "docid", "left_semi")
+        if isinstance(q, Q.AndMaybe):
+            a = self._eval(q.a)
+            b = self._eval(q.b).withColumnRenamed("score", "_bscore")
+            return a.join(b, "docid", "left").select(
+                "docid",
+                (F.col("score") + F.coalesce(F.col("_bscore"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        if isinstance(q, Q.Not):
+            # complement scored at `boost` like InverseMatcher (score = weight)
+            return self._all_docs(q.boost).join(
+                self._eval(q.child), "docid", "left_anti"
+            )
+        if isinstance(q, Q.Otherwise):
+            a = self._eval(q.a)
+            return a if a.limit(1).count() > 0 else self._eval(q.b)
+        if isinstance(q, Q.Phrase):
+            return self._eval_phrase(q)
+        if isinstance(q, Q._MultiTerm):
+            terms = self.expand_terms(q)
+            if not terms:
+                return spark.createDataFrame([], "docid long, score double")
+            # NOTE: the reference's MultiTerm.matcher sets weighting=None for
+            # constantscore fuzzy queries, but its Or-matcher falls back to
+            # the searcher's weighting anyway — observed behavior is plain
+            # BM25-scored Or over the expanded terms, which we mirror.
+            df = self._scored_postings(terms)
+            out = df.groupBy("docid").agg(F.sum("score").alias("score"))
+            return out.select(
+                "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+            )
+        raise TypeError(f"unsupported query node: {q!r}")
+
+    def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
+        """Positional adjacency via higher-order functions (JVM-side).
+
+        Matched-position chain: m_1 = pos(w1); m_i = {p in pos(wi) | ∃ x in
+        m_{i-1}: 0 < p - x <= slop}; doc matches iff m_k nonempty.  Equivalent
+        to the reference's sorted-span intersection (spans.py:653-699) for
+        ordered adjacency.  Score = sum of the words' BM25 scores, like the
+        span matcher scoring through IntersectionMatcher (binary.py:95-96).
+        """
+        words = list(q.words)
+        slop = q.slop
+        df = self._scored_postings(words, with_positions=True)
+        parts = []
+        for i, w in enumerate(words):
+            parts.append(
+                df.where(F.col("term") == w).select(
+                    "docid",
+                    F.col("score").alias(f"_s{i}"),
+                    F.col("positions").alias(f"_p{i}"),
+                )
+            )
+        j = parts[0]
+        for i in range(1, len(parts)):
+            j = j.join(parts[i], "docid")
+        def _adjacent(prev_col):
+            def pred(p):
+                return F.exists(prev_col, lambda x: (p - x > 0) & (p - x <= F.lit(slop)))
+
+            return pred
+
+        matched = F.col("_p0")
+        for i in range(1, len(words)):
+            matched = F.filter(F.col(f"_p{i}"), _adjacent(matched))
+        score = sum([F.col(f"_s{i}") for i in range(len(words))], F.lit(0.0))
+        return (
+            j.where(F.size(matched) > 0)
+            .select("docid", (score * F.lit(q.boost)).alias("score"))
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def search(
+        self, q: Q.Query, limit: Optional[int] = 10, with_uid: bool = True
+    ) -> DataFrame:
+        """Top-k results: (docid[, uid], score), score desc / docid asc.
+
+        Tie-break matches the reference heap's ``(score, 0 - docnum)`` order
+        (collectors.py:466-483): equal scores -> LOWER docid first.
+        """
+        q = q.normalize()
+        hits = self._eval(q)
+        if with_uid:
+            hits = hits.join(self.ix.docmeta.select("docid", "uid"), "docid")
+        out = hits.orderBy(F.col("score").desc(), F.col("docid").asc())
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def search_list(self, q: Q.Query, limit: Optional[int] = 10) -> List[Tuple]:
+        rows = self.search(q, limit).collect()
+        return [(r["docid"], r["uid"], r["score"]) for r in rows]
