@@ -1,38 +1,340 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship BM25 query over an index built from
+/root/testdata/sf0.001/documents.parquet.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2, each runnable at (spark, sf_dir) with a DuckDB-equivalent
+ANSI-SQL oracle over the same parquet views.
+
+Oracle-mode scoring notes:
+- these entries score BM25 with EXACT field lengths (quantized=False) so the
+  oracle is expressible in portable SQL; the byte-quantized reference-parity
+  mode is exercised by tests/test_search_parity.py against Whoosh itself.
+- every score is round(x, 6) on both sides; ordering ties are broken by
+  doc_id so LIMIT picks identical rows.
+- documents.text at all SFs is ASCII lowercase (verified), so the oracle's
+  `[a-z0-9_*]+(\\.?[a-z0-9_*]+)*` regex is equivalent to the engine's Python
+  `[\\w\\*]+(\\.?[\\w\\*]+)*` on this data.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.analysis import STOP_WORDS
+from whoosh_reloaded_spark.index import build_index
+from whoosh_reloaded_spark.query import (
+    And,
+    AndNot,
+    Or,
+    Phrase,
+    Prefix,
+    Searcher,
+    Term,
+    TermRange,
+)
+from whoosh_reloaded_spark.scoring import BM25F
+
+# ---------------------------------------------------------------------------
+# shared: index cache per sf_dir (oracle-mode: exact lengths)
+# ---------------------------------------------------------------------------
+
+_IX_CACHE: dict = {}
+
+
+def _docs_index(spark: SparkSession, sf_dir: str):
+    key = sf_dir
+    if key not in _IX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.withColumn("docid", F.col("doc_id"))
+        ix = build_index(
+            corpus, uid_col="doc_id", text_col="text", with_docids=True
+        ).persist()
+        _IX_CACHE[key] = ix
+    return _IX_CACHE[key]
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    return Searcher(_docs_index(spark, sf_dir), BM25F(quantized=False))
+
+
+def _topk(spark, sf_dir, q, k=10) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    out = s.search(q, limit=k, with_uid=False)
+    return out.select(
+        F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL scaffolding
+# ---------------------------------------------------------------------------
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+# tokenization + stats CTEs shared by all search oracles (StandardAnalyzer
+# semantics: lowercase, [\w\*]-pattern, minsize 2, stop removal; renumbered
+# positions: first survivor keeps its original position)
+_BASE_CTE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_*]+(\\.?[a-z0-9_*]+)*', 0) AS toks
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos0
+  FROM raw
+),
+tok AS (
+  SELECT doc_id, term, pos0 FROM tok0
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPS_SQL})
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS w FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS fl FROM tok GROUP BY 1
+),
+g AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT CAST(sum(fl) AS DOUBLE) FROM dl)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgfl
+),
+stats AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (ln(g.n / (stats.df + 1)) + 1)
+           * (tf.w * (1.2 + 1)) / (tf.w + 1.2 * ((1 - 0.75) + 0.75 * dl.fl / g.avgfl))
+           AS s
+  FROM tf
+  JOIN stats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+)
+"""
+
+
+def _or_sql(terms, k=10):
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _BASE_CTE
+        + f"""
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term IN ({tl})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+    )
+
+
+def _and_sql(terms, k=10):
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _BASE_CTE
+        + f"""
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term IN ({tl})
+GROUP BY doc_id
+HAVING count(DISTINCT term) = {len(set(terms))}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 Or-query on sf0.001 documents."""
+    return _topk(
+        spark,
+        "/root/testdata/sf0.001",
+        Or([Term("spark"), Term("join"), Term("merge")]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["bm25_term"] = lambda spark, sf: _topk(spark, sf, Term("spark"))
+    q["bm25_or"] = lambda spark, sf: _topk(
+        spark, sf, Or([Term("spark"), Term("join"), Term("merge")])
+    )
+    q["bm25_and"] = lambda spark, sf: _topk(
+        spark, sf, And([Term("spark"), Term("vector")])
+    )
+    q["bm25_andnot"] = lambda spark, sf: _topk(
+        spark, sf, AndNot(Term("spark"), Term("join"))
+    )
+    q["bm25_phrase"] = lambda spark, sf: _topk(
+        spark, sf, Phrase(["batch", "stream"])
+    )
+    q["bm25_prefix"] = lambda spark, sf: _topk(spark, sf, Prefix("sc"))
+    q["bm25_termrange"] = lambda spark, sf: _topk(
+        spark, sf, TermRange("table", "valu")
+    )
+
+    def doc_lengths(spark, sf):
+        ix = _docs_index(spark, sf)
+        return ix.docmeta.select(
+            F.col("docid").alias("doc_id"), F.col("length").alias("doclen")
+        )
+
+    q["doc_lengths"] = doc_lengths
+
+    def term_stats(spark, sf):
+        ix = _docs_index(spark, sf)
+        return ix.term_stats.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round("total_weight", 6).alias("total_weight"),
+            F.round("max_weight", 6).alias("max_weight"),
+        )
+
+    q["term_stats"] = term_stats
+
+    def postings_positions(spark, sf):
+        """Posting rows with renumbered positions for one term — exercises
+        the positional payload (Positions format, formats.py:216-270)."""
+        ix = _docs_index(spark, sf)
+        return ix.postings.where(F.col("term") == "stream").select(
+            F.col("docid").alias("doc_id"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("positions").cast("array<long>").alias("positions"),
+        )
+
+    q["postings_positions"] = postings_positions
+
+    def token_counts(spark, sf):
+        """Raw token counting (pre-stop) — training-pipeline text op."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        toks = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9_*]+(\\.?[a-z0-9_*]+)*', 0)")
+        return docs.select(
+            "doc_id", F.size(toks).cast("long").alias("n_tokens")
+        )
+
+    q["token_counts"] = token_counts
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["bm25_term"] = _or_sql(["spark"])
+    o["bm25_or"] = _or_sql(["spark", "join", "merge"])
+    o["bm25_and"] = _and_sql(["spark", "vector"])
+    o["bm25_andnot"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term = 'spark'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'join')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    # phrase: renumbered positions, adjacency w2.pos = w1.pos + 1; score =
+    # sum of the two words' BM25 scores for matching docs
+    o["bm25_phrase"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+),
+pm AS (
+  SELECT DISTINCT a.doc_id
+  FROM rp a JOIN rp b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'batch' AND b.term = 'stream'
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term IN ('batch', 'stream') AND doc_id IN (SELECT doc_id FROM pm)
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["bm25_prefix"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term LIKE 'sc%'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["bm25_termrange"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term >= 'table' AND term <= 'valu'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["doc_lengths"] = (
+        _BASE_CTE
+        + """
+SELECT d.doc_id, CAST(coalesce(x.c, 0) AS BIGINT) AS doclen
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id) x
+  ON d.doc_id = x.doc_id
+"""
+    )
+    o["term_stats"] = (
+        _BASE_CTE
+        + """
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       round(sum(w), 6) AS total_weight,
+       round(max(w), 6) AS max_weight
+FROM tf
+GROUP BY term
+"""
+    )
+    o["postings_positions"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS tf,
+       list_sort(list(pos)) AS positions
+FROM rp
+WHERE term = 'stream'
+GROUP BY doc_id
+"""
+    )
+    o["token_counts"] = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0)) AS BIGINT) AS n_tokens
+FROM documents
+"""
+    return o

@@ -161,8 +161,10 @@ def build_index(
     # attach len_byte to postings (scoring needs it next to the weight; this
     # is a docid-copartitioned join right after the docid-keyed aggregation)
     postings = postings.join(
-        docmeta.select("docid", "len_byte"), "docid"
-    ).select("field", "term", "docid", "weight", "tf", "positions", "len_byte")
+        docmeta.select("docid", "length", "len_byte"), "docid"
+    ).select(
+        "field", "term", "docid", "weight", "tf", "positions", "length", "len_byte"
+    )
 
     term_stats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"),

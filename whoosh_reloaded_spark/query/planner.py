@@ -143,7 +143,7 @@ class Searcher:
             score = F.col("weight")
         else:
             score = self.weighting.score_col(
-                F.col("weight"), F.col("len_byte"), F.col("weight"),
+                F.col("weight"), F.col("len_byte"), F.col("length"),
                 idf_col, self.avgfl, self.ix.fieldname,
             )
         if boosts:
