@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + BM25 query latencies.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "build": {"docs": N, "build_sec": s, "docs_per_sec": r}}
+
+Scaling-efficiency evidence (north rule: >=0.8 between N and 4N):
+run `python bench.py --scaling` — executes the build at two parallelism
+levels (local[8] vs local[32]) in subprocesses on identical input and
+reports throughput at both plus efficiency.  Results recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("whoosh-reloaded-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def run_build(spark, sf_dir: str, out_dir: str):
+    """The index-build job: read corpus parquet -> full index -> parquet."""
+    from pyspark.sql import functions as F
+
+    from whoosh_reloaded_spark.index import build_index, save_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.withColumn("docid", F.col("doc_id"))
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    ix = build_index(corpus, uid_col="doc_id", text_col="text", with_docids=True)
+    save_index(ix, out_dir)
+    build_sec = time.perf_counter() - t0
+    return n_docs, build_sec
+
+
+def bench_queries(spark, out_dir: str) -> dict:
+    from whoosh_reloaded_spark.index import load_index
+    from whoosh_reloaded_spark.query import (
+        And,
+        AndNot,
+        DisjunctionMax,
+        FuzzyTerm,
+        Or,
+        Phrase,
+        Prefix,
+        Searcher,
+        Term,
+        TermRange,
+        Wildcard,
+    )
+
+    ix = load_index(spark, out_dir)
+    ix.persist()
+    ix.postings.count()  # warm cache: queries measure compute, not disk
+    ix.docmeta.count()
+    s = Searcher(ix)
+
+    qs = {
+        "q1_term": Term("spark"),
+        "q2_or3": Or([Term("spark"), Term("join"), Term("merge")]),
+        "q3_and2": And([Term("spark"), Term("vector")]),
+        "q4_phrase": Phrase(["batch", "stream"]),
+        "q5_prefix": Prefix("sc"),
+        "q6_andnot": AndNot(Term("spark"), Term("join")),
+        "q7_wildcard": Wildcard("s*am"),
+        "q8_head_term": Term("data"),
+        "q9_dismax": DisjunctionMax([Term("spark"), Term("join")]),
+        "q10_fuzzy": FuzzyTerm("sparc"),
+        "q11_termrange": TermRange("table", "valu"),
+        "q12_nested": And([Or([Term("spark"), Term("join")]), Term("data")]),
+    }
+    out = {}
+    for name, q in qs.items():
+        t0 = time.perf_counter()
+        # ids+scores, like the reference's Results (stored fields are lazy)
+        s.search(q, limit=10, with_uid=False).collect()
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="wrs_bench_ix_")
+    try:
+        t_total0 = time.perf_counter()
+        n_docs, build_sec = run_build(spark, sf_dir, out_dir)
+        queries = bench_queries(spark, out_dir)
+        total = time.perf_counter() - t_total0
+        result = {
+            "metric": "index_build_plus_bm25_query_bench",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "build": {
+                "docs": n_docs,
+                "build_sec": round(build_sec, 3),
+                "docs_per_sec": round(n_docs / build_sec, 1),
+            },
+            "cpus": cpus,
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def scaling():
+    """Evidence for the two-cluster-size criterion: same job, N vs 4N cores."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["SPARK_GRAFT_MODE"] = "buildonly"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--buildonly"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results[8], results[32]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_N_vs_4N",
+        "n_cores": 8, "n4_cores": 32,
+        "docs_per_sec_n": r8["docs_per_sec"],
+        "docs_per_sec_4n": r32["docs_per_sec"],
+        "efficiency": round(eff, 3),
+    }))
+
+
+def buildonly():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="wrs_bench_ix_")
+    try:
+        n_docs, build_sec = run_build(spark, sf_dir, out_dir)
+        print(json.dumps({
+            "docs": n_docs,
+            "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "cpus": cpus,
+        }))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--buildonly" in sys.argv:
+        buildonly()
+    else:
+        main()

@@ -52,9 +52,26 @@ class InvertedIndex:
     docmeta: DataFrame      # docid, uid, length, len_byte [, stored cols]
     postings: DataFrame     # field, term, docid, weight, tf, positions, len_byte
     term_stats: DataFrame   # field, term, df, total_weight, max_weight
-    stats: Dict[str, float]  # doc_count, field_length, avg_field_length
+    stats: Optional[Dict[str, float]]  # doc_count, field_length, avg_field_length
     uid_col: str = "url"
     fieldname: str = DEFAULT_FIELD
+
+    def ensure_stats(self) -> Dict[str, float]:
+        """Global aggregates, computed lazily so the build pipeline runs only
+        once (searching.py:277-280 computes avgfl the same way: exact)."""
+        if self.stats is None:
+            g = self.docmeta.agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum("length").alias("field_length"),
+            ).collect()[0]
+            doc_count = int(g["doc_count"])
+            field_length = int(g["field_length"] or 0)
+            self.stats = {
+                "doc_count": doc_count,
+                "field_length": field_length,
+                "avg_field_length": (field_length / doc_count) if doc_count else 0.0,
+            }
+        return self.stats
 
     def persist(self) -> "InvertedIndex":
         self.docmeta.persist()
@@ -123,6 +140,7 @@ def build_index(
     field_boost: float = 1.0,
     num_partitions: int = 0,
     with_docids: bool = False,
+    cache_intermediate: bool = True,
 ) -> InvertedIndex:
     """Run the index-build job. Everything is lazy until persisted/written.
 
@@ -145,6 +163,14 @@ def build_index(
         .withColumn("weight", (F.col("tf") * F.lit(field_boost)).cast("double"))
         .withColumn("field", F.lit(fieldname))
     )
+    if cache_intermediate:
+        # postings feed three outputs (postings, docmeta lengths, term_stats);
+        # persisting here makes tokenization run exactly once.  MEMORY_AND_DISK
+        # spills gracefully; a 100-TB production build would checkpoint this
+        # stage to a scratch table instead.
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
 
     # field length per doc = number of surviving tokens (= sum tf); quantized
     # to one byte exactly like codec/whoosh3.py:234-242 stores it.
@@ -173,23 +199,11 @@ def build_index(
         F.min("len_byte").alias("min_len_byte"),
     )
 
-    g = docmeta.agg(
-        F.count(F.lit(1)).alias("doc_count"),
-        F.sum("length").alias("field_length"),
-    ).collect()[0]
-    doc_count = int(g["doc_count"])
-    field_length = int(g["field_length"] or 0)
-    stats = {
-        "doc_count": doc_count,
-        "field_length": field_length,
-        # exact avg length (searching.py:277-280) — NOT byte-decoded
-        "avg_field_length": (field_length / doc_count) if doc_count else 0.0,
-    }
     return InvertedIndex(
         docmeta=docmeta,
         postings=postings,
         term_stats=term_stats,
-        stats=stats,
+        stats=None,  # computed lazily (ensure_stats) — build stays one pass
         uid_col="uid",
         fieldname=fieldname,
     )
@@ -219,11 +233,23 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
     ix.docmeta.repartitionByRange(
         max(1, term_partitions // 4), "docid"
     ).sortWithinPartitions("docid").write.mode("overwrite").parquet(f"{path}/docmeta")
+    # global stats from the WRITTEN docmeta (columnar scan of 2 columns) so
+    # the build pipeline is not re-executed a second time
+    written = InvertedIndex(
+        docmeta=spark.read.parquet(f"{path}/docmeta"),
+        postings=ix.postings,
+        term_stats=ix.term_stats,
+        stats=ix.stats,
+        uid_col=ix.uid_col,
+        fieldname=ix.fieldname,
+    )
+    stats = written.ensure_stats()
+    ix.stats = stats
     stats_path = os.path.join(path, "stats.json")
     os.makedirs(path, exist_ok=True)
     with open(stats_path, "w") as f:
         json.dump(
-            {"stats": ix.stats, "uid_col": ix.uid_col, "fieldname": ix.fieldname}, f
+            {"stats": stats, "uid_col": ix.uid_col, "fieldname": ix.fieldname}, f
         )
 
 

@@ -96,8 +96,9 @@ class Searcher:
     def __init__(self, ix: InvertedIndex, weighting: Optional[BM25F] = None):
         self.ix = ix
         self.weighting = weighting or BM25F()
-        self.N = int(ix.stats["doc_count"])
-        self.avgfl = float(ix.stats["avg_field_length"]) or 1.0
+        stats = ix.ensure_stats()
+        self.N = int(stats["doc_count"])
+        self.avgfl = float(stats["avg_field_length"]) or 1.0
         self._idf_cache: Dict[str, float] = {}
         self._df_cache: Dict[str, int] = {}
 
@@ -383,11 +384,18 @@ class Searcher:
         """
         q = q.normalize()
         hits = self._eval(q)
-        if with_uid:
-            hits = hits.join(self.ix.docmeta.select("docid", "uid"), "docid")
+        # top-k FIRST (TakeOrderedAndProject over the hit frame), THEN join
+        # the tiny result against docmeta for display fields — at scale the
+        # uid join must touch k rows, not every hit
         out = hits.orderBy(F.col("score").desc(), F.col("docid").asc())
         if limit is not None:
             out = out.limit(limit)
+        if with_uid:
+            out = (
+                out.join(self.ix.docmeta.select("docid", "uid"), "docid")
+                .orderBy(F.col("score").desc(), F.col("docid").asc())
+                .select("docid", "uid", "score")
+            )
         return out
 
     def search_list(self, q: Q.Query, limit: Optional[int] = 10) -> List[Tuple]:
