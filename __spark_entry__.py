@@ -229,6 +229,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_counts"] = token_counts
 
+    # ---- training-data pipeline ops (textops) ----
+
+    def _docs(spark, sf):
+        return spark.read.parquet(f"{sf}/documents.parquet")
+
+    def dedup_exact(spark, sf):
+        from whoosh_reloaded_spark.textops import exact_dup_groups
+
+        return exact_dup_groups(_docs(spark, sf)).select(
+            "dup_key", F.col("n_docs").cast("long").alias("n_docs"), "keep_doc"
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_lsh(spark, sf):
+        from whoosh_reloaded_spark.textops import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _docs(spark, sf), k=3, n_hashes=16, bands=4, threshold=0.2
+        )
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):
+        from whoosh_reloaded_spark.textops import simhash
+
+        return simhash(_docs(spark, sf)).select(
+            "doc_id", F.col("simhash").cast("long").alias("simhash")
+        )
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def ngram_jaccard(spark, sf):
+        from whoosh_reloaded_spark.textops import ngram_jaccard_vs_doc
+
+        return ngram_jaccard_vs_doc(_docs(spark, sf), query_doc=0, n=3, k=10)
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def text_quality(spark, sf):
+        from whoosh_reloaded_spark.textops import quality_scores
+
+        return quality_scores(_docs(spark, sf))
+
+    q["text_quality"] = text_quality
+
+    def lang_id(spark, sf):
+        from whoosh_reloaded_spark.textops import language_id
+
+        return language_id(_docs(spark, sf))
+
+    q["lang_id"] = lang_id
+
+    def fingerprint(spark, sf):
+        from whoosh_reloaded_spark.textops import doc_fingerprint
+
+        return doc_fingerprint(_docs(spark, sf))
+
+    q["fingerprint"] = fingerprint
+
+    def ann_cosine(spark, sf):
+        from whoosh_reloaded_spark.textops import cosine_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return cosine_topk(emb, qv, k=10, exclude_id=0)
+
+    q["ann_cosine"] = ann_cosine
+
     return q
 
 
@@ -336,5 +405,188 @@ GROUP BY doc_id
 SELECT doc_id,
        CAST(length(regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0)) AS BIGINT) AS n_tokens
 FROM documents
+"""
+
+    # ---- textops oracles (raw tokens, no stop removal) ----
+    raw_cte = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0) AS toks
+  FROM documents
+)
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS dup_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
+"""
+
+    o["dedup_minhash_lsh"] = (
+        raw_cte
+        + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(toks) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+                        h -> list_min(list_transform(s, x -> md5(h::VARCHAR || ':' || x)))) AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(list_slice(sg, b * 4 + 1, b * 4 + 4), '|')) AS band_hash
+  FROM sig, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(length(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / length(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
+"""
+    )
+
+    o["dedup_simhash"] = (
+        raw_cte
+        + """
+, tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS w FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, w, substr(md5(token), 1, 8) AS h8 FROM tf),
+e AS (SELECT doc_id, w, h8, b FROM h, range(0, 32) r(b)),
+nib AS (
+  SELECT doc_id, b, w,
+         CASE WHEN ascii(substr(h8, (b // 4)::INT + 1, 1)) >= 97
+              THEN ascii(substr(h8, (b // 4)::INT + 1, 1)) - 87
+              ELSE ascii(substr(h8, (b // 4)::INT + 1, 1)) - 48 END AS nv
+  FROM e
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((nv >> (3 - (b % 4))::INT) & 1) = 1 THEN w ELSE -w END) AS s
+  FROM nib GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+    )
+
+    o["ngram_jaccard"] = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1),
+                        i -> substr(lower(text), i::INT, 3))) AS grams
+  FROM documents
+),
+q AS (SELECT grams AS qg FROM g WHERE doc_id = 0)
+SELECT doc_id,
+       round(CAST(length(list_intersect(grams, qg)) AS DOUBLE)
+             / length(list_distinct(list_concat(grams, qg))), 6) AS jaccard
+FROM g, q
+WHERE doc_id != 0
+ORDER BY jaccard DESC, doc_id ASC
+LIMIT 10
+"""
+
+    _stops = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    o["text_quality"] = (
+        raw_cte
+        + f"""
+, m AS (
+  SELECT d.doc_id, length(d.text) AS n_chars, length(t.toks) AS n_tokens,
+         COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) AS tok_chars,
+         length(list_filter(t.toks, x -> list_contains([{_stops}], x))) AS n_stop
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0 END AS avg_token_len,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0 END AS stopword_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(tok_chars AS DOUBLE) / n_chars ELSE 0 END AS alnum_ratio
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(alnum_ratio, 6) AS alnum_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.25
+             + least(stopword_ratio * 4.0, 1.0) * 0.25
+             + alnum_ratio * 0.5, 6) AS quality
+FROM r
+"""
+    )
+
+    from whoosh_reloaded_spark.textops.quality import LANG_MARKERS
+
+    marker_rows = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]))
+        for lang in sorted(LANG_MARKERS)
+    )
+    o["lang_id"] = (
+        raw_cte
+        + f"""
+, l(lang, markers) AS (SELECT * FROM (VALUES {marker_rows})),
+s AS (
+  SELECT doc_id, lang,
+         round(CASE WHEN length(toks) > 0
+               THEN CAST(length(list_filter(toks, x -> list_contains(markers, x))) AS DOUBLE) / length(toks)
+               ELSE 0 END, 6) AS score
+  FROM t, l
+),
+rk AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM s
+)
+SELECT doc_id, lang AS pred_lang, score AS lang_score FROM rk WHERE rn = 1
+"""
+    )
+
+    o["fingerprint"] = (
+        raw_cte
+        + """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM t
+"""
+    )
+
+    o["ann_cosine"] = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+q AS (SELECT v AS qv, i FROM e WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dot,
+         sqrt(sum(e.v * e.v)) AS na, sqrt(sum(q.qv * q.qv)) AS nb
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id != 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+FROM d
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
 """
     return o

@@ -1,0 +1,80 @@
+"""Behavioral tests for training-pipeline text ops on constructed data
+(the driver testdata has no exact duplicates, so build some)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.textops import (
+    cosine_topk,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from whoosh_reloaded_spark.textops.similarity import cosine_topk_lsh
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning joins aggregates and windows"),
+        (5, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(dup_docs):
+    groups = exact_dup_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_doc"] == 0
+
+
+def test_minhash_identical_signatures(dup_docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs).collect()}
+    assert sigs[0] == sigs[1]          # identical docs -> identical signature
+    assert sigs[0] != sigs[3]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert shared >= 8, shared
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(dup_docs, threshold=0.2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by a band
+    assert all(a < 3 and b < 3 for a, b in pairs)  # unrelated docs not paired
+
+
+def test_simhash_near_dup_distance(dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham < ham_far  # near dup closer in hamming space than unrelated
+
+
+def test_cosine_topk_and_lsh(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        # deterministic vectors on a ring; vec 0's nearest is vec 1
+        ang = i * 0.1
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.1, -0.2]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    top = cosine_topk(emb, q, k=3, exclude_id=0).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["cosine"] > top[-1]["cosine"]
+    # LSH variant returns a subset of the exact ranking, same scoring
+    lsh = cosine_topk_lsh(emb, q, k=3, n_planes=3, exclude_id=0).collect()
+    exact_scores = {r["vec_id"]: r["cosine"]
+                    for r in cosine_topk(emb, q, k=50, exclude_id=0).collect()}
+    for r in lsh:
+        assert r["cosine"] == exact_scores[r["vec_id"]]

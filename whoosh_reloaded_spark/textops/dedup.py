@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame transformations (JVM-side, no Python UDFs)
+designed for 100-TB scale:
+
+- exact dedup: hash-groupBy on md5(text) — one shuffle, partial-agg friendly
+- MinHash + LSH: shingle -> md5-minhash signature -> band-bucket self-join.
+  Hashing uses md5 (portable: identical in any engine) and min() over hex
+  strings, so signatures are reproducible everywhere.  The candidate-pair
+  join is on (band_id, band_hash) — docs only meet if a band collides, which
+  is the standard sub-quadratic LSH path.
+- SimHash: 32-bit signature from per-token md5 nibbles, fully relational
+  (explode tokens x bit positions -> weighted sum -> sign), no UDF.
+- n-gram Jaccard: character-trigram set similarity (one-vs-all form here;
+  the all-pairs form goes through LSH candidates first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"[a-z0-9_*]+(\\.?[a-z0-9_*]+)*"
+
+
+def _tokens(text_col):
+    """Raw lowercase tokens (no stop removal — dedup wants full text)."""
+    return F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (dup_key, n_docs, keep_doc)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def with_shingles(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) — word k-shingles joined by single space."""
+    toks = _tokens(text_col)
+    # floor the end at 1 (Spark sequence(1,0) would run DESCENDING) — docs
+    # shorter than k words yield one short shingle, same as the SQL oracle's
+    # list_slice behavior
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return docs.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       n_hashes: int = 16) -> DataFrame:
+    """(id, sig array<string>) — sig[s] = min over shingles of
+    md5('<s>:' + shingle).  Hex-string min == numeric min of the 128-bit
+    value, and is engine-portable."""
+    sh = with_shingles(docs, id_col, text_col, k)
+
+    # NB: single-parameter lambdas only — pyspark treats a second (default)
+    # parameter as the array-index variable, silently changing semantics
+    def _seeded_md5(seed: int):
+        prefix = F.lit(f"{seed}:")
+
+        def fn(x):
+            return F.md5(F.concat(prefix, x))
+
+        return fn
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_md5(s)))
+            for s in range(n_hashes)
+        ]
+    )
+    return sh.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3, n_hashes: int = 16,
+                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, verified by exact
+    shingle Jaccard: (doc_a, doc_b, jaccard).
+
+    rows-per-band = n_hashes/bands; a pair collides if ANY band's hashes are
+    all equal.  Verification joins shingle sets only for colliding pairs, so
+    the quadratic blow-up is bounded by bucket sizes (at scale, skewed
+    buckets would be capped/salted — empty-text docs are dropped here since
+    their empty signature would form one giant bucket).
+    """
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("sig"), b * r + 1, r), "|")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    # self-join with explicitly renamed sides (alias-based resolution on a
+    # shared-lineage frame silently mis-binds columns)
+    a = band_rows.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("band_id").alias("band_id_a"),
+        F.col("band_hash").alias("band_hash_a"),
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id_a") == F.col("band_id_b"))
+            & (F.col("band_hash_a") == F.col("band_hash_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh = with_shingles(docs, id_col, text_col, k)
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """(id, simhash bigint) — 32-bit SimHash, fully relational.
+
+    Per distinct token t with frequency w: token hash = first 8 hex chars of
+    md5(t) -> 32 bits (4 per hex nibble).  bit_b contributes +w if set else
+    -w; final bit b of the signature is 1 iff the sum > 0.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    # nibble value of hex char c: digit -> ascii-48, a-f -> ascii-87
+    tf = tf.withColumn("h8", F.substring(F.md5("token"), 1, 8))
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    exploded = tf.select(
+        id_col, "w", "h8", F.explode(bit_ids).alias("bit")
+    )
+    # shiftright/shiftleft need expr form — the pyspark wrappers only accept
+    # literal shift amounts
+    nib_val = F.expr(
+        "CASE WHEN ascii(substring(h8, CAST(bit / 4 AS INT) + 1, 1)) >= 97 "
+        "THEN ascii(substring(h8, CAST(bit / 4 AS INT) + 1, 1)) - 87 "
+        "ELSE ascii(substring(h8, CAST(bit / 4 AS INT) + 1, 1)) - 48 END"
+    )
+    exploded = exploded.withColumn("nv", nib_val)
+    bit_set = F.expr("(shiftright(nv, 3 - CAST(bit % 4 AS INT)) % 2)")
+    contrib = F.when(bit_set == 1, F.col("w")).otherwise(-F.col("w"))
+    sums = exploded.select(id_col, "bit", contrib.alias("c")).groupBy(
+        id_col, "bit"
+    ).agg(F.sum("c").alias("s"))
+    sig = sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return sig
+
+
+def ngram_jaccard_vs_doc(docs: DataFrame, query_doc: int,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, k: int = 10) -> DataFrame:
+    """Character-n-gram Jaccard of every doc vs `query_doc`, top-k:
+    (doc_id, jaccard).  One-vs-all baseline; the all-pairs form routes
+    through minhash_lsh_pairs candidates."""
+    # substring with dynamic start needs expr form (F.substring wants literals)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 1)),"
+        f" i -> substring(lower({text_col}), i, {n})))"
+    )
+    g = docs.select(F.col(id_col), grams.alias("grams"))
+    q = g.where(F.col(id_col) == query_doc).select(
+        F.col("grams").alias("q_grams")
+    )
+    return (
+        g.where(F.col(id_col) != query_doc)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                F.size(F.array_intersect("grams", "q_grams"))
+                / F.size(F.array_union("grams", "q_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

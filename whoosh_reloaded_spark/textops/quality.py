@@ -1,0 +1,112 @@
+"""Text-quality analysis for training-data pipelines.
+
+All JVM-side column expressions (no Python in the hot path):
+
+- quality_scores: per-doc length / token / stopword / punctuation / digit
+  ratios + a composite score
+- language_id: stopword-list n-gram heuristic — score per language =
+  fraction of tokens in that language's marker list; argmax with
+  deterministic tie-break (higher score, then language name)
+- doc_fingerprint: canonical-form fingerprint (sorted distinct tokens ->
+  md5), the classic fingerprint dedup method
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.textops.dedup import _tokens
+
+# Small public marker-word lists (top function words per language).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "que", "dans"],
+    "es": ["el", "la", "los", "las", "es", "no", "una", "con", "por", "para"],
+}
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, stopword_ratio, alnum_ratio,
+    quality) — composite in [0,1]."""
+    from whoosh_reloaded_spark.analysis import STOP_WORDS
+
+    toks = _tokens(text_col)
+    stops_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops_arr, x)))
+    avg_token_len = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(0.0)
+    stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    alnum_ratio = F.when(
+        n_chars > 0, tok_chars / n_chars
+    ).otherwise(0.0)
+    # composite: reward mid-range token lengths, some stopwords, high alnum
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(stopword_ratio * F.lit(4.0), F.lit(1.0)) * 0.25
+        + alnum_ratio * 0.5
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, lang_score) — marker-word ratio argmax."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+
+    def _in_markers(markers_col):
+        def pred(x):
+            return F.array_contains(markers_col, x)
+
+        return pred
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        n_hit = F.size(F.filter(toks, _in_markers(markers)))
+        score = F.when(n_tokens > 0, n_hit / n_tokens).otherwise(0.0)
+        scores.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))
+    # argmax with tie-break = alphabetically-first language: take the max
+    # rounded score, then the min lang among entries equal to it
+    arr = F.array(*scores)
+    best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
+
+    def _is_best(bs):
+        def pred(s):
+            return s["score"] == bs
+
+        return pred
+
+    pred = F.array_min(
+        F.transform(F.filter(arr, _is_best(best_score)), lambda s: s["lang"])
+    )
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best_score.alias("lang_score"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, fingerprint) — md5 of space-joined sorted distinct tokens."""
+    toks = _tokens(text_col)
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        F.col(id_col), F.md5(canon).alias("fingerprint")
+    )
