@@ -42,6 +42,7 @@ from whoosh_reloaded_spark.analysis import StandardAnalyzer, make_tokenize_udf
 from whoosh_reloaded_spark.lengths import length_to_byte_expr
 
 DEFAULT_FIELD = "text"
+BLOCK_SIZE = 128  # postings per block (ref: codec/whoosh3.py:85)
 
 
 @dataclass
@@ -55,6 +56,7 @@ class InvertedIndex:
     stats: Optional[Dict[str, float]]  # doc_count, field_length, avg_field_length
     uid_col: str = "url"
     fieldname: str = DEFAULT_FIELD
+    blocks: Optional[DataFrame] = None  # field, term, block_no, stats (WAND)
 
     def ensure_stats(self) -> Dict[str, float]:
         """Global aggregates, computed lazily so the build pipeline runs only
@@ -192,6 +194,24 @@ def build_index(
         "field", "term", "docid", "weight", "tf", "positions", "length", "len_byte"
     )
 
+    # posting blocks of <=128 docs per term with per-block quality stats —
+    # the unit of block-max WAND skipping (ref: whoosh3.py:85 block size,
+    # :814-824 block stats; skip loop collectors.py:376-420).  The per-term
+    # window is the one skew-sensitive step of the build; Zipf-head terms
+    # are bounded post-StopFilter, and a salted two-phase ranking is the
+    # escape hatch if a term's posting list outgrows one task.
+    w_term = Window.partitionBy("term").orderBy("docid")
+    postings = postings.withColumn(
+        "block_no", ((F.row_number().over(w_term) - 1) / BLOCK_SIZE).cast("int")
+    )
+    blocks = postings.groupBy("field", "term", "block_no").agg(
+        F.count(F.lit(1)).cast("int").alias("n_postings"),
+        F.min("docid").alias("min_docid"),
+        F.max("docid").alias("max_docid"),
+        F.max("weight").alias("max_weight"),
+        F.min("len_byte").alias("min_len_byte"),
+    )
+
     term_stats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("weight").alias("total_weight"),
@@ -206,6 +226,7 @@ def build_index(
         stats=None,  # computed lazily (ensure_stats) — build stays one pass
         uid_col="uid",
         fieldname=fieldname,
+        blocks=blocks,
     )
 
 
@@ -233,6 +254,13 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
     ix.docmeta.repartitionByRange(
         max(1, term_partitions // 4), "docid"
     ).sortWithinPartitions("docid").write.mode("overwrite").parquet(f"{path}/docmeta")
+    if ix.blocks is not None:
+        (
+            ix.blocks.repartitionByRange(max(1, term_partitions // 4), "term")
+            .sortWithinPartitions("term", "block_no")
+            .write.mode("overwrite")
+            .parquet(f"{path}/blocks")
+        )
     # global stats from the WRITTEN docmeta (columnar scan of 2 columns) so
     # the build pipeline is not re-executed a second time
     written = InvertedIndex(
@@ -256,6 +284,9 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     with open(os.path.join(path, "stats.json")) as f:
         meta = json.load(f)
+    blocks = None
+    if os.path.isdir(os.path.join(path, "blocks")):
+        blocks = spark.read.parquet(f"{path}/blocks")
     return InvertedIndex(
         docmeta=spark.read.parquet(f"{path}/docmeta"),
         postings=spark.read.parquet(f"{path}/postings"),
@@ -263,4 +294,5 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         stats=meta["stats"],
         uid_col=meta["uid_col"],
         fieldname=meta["fieldname"],
+        blocks=blocks,
     )

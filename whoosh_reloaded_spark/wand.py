@@ -1,0 +1,145 @@
+"""Block-max WAND: two-phase top-k that skips low-quality posting blocks.
+
+The reference's WAND loop (collectors.py:376-420) keeps the heap's minimum
+score and calls matcher.skip_to_quality(minscore), which jumps whole
+<=128-posting blocks whose quality bound — score(block max_weight, block
+min_length), scoring.py:203-213 — cannot beat it.  Catalyst has no such
+rule, so we express the same pruning as a relational two-phase plan:
+
+  phase 0 (tiny): per-(term, block) upper bound UB = score(max_weight,
+     min_len_byte) * idf; collect per-term max bounds (|Q| floats).
+  phase 1 (seed): exactly score ONLY the best block per term -> partial
+     scores per doc -> the k-th best partial score is a valid lower bound
+     THETA of the true k-th best score (partial <= exact).
+  phase 2 (prune + rescore): a doc can only beat THETA if at least one of
+     its blocks satisfies UB(t, b) + sum(max UB of other terms) > THETA.
+     Scan only surviving blocks -> candidate docids -> rescore those docs
+     EXACTLY over all query terms -> top-k.
+
+Correctness: any doc all of whose blocks are pruned has exact score
+<= max_b [UB(t_b) + sum_{t'!=t_b} maxUB(t')] <= THETA, so it cannot displace
+the seed top-k; candidates are rescored exactly, so returned scores are
+identical to the exhaustive plan (FIXTURES.md §5 'WAND on/off parity').
+
+At 100 TB the win is phase 2's pushed-down (term, block_no) filter over the
+term-sorted parquet: head-term posting lists are mostly skipped, like the
+reference skipping blocks in the .pst file.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.lengths import byte_to_length_expr
+
+
+def wand_topk(searcher, terms: List[str], k: int = 10,
+              boosts: Optional[dict] = None) -> DataFrame:
+    """Top-k for an Or-of-terms query with block-max pruning.
+
+    Returns (docid, score) identical to the exhaustive Or plan.
+    """
+    ix = searcher.ix
+    if ix.blocks is None:
+        # no block stats — fall back to exhaustive
+        from whoosh_reloaded_spark.query import ast as Q
+
+        return searcher._eval(
+            Q.Or(tuple(Q.Term(t, boost=(boosts or {}).get(t, 1.0)) for t in terms))
+        )
+
+    terms = list(dict.fromkeys(terms))
+    searcher._lookup_stats(terms)
+    weighting = searcher.weighting
+    avgfl = searcher.avgfl
+
+    idf_pairs = []
+    for t in terms:
+        idf_pairs += [F.lit(t), F.lit(searcher._idf_cache[t])]
+    idf_col = F.element_at(F.create_map(*idf_pairs), F.col("term"))
+
+    def bound_col():
+        # quality bound: score at (max_weight, min_len_byte) — the most
+        # favorable posting a block could contain (scoring.py:203-213)
+        return weighting.score_col(
+            F.col("max_weight"),
+            F.col("min_len_byte"),
+            byte_to_length_expr(F.col("min_len_byte")),
+            idf_col,
+            avgfl,
+            ix.fieldname,
+        )
+
+    blocks = ix.blocks.where(F.col("term").isin(terms)).select(
+        "term", "block_no", bound_col().alias("ub")
+    )
+    # per-term max bound + best block (tiny collect, |Q| rows)
+    per_term = (
+        blocks.groupBy("term")
+        .agg(
+            F.max("ub").alias("max_ub"),
+            F.max_by("block_no", "ub").alias("best_block"),
+        )
+        .collect()
+    )
+    if not per_term:
+        spark = ix.postings.sparkSession
+        return spark.createDataFrame([], "docid long, score double")
+    max_ub = {r["term"]: float(r["max_ub"]) for r in per_term}
+    best_block = {r["term"]: int(r["best_block"]) for r in per_term}
+    # terms absent from the lexicon contribute nothing (NullMatcher short-
+    # circuit, terms.py:121-146)
+    terms = [t for t in terms if t in max_ub]
+    total_ub = sum(max_ub.values())
+
+    def scored(p):
+        score = weighting.score_col(
+            F.col("weight"), F.col("len_byte"), F.col("length"),
+            idf_col, avgfl, ix.fieldname,
+        )
+        if boosts:
+            bpairs = []
+            for t in terms:
+                bpairs += [F.lit(t), F.lit(float(boosts.get(t, 1.0)))]
+            score = score * F.element_at(F.create_map(*bpairs), F.col("term"))
+        return p.select("term", "docid", score.alias("score"))
+
+    # phase 1: seed THETA from the single best block of each term
+    seed_pred = None
+    for t in terms:
+        pred = (F.col("term") == t) & (F.col("block_no") == best_block[t])
+        seed_pred = pred if seed_pred is None else (seed_pred | pred)
+    seed = (
+        scored(ix.postings.where(F.col("term").isin(terms)).where(seed_pred))
+        .groupBy("docid")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.col("score").desc())
+        .limit(k)
+        .collect()
+    )
+    theta = float(seed[-1]["score"]) if len(seed) >= k else 0.0
+
+    # phase 2: blocks that could still contribute a top-k doc
+    surviving = blocks.where(
+        F.col("ub") + F.lit(total_ub) - F.element_at(
+            F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(max_ub[t]))]),
+            F.col("term"),
+        )
+        >= F.lit(theta)  # >= so equal-score (tie-broken) docs survive
+    ).select("term", "block_no")
+
+    post = ix.postings.where(F.col("term").isin(terms))
+    cand = (
+        post.join(F.broadcast(surviving), ["term", "block_no"], "left_semi")
+        .select("docid")
+        .distinct()
+    )
+    out = (
+        scored(post.join(cand, "docid", "left_semi"))
+        .groupBy("docid")
+        .agg(F.sum("score").alias("score"))
+    )
+    return out
