@@ -1,0 +1,99 @@
+"""Resumability + segment-merge invariants (FIXTURES.md §5):
+- kill-and-resume build == single-run build (identical postings)
+- merged segments == single-segment build
+- multi-segment search == single-segment search
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+from whoosh_reloaded_spark.index import build_index, load_index, save_index
+from whoosh_reloaded_spark.index.checkpoint import (
+    build_partitioned,
+    open_partitioned,
+    read_manifest,
+)
+from whoosh_reloaded_spark.index.segments import merge_segments
+from whoosh_reloaded_spark.query import Or, Searcher, Term
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(list(generate_rows(N)), PAGES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def single(spark, corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("single_ix")
+    ix = build_index(corpus)
+    save_index(ix, str(d / "ix"))
+    return load_index(spark, str(d / "ix"))
+
+
+def _postings_set(ix):
+    rows = ix.postings.select(
+        "term", "docid", "weight", "positions", "len_byte"
+    ).collect()
+    return sorted(
+        (r["term"], r["docid"], r["weight"], tuple(r["positions"]), r["len_byte"])
+        for r in rows
+    )
+
+
+def test_kill_and_resume_equals_single_run(spark, corpus, single, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume_ix"))
+    # simulate a kill after 2 of 4 slices
+    partial = build_partitioned(corpus, root, n_slices=4, max_slices=2)
+    assert len(partial) == 2
+    m = read_manifest(root)
+    assert sorted(m) == [0, 1]
+    assert all(r["status"] == "complete" for r in m.values())
+    # resume: only the remaining slices run
+    finished = build_partitioned(corpus, root, n_slices=4)
+    assert len(finished) == 4
+    multi = open_partitioned(spark, root)
+    assert _postings_set(multi) == _postings_set(single)
+    assert multi.ensure_stats() == single.ensure_stats()
+
+
+def test_manifest_metrics(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("manifest_ix"))
+    build_partitioned(corpus, root, n_slices=3)
+    m = read_manifest(root)
+    assert len(m) == 3
+    for r in m.values():
+        assert r["n_docs"] > 0 and r["n_postings"] > 0 and r["wall_sec"] > 0
+        assert r["docid_hi"] > r["docid_lo"]
+    assert sum(r["n_docs"] for r in m.values()) == N
+
+
+def test_merge_equals_single(spark, corpus, single, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("merge_ix"))
+    paths = build_partitioned(corpus, root, n_slices=3)
+    merged = merge_segments(spark, paths, root + "/merged")
+    assert _postings_set(merged) == _postings_set(single)
+    # block invariants hold post-merge
+    bad = (
+        merged.postings.join(
+            merged.blocks.select(
+                "term", "block_no", F.col("max_weight").alias("bmax")
+            ),
+            ["term", "block_no"],
+        )
+        .where(F.col("weight") > F.col("bmax"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_multisegment_search_matches(spark, corpus, single, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msearch_ix"))
+    build_partitioned(corpus, root, n_slices=4)
+    multi = open_partitioned(spark, root)
+    q = Or((Term("render"), Term("yellow"), Term("alpha")))
+    a = Searcher(single).search_list(q, 10)
+    b = Searcher(multi).search_list(q, 10)
+    assert a == b
