@@ -45,11 +45,23 @@ def make_spark(cpus: int):
 
 
 def run_build(spark, sf_dir: str, out_dir: str):
-    """The index-build job: read corpus parquet -> full index -> parquet."""
+    """The index-build job: read corpus parquet -> full index -> parquet.
+
+    $SPARK_GRAFT_BUILD_INPUT overrides the input with a pages-shaped parquet
+    (url/text columns) — used by the scaling bench for a larger corpus.
+    """
     from pyspark.sql import functions as F
 
     from whoosh_reloaded_spark.index import build_index, save_index
 
+    alt = os.environ.get("SPARK_GRAFT_BUILD_INPUT")
+    if alt:
+        corpus = spark.read.parquet(alt)
+        n_docs = corpus.count()
+        t0 = time.perf_counter()
+        ix = build_index(corpus, uid_col="url", text_col="text")
+        save_index(ix, out_dir)
+        return n_docs, time.perf_counter() - t0
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.withColumn("docid", F.col("doc_id"))
     n_docs = docs.count()
@@ -136,24 +148,44 @@ def main():
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def scaling():
-    """Evidence for the two-cluster-size criterion: same job, N vs 4N cores."""
+def scaling(n_docs: int = 100_000):
+    """Evidence for the two-cluster-size criterion: the SAME build job on
+    identical parquet input at N=8 vs 4N=32 cores (this sandbox has no real
+    cluster; BASELINE.md records the local[N] substitution)."""
+    corpus_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_CORPUS", f"/tmp/wrs_scaling_corpus_{n_docs}"
+    )
+    if not os.path.isdir(corpus_dir):
+        spark = make_spark(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        from whoosh_reloaded_spark.corpus import pages_df_dist
+
+        pages_df_dist(spark, n_docs, 64).write.mode("overwrite").parquet(corpus_dir)
+        spark.stop()
+
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
-        env["SPARK_GRAFT_MODE"] = "buildonly"
+        env["SPARK_GRAFT_BUILD_INPUT"] = corpus_dir
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--buildonly"],
-            env=env, capture_output=True, text=True, timeout=1800,
+            env=env, capture_output=True, text=True, timeout=3600,
         )
-        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            print(p.stdout[-2000:], file=sys.stderr)
+            print(p.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"buildonly at {cpus} cores produced no result")
+        results[cpus] = json.loads(lines[-1])
     r8, r32 = results[8], results[32]
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
     print(json.dumps({
         "metric": "scaling_efficiency_N_vs_4N",
+        "docs": n_docs,
         "n_cores": 8, "n4_cores": 32,
+        "build_sec_n": r8["build_sec"],
+        "build_sec_4n": r32["build_sec"],
         "docs_per_sec_n": r8["docs_per_sec"],
         "docs_per_sec_4n": r32["docs_per_sec"],
         "efficiency": round(eff, 3),

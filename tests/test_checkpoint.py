@@ -75,13 +75,20 @@ def test_merge_equals_single(spark, corpus, single, tmp_path_factory):
     paths = build_partitioned(corpus, root, n_slices=3)
     merged = merge_segments(spark, paths, root + "/merged")
     assert _postings_set(merged) == _postings_set(single)
-    # block invariants hold post-merge
+    # block invariants hold post-merge (range-containment membership)
+    b = merged.blocks.select(
+        F.col("term").alias("b_term"),
+        F.col("min_docid").alias("b_lo"),
+        F.col("max_docid").alias("b_hi"),
+        F.col("max_weight").alias("bmax"),
+    )
+    p = merged.postings
     bad = (
-        merged.postings.join(
-            merged.blocks.select(
-                "term", "block_no", F.col("max_weight").alias("bmax")
-            ),
-            ["term", "block_no"],
+        p.join(
+            b,
+            (p["term"] == b["b_term"])
+            & (p["docid"] >= b["b_lo"])
+            & (p["docid"] <= b["b_hi"]),
         )
         .where(F.col("weight") > F.col("bmax"))
         .count()

@@ -1,0 +1,211 @@
+"""Golden parity for the extras: alternative weightings, spelling suggest,
+key terms / more-like-this, facets."""
+
+import pytest
+
+from tests.conftest import reference_importable
+from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+from whoosh_reloaded_spark.index import build_index
+from whoosh_reloaded_spark.query import Or, Searcher, Term
+
+pytestmark = pytest.mark.skipif(
+    not reference_importable(), reason="reference not importable"
+)
+
+N = 250
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return list(generate_rows(N))
+
+
+@pytest.fixture(scope="module")
+def whoosh_ix(rows, tmp_path_factory):
+    from whoosh import fields, index
+
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True), text=fields.TEXT
+    )
+    d = tmp_path_factory.mktemp("whoosh_extras")
+    ix = index.create_in(str(d), schema)
+    w = ix.writer()
+    for url, ts, html, text, lang in rows:
+        w.add_document(url=url, text=text)
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def our_ix(spark, rows):
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    return build_index(df).persist()
+
+
+def _assert_same(ours, theirs, name):
+    assert [u for u, _ in ours] == [u for u, _ in theirs], name
+    for (u1, s1), (u2, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), (name, u1)
+
+
+def test_dfree_formula(our_ix):
+    """The reference's DFreeScorer crashes (calls the nonexistent
+    Searcher.weight, scoring.py:378), so DFree is verified against a direct
+    evaluation of the published Terrier formula over the index stats."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import whoosh_reloaded_spark.scoring as ss
+
+    s = Searcher(our_ix, ss.DFree())
+    got = {d: sc for d, _, sc in s.search_list(Term("render"), 10)}
+    stats = our_ix.ensure_stats()
+    FL = stats["field_length"]
+    cf = float(
+        our_ix.term_stats.where(F.col("term") == "render").collect()[0]["total_weight"]
+    )
+    rows = our_ix.postings.where(F.col("term") == "render").collect()
+    from whoosh_reloaded_spark.lengths import byte_to_length
+
+    expected = {}
+    for r in rows:
+        tf, dl = float(r["weight"]), float(byte_to_length(r["len_byte"]))
+        prior, post = tf / dl, (tf + 1.0) / (dl + 1.0)
+        invpriorcol = FL / cf
+        norm = tf * math.log(post / prior)
+        expected[r["docid"]] = norm * (
+            tf * math.log(prior * invpriorcol)
+            + (tf + 1.0) * math.log(post * invpriorcol)
+            + 0.5 * math.log(post / prior)
+        )
+    for d, sc in got.items():
+        assert sc == pytest.approx(expected[d], rel=1e-9), d
+
+
+@pytest.mark.parametrize("model", ["tfidf", "frequency", "pl2"])
+def test_weighting_parity(model, whoosh_ix, our_ix):
+    from whoosh import scoring as ws
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    import whoosh_reloaded_spark.scoring as ss
+
+    pairs = {
+        "tfidf": (ss.TF_IDF(), ws.TF_IDF()),
+        "frequency": (ss.Frequency(), ws.Frequency()),
+        "pl2": (ss.PL2(), ws.PL2()),
+    }
+    ours_w, whoosh_w = pairs[model]
+    s = Searcher(our_ix, ours_w)
+    ours = [
+        (uid, score)
+        for _, uid, score in s.search_list(Or((Term("render"), Term("yellow"))), 10)
+    ]
+    WOr.matcher_type = WOr.DEFAULT_MATCHER
+    with whoosh_ix.searcher(weighting=whoosh_w) as ws_:
+        theirs = [
+            (h["url"], h.score)
+            for h in ws_.search(WOr([WT("text", "render"), WT("text", "yellow")]), limit=10)
+        ]
+    _assert_same(ours, theirs, model)
+
+
+def test_spelling_suggest_parity(whoosh_ix, our_ix):
+    from whoosh_reloaded_spark.spelling import suggest
+
+    s = Searcher(our_ix)
+    with whoosh_ix.searcher() as ws_:
+        corrector = ws_.corrector("text")
+        for word, prefix in [("rendar", 1), ("yelow", 1), ("alpah", 0), ("spakr", 2)]:
+            theirs = corrector.suggest(word, limit=5, maxdist=2, prefix=prefix)
+            ours = suggest(s, word, limit=5, maxdist=2, prefix=prefix)
+            assert ours == theirs, word
+
+
+def test_key_terms_parity(rows, our_ix, tmp_path_factory):
+    from whoosh import fields, index
+
+    from whoosh_reloaded_spark.classify import Bo1Model, key_terms
+
+    # key_terms needs term vectors in the reference; build a vectored index
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True),
+        text=fields.TEXT(vector=True),
+    )
+    d = tmp_path_factory.mktemp("whoosh_vec")
+    wix = index.create_in(str(d), schema)
+    w = wix.writer()
+    for url, ts, html, text, lang in rows:
+        w.add_document(url=url, text=text)
+    w.commit()
+
+    s = Searcher(our_ix)
+    docnums = [0, 3, 4]
+    with wix.searcher() as ws_:
+        theirs = list(ws_.key_terms(docnums, "text", numterms=5))
+    ours = key_terms(s, docnums, numterms=5, model=Bo1Model)
+    assert [t for t, _ in ours] == [t for t, _ in theirs]
+    for (t1, s1), (t2, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), t1
+
+
+def test_more_like_returns_similar(our_ix):
+    from whoosh_reloaded_spark.classify import more_like
+
+    s = Searcher(our_ix)
+    # fixture doc 7 is "alfa alfa alfa alfa alfa" — its neighbors are the
+    # other graded-tf alfa docs
+    out = more_like(s, 7, numterms=3, limit=5).collect()
+    assert out, "no similar docs"
+    assert all(r["docid"] != 7 for r in out)
+    assert any("results/tf" in r["uid"] for r in out)
+
+
+def test_facets(spark, our_ix):
+    from pyspark.sql import functions as F
+
+    from whoosh_reloaded_spark.facets import (
+        best_per_group,
+        collapse,
+        group_counts,
+        grouped_docs,
+        range_facet,
+        sort_by,
+    )
+
+    s = Searcher(our_ix)
+    hits = s._eval(Or((Term("render"), Term("yellow"), Term("alpha"))))
+    meta = our_ix.docmeta
+
+    counts = {r["lang_key"]: r["n_docs"] for r in group_counts(
+        hits, meta.withColumn("lang_key", F.substring("uid", 9, 1)), ["lang_key"]
+    ).collect()}
+    assert sum(counts.values()) == hits.count()
+
+    g = grouped_docs(hits, meta.withColumn("k", F.col("docid") % 2), ["k"]).collect()
+    assert len(g) == 2
+
+    top1 = best_per_group(hits, meta.withColumn("k", F.col("docid") % 3), ["k"])
+    assert top1.count() <= 3
+
+    c = collapse(hits, meta.withColumn("k", F.col("docid") % 5), "k", 2)
+    assert c.groupBy("k").count().agg(F.max("count")).collect()[0][0] <= 2
+
+    rf = range_facet(hits, meta, "length", 0, 300, 50)
+    assert rf.agg(F.sum("n_docs")).collect()[0][0] <= hits.count()
+
+    sb = sort_by(hits, meta, ["length"], limit=5).collect()
+    assert len(sb) == 5
+    assert [r["length"] for r in sb] == sorted(r["length"] for r in sb)
+
+
+def test_highlight():
+    from whoosh_reloaded_spark.highlight import highlight
+
+    text = "The quick brown fox jumps over the lazy dog while another fox watches"
+    out = highlight(text, ["fox", "dog"], before=10, after=10)
+    assert "<b>fox</b>" in out and "<b>dog</b>" in out
+    assert highlight(text, ["zebra"]) == ""
+    # case-insensitive matching through the analyzer regex
+    assert "<b>Fox</b>" in highlight("A Fox ran.", ["fox"], before=5, after=5)

@@ -57,14 +57,22 @@ def test_wand_prunes_blocks(searcher):
 
 
 def test_blocks_stats_consistent(searcher):
-    """Block stats must dominate their postings (max/min really bound)."""
+    """Block stats must dominate their postings (max/min really bound);
+    membership is (term, docid range) containment."""
     ix = searcher.ix
-    joined = ix.postings.join(
-        ix.blocks.select("term", "block_no",
-                         F.col("max_weight").alias("bmax"),
-                         F.col("min_len_byte").alias("bmin"),
-                         "n_postings"),
-        ["term", "block_no"],
+    b = ix.blocks.select(
+        F.col("term").alias("b_term"),
+        F.col("min_docid").alias("b_lo"),
+        F.col("max_docid").alias("b_hi"),
+        F.col("max_weight").alias("bmax"),
+        F.col("min_len_byte").alias("bmin"),
+    )
+    p = ix.postings
+    joined = p.join(
+        b,
+        (p["term"] == b["b_term"])
+        & (p["docid"] >= b["b_lo"])
+        & (p["docid"] <= b["b_hi"]),
     )
     bad = joined.where(
         (F.col("weight") > F.col("bmax")) | (F.col("len_byte") < F.col("bmin"))
@@ -72,3 +80,6 @@ def test_blocks_stats_consistent(searcher):
     assert bad == 0
     toolarge = ix.blocks.where(F.col("n_postings") > 128).count()
     assert toolarge == 0
+    # every posting belongs to exactly one block of its term
+    n_covered = joined.count()
+    assert n_covered == p.count()

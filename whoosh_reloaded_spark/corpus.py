@@ -153,6 +153,40 @@ def pages_df(spark: SparkSession, n_docs: int, seed: int = 42,
     return df
 
 
+def pages_df_dist(spark: SparkSession, n_docs: int, num_partitions: int = 32,
+                  seed: int = 42) -> DataFrame:
+    """Distributed deterministic generation: partition p re-seeds
+    Random((seed, p)) and generates its own slice — O(n/parts) per task, no
+    cross-partition stream dependency.  Deterministic for a fixed
+    (n_docs, num_partitions, seed); used for bench-scale corpora."""
+    import datetime as dt
+    import random as _random
+
+    step = (n_docs + num_partitions - 1) // num_partitions
+    vocab = _vocab()
+    nv = len(vocab)
+    weights = [1.0 / (r + 10.0) for r in range(nv)]
+
+    def gen_part(p):
+        lo, hi = p * step, min(n_docs, (p + 1) * step)
+        rng = _random.Random(seed * 1_000_003 + p)
+        base_ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        for i in range(lo, hi):
+            url = f"https://example{i:08d}.test/page/{i % 97}"
+            ln = rng.randint(8, 220)
+            text = " ".join(rng.choices(vocab, weights=weights, k=ln))
+            yield (
+                url,
+                base_ts + dt.timedelta(seconds=17 * i),
+                b"<html><body>" + text.encode() + b"</body></html>",
+                text,
+                "en",
+            )
+
+    rdd = spark.sparkContext.parallelize(range(num_partitions), num_partitions)
+    return spark.createDataFrame(rdd.flatMap(gen_part), PAGES_SCHEMA)
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's ``documents`` parquet to the pages input shape.
 

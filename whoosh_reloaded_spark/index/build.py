@@ -2,19 +2,19 @@
 
 The reference's build path (writer.add_document -> PostingPool external sort
 -> W3FieldWriter posting blocks; src/whoosh/writing.py:748-822,
-codec/whoosh3.py:301-373) is re-expressed as ONE declarative Spark job:
+codec/whoosh3.py:301-373) is re-expressed as ONE declarative Spark pipeline:
 
-    corpus --assign docids--> tokenize (pandas UDF) --explode-->
-    groupBy(docid, term).agg(tf, positions) --> postings
-    postings.groupBy(docid).sum(tf) --> field lengths (byte-quantized)
-    postings.groupBy(field, term).agg(...) --> term_stats
-    global aggregates --> stats
+    corpus --assign docids--> analyze+invert per doc (ONE pandas-UDF pass:
+    tokenize, group, position-sort in Python — no engine-level groupBy
+    shuffle) --explode--> posting rows --term-range shuffle--> written
+    postings; docmeta / term_stats / blocks / global stats derive from the
+    WRITTEN columnar postings (cheap re-reads).
 
-Spark's shuffle replaces the reference's PostingPool external merge sort
-(externalsort.py:85-223); a Parquet/Iceberg snapshot commit replaces the TOC
-generation file (index.py:576).  Segments are directories of term-range
-sorted parquet; merging segments is a `unionByName` + re-aggregation
-(see segments.py), mirroring writing.py:730-746 add_reader.
+The single term-range shuffle replaces the reference's PostingPool external
+merge sort (externalsort.py:85-223); a Parquet/Iceberg snapshot commit
+replaces the TOC generation file (index.py:576).  Segments are directories
+of term-range sorted parquet; merging segments is a `unionByName` +
+re-aggregation (see segments.py), mirroring writing.py:730-746 add_reader.
 
 Scale notes (100 TB design):
 - docid assignment is the only global ordering step; it is done with a
@@ -57,6 +57,7 @@ class InvertedIndex:
     uid_col: str = "url"
     fieldname: str = DEFAULT_FIELD
     blocks: Optional[DataFrame] = None  # field, term, block_no, stats (WAND)
+    docs_raw: Optional[DataFrame] = None  # docid, uid [, stored] — no UDF lineage
 
     def ensure_stats(self) -> Dict[str, float]:
         """Global aggregates, computed lazily so the build pipeline runs only
@@ -149,67 +150,45 @@ def build_index(
     Posting weight = tf * field_boost (token boost 1.0 — the reference's
     Frequency/Positions formats sum per-token boosts, formats.py:190-236).
     """
-    tokenize = make_tokenize_udf(analyzer)
-    docs = corpus if with_docids else assign_docids(corpus, uid_col, num_partitions)
+    from whoosh_reloaded_spark.analysis import make_invert_udf
 
-    toks = docs.select(
+    invert = make_invert_udf(analyzer)
+    keep_cols = [uid_col, text_col] + list(stored_cols or [])
+    if with_docids:
+        docs = corpus.select("docid", *keep_cols)
+    else:
+        docs = assign_docids(corpus.select(*keep_cols), uid_col, num_partitions)
+
+    # analyze + invert per doc in ONE pandas-UDF pass: no groupBy shuffle —
+    # posting rows explode out of the UDF already grouped and position-sorted
+    inv = docs.select(
+        "docid", *[c for c in keep_cols if c != text_col],
+        invert(F.col(text_col)).alias("_inv"),
+    )
+    meta_cols = [c for c in keep_cols if c != text_col and c != uid_col]
+    docmeta = inv.select(
         "docid",
-        F.explode(tokenize(F.col(text_col))).alias("tok"),
-    )
+        F.col(uid_col).alias("uid"),
+        *meta_cols,
+        F.col("_inv.length").alias("length"),
+    ).withColumn("len_byte", length_to_byte_expr("length"))
+
     postings = (
-        toks.groupBy("docid", F.col("tok.term").alias("term"))
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.sort_array(F.collect_list("tok.pos")).alias("positions"),
+        inv.select(
+            "docid",
+            F.col("_inv.length").alias("length"),
+            F.explode(F.col("_inv.postings")).alias("p"),
         )
-        .withColumn("weight", (F.col("tf") * F.lit(field_boost)).cast("double"))
-        .withColumn("field", F.lit(fieldname))
-    )
-    if cache_intermediate:
-        # postings feed three outputs (postings, docmeta lengths, term_stats);
-        # persisting here makes tokenization run exactly once.  MEMORY_AND_DISK
-        # spills gracefully; a 100-TB production build would checkpoint this
-        # stage to a scratch table instead.
-        from pyspark import StorageLevel
-
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # field length per doc = number of surviving tokens (= sum tf); quantized
-    # to one byte exactly like codec/whoosh3.py:234-242 stores it.
-    doclen = postings.groupBy("docid").agg(F.sum("tf").alias("length"))
-    meta_cols = ["docid", uid_col] + list(stored_cols or [])
-    docmeta = (
-        docs.select(*meta_cols)
-        .join(doclen, "docid", "left")
-        .na.fill({"length": 0})
-        .withColumn("len_byte", length_to_byte_expr("length"))
-        .withColumnRenamed(uid_col, "uid")
-    )
-
-    # attach len_byte to postings (scoring needs it next to the weight; this
-    # is a docid-copartitioned join right after the docid-keyed aggregation)
-    postings = postings.join(
-        docmeta.select("docid", "length", "len_byte"), "docid"
-    ).select(
-        "field", "term", "docid", "weight", "tf", "positions", "length", "len_byte"
-    )
-
-    # posting blocks of <=128 docs per term with per-block quality stats —
-    # the unit of block-max WAND skipping (ref: whoosh3.py:85 block size,
-    # :814-824 block stats; skip loop collectors.py:376-420).  The per-term
-    # window is the one skew-sensitive step of the build; Zipf-head terms
-    # are bounded post-StopFilter, and a salted two-phase ranking is the
-    # escape hatch if a term's posting list outgrows one task.
-    w_term = Window.partitionBy("term").orderBy("docid")
-    postings = postings.withColumn(
-        "block_no", ((F.row_number().over(w_term) - 1) / BLOCK_SIZE).cast("int")
-    )
-    blocks = postings.groupBy("field", "term", "block_no").agg(
-        F.count(F.lit(1)).cast("int").alias("n_postings"),
-        F.min("docid").alias("min_docid"),
-        F.max("docid").alias("max_docid"),
-        F.max("weight").alias("max_weight"),
-        F.min("len_byte").alias("min_len_byte"),
+        .select(
+            F.lit(fieldname).alias("field"),
+            F.col("p.term").alias("term"),
+            "docid",
+            (F.col("p.tf") * F.lit(field_boost)).cast("double").alias("weight"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.positions").alias("positions"),
+            "length",
+            length_to_byte_expr("length").alias("len_byte"),
+        )
     )
 
     term_stats = postings.groupBy("field", "term").agg(
@@ -219,6 +198,9 @@ def build_index(
         F.min("len_byte").alias("min_len_byte"),
     )
 
+    docs_raw = docs.select(
+        "docid", F.col(uid_col).alias("uid"), *meta_cols
+    )
     return InvertedIndex(
         docmeta=docmeta,
         postings=postings,
@@ -226,15 +208,41 @@ def build_index(
         stats=None,  # computed lazily (ensure_stats) — build stays one pass
         uid_col="uid",
         fieldname=fieldname,
-        blocks=blocks,
+        blocks=compute_blocks(postings),
+        docs_raw=docs_raw,
+    )
+
+
+def compute_blocks(postings: DataFrame) -> DataFrame:
+    """<=128-posting blocks per term with quality stats — the unit of
+    block-max WAND skipping (ref: whoosh3.py:85 block size, :814-824 block
+    stats).  Blocks are identified by their docid range, so posting rows
+    need no stored block id; WAND joins on (term, docid BETWEEN lo AND hi).
+    The per-term window is the one skew-sensitive step; it runs over the
+    written columnar postings (cheap re-read), and a salted two-phase
+    ranking is the escape hatch for a term outgrowing one task."""
+    w_term = Window.partitionBy("term").orderBy("docid")
+    withno = postings.withColumn(
+        "block_no", ((F.row_number().over(w_term) - 1) / BLOCK_SIZE).cast("int")
+    )
+    return withno.groupBy("field", "term", "block_no").agg(
+        F.count(F.lit(1)).cast("int").alias("n_postings"),
+        F.min("docid").alias("min_docid"),
+        F.max("docid").alias("max_docid"),
+        F.max("weight").alias("max_weight"),
+        F.min("len_byte").alias("min_len_byte"),
     )
 
 
 def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
     """Write the index as term-sorted parquet (segment commit ≙ TOC write).
 
-    Postings and term_stats are range-partitioned and sorted by (term, docid)
-    so parquet column stats give term-range data skipping at query time.
+    ONE heavy pipeline: the analyze+invert UDF pass streams straight into the
+    term-range-partitioned postings write (a single shuffle).  Every other
+    table — docmeta, term_stats, blocks, global stats — derives from the
+    WRITTEN columnar postings (cheap re-reads), so tokenization runs exactly
+    once per save.  Postings sorted by (term, docid): parquet min/max stats
+    give term-dictionary data skipping at query time.
     """
     spark = ix.postings.sparkSession
     if term_partitions <= 0:
@@ -245,29 +253,49 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
+    wp = spark.read.parquet(f"{path}/postings")
+
+    term_stats = wp.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("weight").alias("total_weight"),
+        F.max("weight").alias("max_weight"),
+        F.min("len_byte").alias("min_len_byte"),
+    )
     (
-        ix.term_stats.repartitionByRange(max(1, term_partitions // 4), "term")
+        term_stats.repartitionByRange(max(1, term_partitions // 4), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{path}/term_stats")
     )
-    ix.docmeta.repartitionByRange(
+
+    if ix.docs_raw is not None:
+        # docmeta without re-running the UDF: uid/stored from the raw doc
+        # frame, lengths from the written postings (0 for token-less docs)
+        doclen = wp.groupBy("docid").agg(F.max("length").alias("length"))
+        docmeta = (
+            ix.docs_raw.join(doclen, "docid", "left")
+            .na.fill({"length": 0})
+            .withColumn("len_byte", length_to_byte_expr("length"))
+        )
+    else:
+        docmeta = ix.docmeta
+    docmeta.repartitionByRange(
         max(1, term_partitions // 4), "docid"
     ).sortWithinPartitions("docid").write.mode("overwrite").parquet(f"{path}/docmeta")
-    if ix.blocks is not None:
-        (
-            ix.blocks.repartitionByRange(max(1, term_partitions // 4), "term")
-            .sortWithinPartitions("term", "block_no")
-            .write.mode("overwrite")
-            .parquet(f"{path}/blocks")
-        )
-    # global stats from the WRITTEN docmeta (columnar scan of 2 columns) so
-    # the build pipeline is not re-executed a second time
+
+    blocks = compute_blocks(wp)
+    (
+        blocks.repartitionByRange(max(1, term_partitions // 4), "term")
+        .sortWithinPartitions("term", "block_no")
+        .write.mode("overwrite")
+        .parquet(f"{path}/blocks")
+    )
+    # global stats from the WRITTEN docmeta (columnar scan of 2 columns)
     written = InvertedIndex(
         docmeta=spark.read.parquet(f"{path}/docmeta"),
-        postings=ix.postings,
-        term_stats=ix.term_stats,
-        stats=ix.stats,
+        postings=wp,
+        term_stats=term_stats,
+        stats=None,
         uid_col=ix.uid_col,
         fieldname=ix.fieldname,
     )

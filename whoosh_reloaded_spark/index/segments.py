@@ -90,28 +90,18 @@ def merge_segments(spark: SparkSession, seg_paths: List[str], out_path: str,
 
     Blocks are rebuilt over the merged doc order so WAND bounds stay tight.
     """
-    from pyspark.sql import Window
-
     merged = load_multi(spark, seg_paths)
-    w_term = Window.partitionBy("term").orderBy("docid")
-    postings = merged.postings.drop("block_no").withColumn(
-        "block_no", ((F.row_number().over(w_term) - 1) / BLOCK_SIZE).cast("int")
-    )
-    blocks = postings.groupBy("field", "term", "block_no").agg(
-        F.count(F.lit(1)).cast("int").alias("n_postings"),
-        F.min("docid").alias("min_docid"),
-        F.max("docid").alias("max_docid"),
-        F.max("weight").alias("max_weight"),
-        F.min("len_byte").alias("min_len_byte"),
-    )
     out = InvertedIndex(
         docmeta=merged.docmeta,
-        postings=postings,
+        postings=merged.postings,
         term_stats=merged.term_stats,
         stats=merged.stats,
         uid_col=merged.uid_col,
         fieldname=merged.fieldname,
-        blocks=blocks,
+        # save_index recomputes blocks from the re-written postings, so the
+        # merged index gets tight bounds over the merged doc order for free
+        blocks=None,
+        docs_raw=merged.docmeta.drop("length", "len_byte"),
     )
     save_index(out, out_path, term_partitions)
     return load_index(spark, out_path)

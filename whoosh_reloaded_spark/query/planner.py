@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from whoosh_reloaded_spark.index.build import InvertedIndex
 from whoosh_reloaded_spark.query import ast as Q
-from whoosh_reloaded_spark.scoring import BM25F, idf_value
+from whoosh_reloaded_spark.scoring import (
+    BM25F,
+    ScoreContext,
+    WeightingModel,
+    idf_value,
+)
 
 TOO_MANY_CLAUSES = 1024  # compound.py:282 heuristic bound for expansions
 
@@ -93,14 +98,16 @@ def glob_literal_prefix(pat: str) -> str:
 class Searcher:
     """Plans and executes queries against an :class:`InvertedIndex`."""
 
-    def __init__(self, ix: InvertedIndex, weighting: Optional[BM25F] = None):
+    def __init__(self, ix: InvertedIndex, weighting: Optional[WeightingModel] = None):
         self.ix = ix
         self.weighting = weighting or BM25F()
         stats = ix.ensure_stats()
         self.N = int(stats["doc_count"])
         self.avgfl = float(stats["avg_field_length"]) or 1.0
+        self.field_length = int(stats["field_length"])
         self._idf_cache: Dict[str, float] = {}
         self._df_cache: Dict[str, int] = {}
+        self._cf_cache: Dict[str, float] = {}
 
     # -- statistics ----------------------------------------------------------
 
@@ -110,14 +117,37 @@ class Searcher:
             return
         rows = (
             self.ix.term_stats.where(F.col("term").isin(missing))
-            .select("term", "df")
+            .select("term", "df", "total_weight")
             .collect()
         )
-        found = {r["term"]: int(r["df"]) for r in rows}
+        found = {r["term"]: (int(r["df"]), float(r["total_weight"])) for r in rows}
         for t in missing:
-            df = found.get(t, 0)
+            df, cf = found.get(t, (0, 0.0))
             self._df_cache[t] = df
+            self._cf_cache[t] = cf
             self._idf_cache[t] = idf_value(self.N, df)
+
+    def score_context(
+        self, terms: Sequence[str],
+        weight=None, len_byte=None, length=None,
+    ) -> ScoreContext:
+        """Build a ScoreContext for `terms` with idf/cf literal maps."""
+        self._lookup_stats(terms)
+        idf_pairs, cf_pairs = [], []
+        for t in terms:
+            idf_pairs += [F.lit(t), F.lit(self._idf_cache[t])]
+            cf_pairs += [F.lit(t), F.lit(self._cf_cache[t])]
+        return ScoreContext(
+            weight=weight if weight is not None else F.col("weight"),
+            len_byte=len_byte if len_byte is not None else F.col("len_byte"),
+            length=length if length is not None else F.col("length"),
+            idf=F.element_at(F.create_map(*idf_pairs), F.col("term")),
+            cf=F.element_at(F.create_map(*cf_pairs), F.col("term")),
+            N=self.N,
+            avgfl=self.avgfl,
+            field_length=self.field_length,
+            fieldname=self.ix.fieldname,
+        )
 
     # -- leaf evaluation -----------------------------------------------------
 
@@ -132,21 +162,14 @@ class Searcher:
         lookup).  idf constants are embedded as a literal map.
         """
         terms = [t for t in dict.fromkeys(terms)]
-        self._lookup_stats(terms)
+        ctx = self.score_context(terms)
         p = self.ix.postings.where(F.col("term").isin(list(terms)))
-        idf_pairs = []
-        for t in terms:
-            idf_pairs += [F.lit(t), F.lit(self._idf_cache[t])]
-        idf_col = F.element_at(F.create_map(*idf_pairs), F.col("term"))
         if raw_weight:
             # constant-score context (weighting=None -> WeightScorer,
             # scoring.py:134-158): score = stored weight
             score = F.col("weight")
         else:
-            score = self.weighting.score_col(
-                F.col("weight"), F.col("len_byte"), F.col("length"),
-                idf_col, self.avgfl, self.ix.fieldname,
-            )
+            score = self.weighting.score_col(ctx)
         if boosts:
             bpairs = []
             for t in terms:

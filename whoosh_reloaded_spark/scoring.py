@@ -3,26 +3,27 @@
 The reference's WeightingModel/Scorer protocol (src/whoosh/scoring.py) pulls a
 score per posting from a Python iterator; here every model is a factory that
 returns a single Column expression evaluated inside whole-stage codegen over
-the (query-term × posting) frame — no per-row Python.
+the (query-term x posting) frame — no per-row Python.
 
 Replicated formulas (behavior parity, re-derived from the published BM25/DFR
-literature and verified against the reference's tests):
+literature and verified against the reference's searcher):
 
-- idf = log(N / (df + 1)) + 1                    (ref scoring.py:51-57)
+- idf = log(N / (df + 1)) + 1                      (ref scoring.py:51-57)
 - BM25: idf * (w*(K1+1)) / (w + K1*((1-B) + B*fl/avgfl))
-                                                 (ref scoring.py:264-271)
+                                                   (ref scoring.py:264-271)
   with B=0.75, K1=1.2 defaults (scoring.py:277), fl = BYTE-DECODED doc field
   length (lossy quantization — lengths.py), avgfl = exact total/doccount
   (searching.py:277-280).
-- TF_IDF: w * idf                                (ref scoring.py:459-484)
-- Frequency: w                                   (ref scoring.py:453-456)
+- TF_IDF: w * idf                                  (ref scoring.py:459-484)
+- Frequency: w                                     (ref scoring.py:453-456)
+- DFree / PL2: the Terrier DFR formulas            (ref scoring.py:335-447)
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Dict
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -36,45 +37,129 @@ def idf_value(doc_count: int, df: int) -> float:
 
 
 @dataclass
-class BM25F:
-    """Default weighting (ref scoring.py:274-329). ``quantized=False`` scores
-    with exact lengths — used for SQL-oracle cross-checks, NOT for
-    whoosh-parity (which requires the byte-decoded lengths)."""
+class ScoreContext:
+    """Everything a weighting model may consume, as Columns + scalars.
+
+    Column inputs come from the posting frame; per-term statistics (idf, cf)
+    are embedded as literal maps keyed by the term column — the reference
+    caches the same stats per searcher (searching.py:334-351)."""
+
+    weight: Column          # posting weight (tf * boosts)
+    len_byte: Column        # quantized field length byte
+    length: Column          # exact field length
+    idf: Column             # per-term idf literal map lookup
+    cf: Optional[Column]    # per-term collection frequency (total weight)
+    N: int                  # doc_count_all
+    avgfl: float            # exact average field length
+    field_length: int       # total field length (collection)
+    fieldname: str = "text"
+
+    def fl(self, quantized: bool) -> Column:
+        """Effective per-doc length: byte-decoded in parity mode (the
+        reference scores with the lossy decoded value), exact otherwise."""
+        return (
+            byte_to_length_expr(self.len_byte)
+            if quantized
+            else self.length.cast("double")
+        )
+
+
+class WeightingModel:
+    quantized: bool = True
+
+    def score_col(self, ctx: ScoreContext) -> Column:
+        raise NotImplementedError
+
+
+@dataclass
+class BM25F(WeightingModel):
+    """Default weighting (ref scoring.py:274-329).  ``quantized=False``
+    scores with exact lengths — used for SQL-oracle cross-checks, NOT for
+    whoosh-parity (which requires byte-decoded lengths)."""
 
     B: float = 0.75
     K1: float = 1.2
     quantized: bool = True
-    field_B: Dict[str, float] = None  # per-field B overrides (<field>_B)
+    field_B: Dict[str, float] = dc_field(default_factory=dict)
 
-    def score_col(
-        self,
-        weight: Column,
-        len_byte: Column,
-        length: Column,
-        idf: Column,
-        avgfl: float,
-        fieldname: str = "text",
-    ) -> Column:
-        B = (self.field_B or {}).get(fieldname, self.B)
+    def score_col(self, ctx: ScoreContext) -> Column:
+        B = self.field_B.get(ctx.fieldname, self.B)
         K1 = self.K1
-        fl = byte_to_length_expr(len_byte) if self.quantized else length.cast("double")
-        w = weight
-        return idf * (
-            (w * (K1 + 1.0)) / (w + K1 * ((1.0 - B) + B * fl / F.lit(avgfl)))
+        w = ctx.weight
+        fl = ctx.fl(self.quantized)
+        return ctx.idf * (
+            (w * (K1 + 1.0)) / (w + K1 * ((1.0 - B) + B * fl / F.lit(ctx.avgfl)))
         )
 
 
 @dataclass
-class TF_IDF:
-    quantized: bool = True  # unused; uniform interface
+class TF_IDF(WeightingModel):
+    quantized: bool = True
 
-    def score_col(self, weight, len_byte, length, idf, avgfl, fieldname="text"):
-        return weight * idf
+    def score_col(self, ctx: ScoreContext) -> Column:
+        return ctx.weight * ctx.idf
 
 
 @dataclass
-class Frequency:
+class Frequency(WeightingModel):
     quantized: bool = True
 
-    def score_col(self, weight, len_byte, length, idf, avgfl, fieldname="text"):
-        return weight.cast("double")
+    def score_col(self, ctx: ScoreContext) -> Column:
+        return ctx.weight.cast("double")
+
+
+@dataclass
+class DFree(WeightingModel):
+    """Terrier DFree (ref scoring.py:335-371): divergence-from-randomness.
+
+    cf = collection term weight, fl(collection) = total field length."""
+
+    quantized: bool = True
+    qf: float = 1.0
+
+    def score_col(self, ctx: ScoreContext) -> Column:
+        tf = ctx.weight
+        dl = ctx.fl(self.quantized)
+        cf = ctx.cf
+        coll_fl = F.lit(float(ctx.field_length))
+        prior = tf / dl
+        post = (tf + 1.0) / (dl + 1.0)
+        invpriorcol = coll_fl / cf
+        norm = tf * F.log(post / prior)
+        return (
+            F.lit(self.qf)
+            * norm
+            * (
+                tf * F.log(prior * invpriorcol)
+                + (tf + 1.0) * F.log(post * invpriorcol)
+                + 0.5 * F.log(post / prior)
+            )
+        )
+
+
+@dataclass
+class PL2(WeightingModel):
+    """Terrier PL2 (ref scoring.py:393-447)."""
+
+    c: float = 1.0
+    quantized: bool = True
+    qf: float = 1.0
+
+    def score_col(self, ctx: ScoreContext) -> Column:
+        rec_log2_of_e = 1.0 / math.log(2)
+        tf = ctx.weight
+        fl = ctx.fl(self.quantized)
+        cf = ctx.cf
+        TF = tf * F.log(1.0 + (self.c * ctx.avgfl) / fl)
+        norm = 1.0 / (TF + 1.0)
+        f = cf / F.lit(float(ctx.N))
+        return (
+            norm
+            * F.lit(self.qf)
+            * (
+                TF * F.log(1.0 / f)
+                + f * F.lit(rec_log2_of_e)
+                + 0.5 * F.log(2.0 * math.pi * TF)
+                + TF * (F.log(TF) - F.lit(rec_log2_of_e))
+            )
+        )

@@ -1,0 +1,46 @@
+"""Spelling suggestions ("did you mean") — reference spelling.py semantics.
+
+ReaderCorrector ranking (spelling.py:94-115): candidates are lexicon terms
+within Damerau-Levenshtein `maxdist` sharing a `prefix`; each scores
+``-(maxdist + 0.5/frequency)`` (NOTE: the reference uses the *parameter*
+maxdist, not the term's actual distance — ranking is therefore frequency
+descending, then alphabetical; we replicate that exactly) and the top
+`limit` are returned sorted by (score desc, term asc).
+
+The lexicon slice is a pushed-down prefix + length-window scan of
+term_stats; the DP distance runs on the (small) collected candidate set,
+like reading.py:516-544.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.query.planner import Searcher, osa_distance
+
+
+def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
+            prefix: int = 0) -> List[str]:
+    ts = searcher.ix.term_stats
+    c = ts
+    if prefix:
+        c = c.where(F.col("term").startswith(text[:prefix]))
+    # length pushdown: |len(term) - len(text)| <= maxdist
+    c = c.where(
+        (F.length("term") >= len(text) - maxdist)
+        & (F.length("term") <= len(text) + maxdist)
+    )
+    rows = c.select("term", "total_weight").collect()
+    scored = []
+    for r in rows:
+        t = r["term"]
+        if t == text:
+            continue  # the word itself is never suggested (spelling.py:52)
+        if osa_distance(text, t, maxdist) <= maxdist:
+            f = float(r["total_weight"]) or 1.0
+            score = 0.0 - (maxdist + (1.0 / f * 0.5))
+            scored.append((score, t))
+    scored.sort(key=lambda x: (0 - x[0], x[1]))
+    return [t for _, t in scored[:limit]]

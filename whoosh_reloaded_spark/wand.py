@@ -54,27 +54,26 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
     terms = list(dict.fromkeys(terms))
     searcher._lookup_stats(terms)
     weighting = searcher.weighting
-    avgfl = searcher.avgfl
-
-    idf_pairs = []
-    for t in terms:
-        idf_pairs += [F.lit(t), F.lit(searcher._idf_cache[t])]
-    idf_col = F.element_at(F.create_map(*idf_pairs), F.col("term"))
 
     def bound_col():
         # quality bound: score at (max_weight, min_len_byte) — the most
-        # favorable posting a block could contain (scoring.py:203-213)
-        return weighting.score_col(
-            F.col("max_weight"),
-            F.col("min_len_byte"),
-            byte_to_length_expr(F.col("min_len_byte")),
-            idf_col,
-            avgfl,
-            ix.fieldname,
+        # favorable posting a block could contain (scoring.py:203-213).
+        # In exact-length mode the safe optimistic length is the previous
+        # byte's decoded value + 1 (a true lower bound of any length that
+        # quantizes to min_len_byte).
+        ctx = searcher.score_context(
+            terms,
+            weight=F.col("max_weight"),
+            len_byte=F.col("min_len_byte"),
+            length=byte_to_length_expr(
+                F.greatest(F.col("min_len_byte") - 1, F.lit(0))
+            )
+            + 1.0,
         )
+        return weighting.score_col(ctx)
 
     blocks = ix.blocks.where(F.col("term").isin(terms)).select(
-        "term", "block_no", bound_col().alias("ub")
+        "term", "block_no", "min_docid", "max_docid", bound_col().alias("ub")
     )
     # per-term max bound + best block (tiny collect, |Q| rows)
     per_term = (
@@ -96,10 +95,7 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
     total_ub = sum(max_ub.values())
 
     def scored(p):
-        score = weighting.score_col(
-            F.col("weight"), F.col("len_byte"), F.col("length"),
-            idf_col, avgfl, ix.fieldname,
-        )
+        score = weighting.score_col(searcher.score_context(terms))
         if boosts:
             bpairs = []
             for t in terms:
@@ -107,13 +103,32 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
             score = score * F.element_at(F.create_map(*bpairs), F.col("term"))
         return p.select("term", "docid", score.alias("score"))
 
-    # phase 1: seed THETA from the single best block of each term
-    seed_pred = None
-    for t in terms:
-        pred = (F.col("term") == t) & (F.col("block_no") == best_block[t])
-        seed_pred = pred if seed_pred is None else (seed_pred | pred)
+    # phase 1: seed THETA from the single best block of each term.  Block
+    # membership is a (term, docid-range) predicate — posting rows carry no
+    # block id, so the seed and phase-2 filters join on range containment
+    # against the (tiny, broadcast) block list.
+    best = blocks.where(
+        F.concat_ws("#", F.col("term"), F.col("block_no")).isin(
+            [f"{t}#{best_block[t]}" for t in terms]
+        )
+    ).select(
+        F.col("term").alias("b_term"),
+        F.col("min_docid").alias("b_lo"),
+        F.col("max_docid").alias("b_hi"),
+    )
+    post = ix.postings.where(F.col("term").isin(terms))
+
+    def _in_blocks(p, blist):
+        return p.join(
+            F.broadcast(blist),
+            (p["term"] == blist["b_term"])
+            & (p["docid"] >= blist["b_lo"])
+            & (p["docid"] <= blist["b_hi"]),
+            "left_semi",
+        )
+
     seed = (
-        scored(ix.postings.where(F.col("term").isin(terms)).where(seed_pred))
+        scored(_in_blocks(post, best))
         .groupBy("docid")
         .agg(F.sum("score").alias("score"))
         .orderBy(F.col("score").desc())
@@ -129,14 +144,13 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
             F.col("term"),
         )
         >= F.lit(theta)  # >= so equal-score (tie-broken) docs survive
-    ).select("term", "block_no")
-
-    post = ix.postings.where(F.col("term").isin(terms))
-    cand = (
-        post.join(F.broadcast(surviving), ["term", "block_no"], "left_semi")
-        .select("docid")
-        .distinct()
+    ).select(
+        F.col("term").alias("b_term"),
+        F.col("min_docid").alias("b_lo"),
+        F.col("max_docid").alias("b_hi"),
     )
+
+    cand = _in_blocks(post, surviving).select("docid").distinct()
     out = (
         scored(post.join(cand, "docid", "left_semi"))
         .groupBy("docid")
