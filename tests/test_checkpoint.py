@@ -103,4 +103,8 @@ def test_multisegment_search_matches(spark, corpus, single, tmp_path_factory):
     q = Or((Term("render"), Term("yellow"), Term("alpha")))
     a = Searcher(single).search_list(q, 10)
     b = Searcher(multi).search_list(q, 10)
-    assert a == b
+    # ranks identical; scores to float-sum-order tolerance (aggregation
+    # order across segment unions differs in the last ulp)
+    assert [(d, u) for d, u, _ in a] == [(d, u) for d, u, _ in b]
+    for (_, _, s1), (_, _, s2) in zip(a, b):
+        assert s1 == pytest.approx(s2, rel=1e-12)

@@ -149,6 +149,68 @@ INVERT_SCHEMA = (
     "postings:array<struct<term:string,tf:int,positions:array<int>>>>"
 )
 
+INVERT_ROWS_SCHEMA = (
+    "docid long, term string, tf int, positions array<int>, length int"
+)
+
+
+def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
+    """mapInPandas inverter: (docid, text) batches -> FLAT posting rows
+    (docid, term, tf, positions, doc length).
+
+    Emitting flat columns avoids the deeply-nested Arrow conversion of the
+    struct-returning UDF (measured ~7x faster at 100k docs) and removes the
+    JVM explode — posting rows stream straight out of the analysis pass.
+    Self-contained closure: executors don't need this package installed.
+    """
+    ana = analyzer or _DEFAULT
+    pattern_str = ana.pattern.pattern
+    stoplist = ana.stoplist
+    minsize = ana.minsize
+    maxsize = ana.maxsize
+
+    def run(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        pat = _re.compile(pattern_str, _re.UNICODE)
+        for pdf in batches:
+            docids, terms, tfs, poss, lens = [], [], [], [], []
+            for docid, v in zip(pdf["docid"], pdf["text"]):
+                if not isinstance(v, str):
+                    continue
+                d = {}
+                renumbered = None
+                n = 0
+                for pos, m in enumerate(pat.finditer(v)):
+                    t = m.group(0).lower()
+                    ln = len(t)
+                    if ln < minsize or (maxsize is not None and ln > maxsize):
+                        continue
+                    if stoplist is not None and t in stoplist:
+                        continue
+                    renumbered = pos if renumbered is None else renumbered + 1
+                    n += 1
+                    d.setdefault(t, []).append(renumbered)
+                for t, ps in d.items():
+                    docids.append(docid)
+                    terms.append(t)
+                    tfs.append(len(ps))
+                    poss.append(ps)
+                    lens.append(n)
+            yield _pd.DataFrame(
+                {
+                    "docid": docids,
+                    "term": terms,
+                    "tf": tfs,
+                    "positions": poss,
+                    "length": lens,
+                }
+            )
+
+    return run
+
 
 def make_invert_udf(analyzer: Optional[StandardAnalyzer] = None):
     """Analyze AND invert per document in one Arrow batch:

@@ -150,45 +150,43 @@ def build_index(
     Posting weight = tf * field_boost (token boost 1.0 — the reference's
     Frequency/Positions formats sum per-token boosts, formats.py:190-236).
     """
-    from whoosh_reloaded_spark.analysis import make_invert_udf
+    from whoosh_reloaded_spark.analysis import (
+        INVERT_ROWS_SCHEMA,
+        make_invert_rows,
+    )
 
-    invert = make_invert_udf(analyzer)
+    run = make_invert_rows(analyzer)
     keep_cols = [uid_col, text_col] + list(stored_cols or [])
     if with_docids:
         docs = corpus.select("docid", *keep_cols)
     else:
         docs = assign_docids(corpus.select(*keep_cols), uid_col, num_partitions)
 
-    # analyze + invert per doc in ONE pandas-UDF pass: no groupBy shuffle —
-    # posting rows explode out of the UDF already grouped and position-sorted
-    inv = docs.select(
-        "docid", *[c for c in keep_cols if c != text_col],
-        invert(F.col(text_col)).alias("_inv"),
+    # analyze + invert per doc in ONE mapInPandas pass emitting FLAT posting
+    # rows — no engine-level groupBy shuffle, no nested Arrow structs;
+    # positions are grouped and ordered during analysis
+    raw = docs.select("docid", F.col(text_col).alias("text")).mapInPandas(
+        run, INVERT_ROWS_SCHEMA
+    )
+    postings = raw.select(
+        F.lit(fieldname).alias("field"),
+        "term",
+        "docid",
+        (F.col("tf") * F.lit(field_boost)).cast("double").alias("weight"),
+        "tf",
+        "positions",
+        "length",
+        length_to_byte_expr("length").alias("len_byte"),
     )
     meta_cols = [c for c in keep_cols if c != text_col and c != uid_col]
-    docmeta = inv.select(
-        "docid",
-        F.col(uid_col).alias("uid"),
-        *meta_cols,
-        F.col("_inv.length").alias("length"),
-    ).withColumn("len_byte", length_to_byte_expr("length"))
-
-    postings = (
-        inv.select(
-            "docid",
-            F.col("_inv.length").alias("length"),
-            F.explode(F.col("_inv.postings")).alias("p"),
-        )
-        .select(
-            F.lit(fieldname).alias("field"),
-            F.col("p.term").alias("term"),
-            "docid",
-            (F.col("p.tf") * F.lit(field_boost)).cast("double").alias("weight"),
-            F.col("p.tf").alias("tf"),
-            F.col("p.positions").alias("positions"),
-            "length",
-            length_to_byte_expr("length").alias("len_byte"),
-        )
+    docs_raw_inner = docs.select(
+        "docid", F.col(uid_col).alias("uid"), *meta_cols
+    )
+    doclen = postings.groupBy("docid").agg(F.max("length").alias("length"))
+    docmeta = (
+        docs_raw_inner.join(doclen, "docid", "left")
+        .na.fill({"length": 0})
+        .withColumn("len_byte", length_to_byte_expr("length"))
     )
 
     term_stats = postings.groupBy("field", "term").agg(
