@@ -33,15 +33,21 @@ from whoosh_reloaded_spark.analysis import STOP_WORDS
 from whoosh_reloaded_spark.index import build_index
 from whoosh_reloaded_spark.query import (
     And,
+    AndMaybe,
     AndNot,
+    DisjunctionMax,
+    FuzzyTerm,
+    NumericRange,
     Or,
     Phrase,
     Prefix,
+    Require,
     Searcher,
     Term,
     TermRange,
+    Wildcard,
 )
-from whoosh_reloaded_spark.scoring import BM25F
+from whoosh_reloaded_spark.scoring import BM25F, PL2
 
 # ---------------------------------------------------------------------------
 # shared: index cache per sf_dir (oracle-mode: exact lengths)
@@ -56,7 +62,11 @@ def _docs_index(spark: SparkSession, sf_dir: str):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         corpus = docs.withColumn("docid", F.col("doc_id"))
         ix = build_index(
-            corpus, uid_col="doc_id", text_col="text", with_docids=True
+            corpus,
+            uid_col="doc_id",
+            text_col="text",
+            with_docids=True,
+            stored_cols=["lang", "source", "n_chars"],
         ).persist()
         _IX_CACHE[key] = ix
     return _IX_CACHE[key]
@@ -68,6 +78,14 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
 
 def _topk(spark, sf_dir, q, k=10) -> DataFrame:
     s = _searcher(spark, sf_dir)
+    out = s.search(q, limit=k, with_uid=False)
+    return out.select(
+        F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _topk_w(spark, sf_dir, q, weighting, k=10) -> DataFrame:
+    s = Searcher(_docs_index(spark, sf_dir), weighting)
     out = s.search(q, limit=k, with_uid=False)
     return out.select(
         F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
@@ -228,6 +246,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["token_counts"] = token_counts
+
+    q["bm25_require"] = lambda spark, sf: _topk(
+        spark, sf, Require(Term("spark"), Term("vector"))
+    )
+    q["bm25_andmaybe"] = lambda spark, sf: _topk(
+        spark, sf, AndMaybe(Term("spark"), Term("vector"))
+    )
+    q["bm25_dismax"] = lambda spark, sf: _topk(
+        spark, sf, DisjunctionMax([Term("spark"), Term("join")])
+    )
+    q["bm25_wildcard"] = lambda spark, sf: _topk(spark, sf, Wildcard("s*am"))
+    q["bm25_fuzzy"] = lambda spark, sf: _topk(
+        spark, sf, FuzzyTerm("sparc", maxdist=1, prefixlength=1)
+    )
+    q["pl2_topk"] = lambda spark, sf: _topk_w(
+        spark, sf, Or([Term("spark"), Term("join")]), PL2(quantized=False)
+    )
+    q["numeric_range"] = lambda spark, sf: (
+        _searcher(spark, sf)
+        ._eval(NumericRange("n_chars", 200, 400))
+        .select(F.col("docid").alias("doc_id"), F.col("score"))
+    )
+
+    def facet_lang_counts(spark, sf):
+        """FieldFacet Count: docs matching a term, grouped by lang."""
+        from whoosh_reloaded_spark.facets import group_counts
+
+        s = _searcher(spark, sf)
+        hits = s._eval(Term("spark"))
+        return group_counts(hits, s.ix.docmeta, ["lang"]).select(
+            "lang", F.col("n_docs").cast("long").alias("n_docs")
+        )
+
+    q["facet_lang_counts"] = facet_lang_counts
+
+    def collapse_top1_lang(spark, sf):
+        """CollapseCollector: best-scoring doc per lang for a query."""
+        from whoosh_reloaded_spark.facets import best_per_group
+
+        s = _searcher(spark, sf)
+        hits = s._eval(Or([Term("spark"), Term("join")]))
+        return best_per_group(hits, s.ix.docmeta, ["lang"]).select(
+            "lang",
+            F.col("docid").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+
+    q["collapse_top1_lang"] = collapse_top1_lang
 
     # ---- training-data pipeline ops (textops) ----
 
@@ -406,6 +472,120 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0)) AS BIGINT) AS n_tokens
 FROM documents
 """
+
+    o["bm25_require"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term = 'spark'
+  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'vector')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["bm25_andmaybe"] = (
+        _BASE_CTE
+        + """
+SELECT a.doc_id, round(a.s + coalesce(b.s, 0), 6) AS score
+FROM (SELECT doc_id, s FROM scored WHERE term = 'spark') a
+LEFT JOIN (SELECT doc_id, s FROM scored WHERE term = 'vector') b USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["bm25_dismax"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(max(s), 6) AS score
+FROM scored WHERE term IN ('spark', 'join')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["bm25_wildcard"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term LIKE 's%am'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["bm25_fuzzy"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term IN (
+  SELECT term FROM stats
+  WHERE term LIKE 's%' AND damerau_levenshtein(term, 'sparc') <= 1
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    # PL2 (Terrier DFR): TF = w*ln(1 + c*avgfl/fl); score summed over terms
+    o["pl2_topk"] = (
+        _BASE_CTE
+        + """
+, cstats AS (SELECT term, sum(w) AS cf FROM tf GROUP BY term),
+pl2 AS (
+  SELECT tf.doc_id,
+         (1.0 / ((tf.w * ln(1.0 + (1.0 * g.avgfl) / dl.fl)) + 1.0))
+           * ((tf.w * ln(1.0 + (1.0 * g.avgfl) / dl.fl)) * ln(1.0 / (cstats.cf / g.n))
+              + (cstats.cf / g.n) * (1.0 / ln(2))
+              + 0.5 * ln(2 * pi() * (tf.w * ln(1.0 + (1.0 * g.avgfl) / dl.fl)))
+              + (tf.w * ln(1.0 + (1.0 * g.avgfl) / dl.fl))
+                * (ln(tf.w * ln(1.0 + (1.0 * g.avgfl) / dl.fl)) - 1.0 / ln(2)))
+           AS s
+  FROM tf
+  JOIN cstats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  WHERE tf.term IN ('spark', 'join')
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM pl2
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    o["numeric_range"] = """
+SELECT doc_id, 1.0 AS score
+FROM documents
+WHERE n_chars >= 200 AND n_chars <= 400
+"""
+    o["facet_lang_counts"] = (
+        _BASE_CTE
+        + """
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM tf JOIN documents d USING (doc_id)
+WHERE tf.term = 'spark'
+GROUP BY d.lang
+"""
+    )
+    o["collapse_top1_lang"] = (
+        _BASE_CTE
+        + """
+, sc2 AS (
+  SELECT doc_id, sum(s) AS s
+  FROM scored WHERE term IN ('spark', 'join')
+  GROUP BY doc_id
+),
+rk AS (
+  SELECT d.lang, sc2.doc_id, sc2.s,
+         row_number() OVER (PARTITION BY d.lang ORDER BY sc2.s DESC, sc2.doc_id ASC) AS rn
+  FROM sc2 JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, round(s, 6) AS score FROM rk WHERE rn = 1
+"""
+    )
 
     # ---- textops oracles (raw tokens, no stop removal) ----
     raw_cte = r"""

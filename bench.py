@@ -148,19 +148,21 @@ def main():
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def scaling(n_docs: int = 100_000):
+def scaling(n_docs: int = 1_000_000):
     """Evidence for the two-cluster-size criterion: the SAME build job on
     identical parquet input at N=8 vs 4N=32 cores (this sandbox has no real
     cluster; BASELINE.md records the local[N] substitution)."""
     corpus_dir = os.environ.get(
         "SPARK_GRAFT_SCALING_CORPUS", f"/tmp/wrs_scaling_corpus_{n_docs}"
     )
-    if not os.path.isdir(corpus_dir):
+    if not os.path.isdir(os.path.join(corpus_dir, "_SUCCESS")) and not os.path.exists(
+        os.path.join(corpus_dir, "_SUCCESS")
+    ):
         spark = make_spark(32)
         spark.sparkContext.setLogLevel("ERROR")
         from whoosh_reloaded_spark.corpus import pages_df_dist
 
-        pages_df_dist(spark, n_docs, 64).write.mode("overwrite").parquet(corpus_dir)
+        pages_df_dist(spark, n_docs, 128).write.mode("overwrite").parquet(corpus_dir)
         spark.stop()
 
     results = {}

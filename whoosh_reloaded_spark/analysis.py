@@ -150,7 +150,8 @@ INVERT_SCHEMA = (
 )
 
 INVERT_ROWS_SCHEMA = (
-    "docid long, term string, tf int, positions array<int>, length int"
+    "docid long, term string, tf int, positions array<int>, "
+    "length int, len_byte int"
 )
 
 
@@ -171,12 +172,19 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
 
     def run(batches):
         import re as _re
+        from bisect import bisect_left as _bisect
 
         import pandas as _pd
 
+        # length-byte quantization table (lengths.py formula) computed here
+        # so the closure stays self-contained; bisect per DOC is O(log 256),
+        # vs a 256-step fold per posting row in a Spark expression
+        b2l = tuple(int(round((1.033**n - 1) * 27)) for n in range(256))
+        maxlen = b2l[255]
+
         pat = _re.compile(pattern_str, _re.UNICODE)
         for pdf in batches:
-            docids, terms, tfs, poss, lens = [], [], [], [], []
+            docids, terms, tfs, poss, lens, lbs = [], [], [], [], [], []
             for docid, v in zip(pdf["docid"], pdf["text"]):
                 if not isinstance(v, str):
                     continue
@@ -193,12 +201,14 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
                     renumbered = pos if renumbered is None else renumbered + 1
                     n += 1
                     d.setdefault(t, []).append(renumbered)
+                lb = 255 if n >= maxlen else _bisect(b2l, n)
                 for t, ps in d.items():
                     docids.append(docid)
                     terms.append(t)
                     tfs.append(len(ps))
                     poss.append(ps)
                     lens.append(n)
+                    lbs.append(lb)
             yield _pd.DataFrame(
                 {
                     "docid": docids,
@@ -206,6 +216,7 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
                     "tf": tfs,
                     "positions": poss,
                     "length": lens,
+                    "len_byte": lbs,
                 }
             )
 

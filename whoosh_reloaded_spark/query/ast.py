@@ -284,6 +284,36 @@ class FuzzyTerm(_MultiTerm):
 
 
 @dataclass(frozen=True)
+class NumericRange(Query):
+    """Numeric range over a docmeta column (ranges.py:253-404).  The
+    reference re-indexes numbers as tiered terms for this; native column
+    predicates make the tiering unnecessary — Catalyst pushes the range
+    into the scan.  Matches score 1*boost (constant, like the reference's
+    multiterm constant-score path on ranges)."""
+
+    fieldname: str
+    start: Optional[float] = None
+    end: Optional[float] = None
+    startexcl: bool = False
+    endexcl: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DateRange(NumericRange):
+    """DateRange (ranges.py:405-450): NumericRange over a timestamp col."""
+
+
+@dataclass(frozen=True)
+class ColumnQuery(Query):
+    """Predicate over a per-doc column (query/qcolumns.py:32-118): an
+    arbitrary SQL expression string evaluated against docmeta."""
+
+    expr: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermRange(_MultiTerm):
     """Lexicographic term range (query/ranges.py:153-252)."""
 

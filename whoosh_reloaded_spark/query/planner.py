@@ -341,6 +341,18 @@ class Searcher:
             return a if a.limit(1).count() > 0 else self._eval(q.b)
         if isinstance(q, Q.Phrase):
             return self._eval_phrase(q)
+        if isinstance(q, (Q.NumericRange, Q.DateRange)):
+            c = F.col(q.fieldname)
+            df = self.ix.docmeta
+            if q.start is not None:
+                df = df.where(c > q.start if q.startexcl else c >= q.start)
+            if q.end is not None:
+                df = df.where(c < q.end if q.endexcl else c <= q.end)
+            return df.select("docid", F.lit(float(q.boost)).alias("score"))
+        if isinstance(q, Q.ColumnQuery):
+            return self.ix.docmeta.where(F.expr(q.expr)).select(
+                "docid", F.lit(float(q.boost)).alias("score")
+            )
         if isinstance(q, Q._MultiTerm):
             terms = self.expand_terms(q)
             if not terms:
