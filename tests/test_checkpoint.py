@@ -108,3 +108,25 @@ def test_multisegment_search_matches(spark, corpus, single, tmp_path_factory):
     assert [(d, u) for d, u, _ in a] == [(d, u) for d, u, _ in b]
     for (_, _, s1), (_, _, s2) in zip(a, b):
         assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_compressed_positions_roundtrip(spark, corpus, single, tmp_path_factory):
+    """delta+varint packed positions at rest decode back identically."""
+    d = tmp_path_factory.mktemp("packed_ix")
+    from whoosh_reloaded_spark.index import build_index as _bi
+    from whoosh_reloaded_spark.index import load_index as _li
+    from whoosh_reloaded_spark.index import save_index as _si
+
+    ix = _bi(corpus)
+    _si(ix, str(d / "ix"), compress_positions=True)
+    # stored column is binary...
+    raw = spark.read.parquet(str(d / "ix" / "postings"))
+    assert dict(raw.dtypes)["positions"] == "binary"
+    # ...but the loaded index round-trips to identical arrays
+    loaded = _li(spark, str(d / "ix"))
+    assert _postings_set(loaded) == _postings_set(single)
+    # phrase queries work through the decode path
+    from whoosh_reloaded_spark.query import Phrase, Searcher
+
+    hits = Searcher(loaded).search_list(Phrase(("quick", "went")), 5)
+    assert hits

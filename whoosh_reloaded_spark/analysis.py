@@ -165,6 +165,10 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
     Self-contained closure: executors don't need this package installed.
     """
     ana = analyzer or _DEFAULT
+    if hasattr(ana, "plain_fn"):
+        # generic analyzer (analyzers.py protocol): a self-contained
+        # tokenize closure; the inversion loop wraps it
+        return _make_invert_rows_generic(ana.plain_fn())
     pattern_str = ana.pattern.pattern
     stoplist = ana.stoplist
     minsize = ana.minsize
@@ -279,3 +283,44 @@ def make_query_terms(analyzer: Optional[StandardAnalyzer] = None):
     """Driver-side query text analysis (tiny input — plain Python)."""
     ana = analyzer or _DEFAULT
     return ana.query_terms
+
+
+def _make_invert_rows_generic(tokenize_fn):
+    """Inversion loop around any self-contained tokenize closure
+    (text -> [(term, pos)]); same output schema as the fast path."""
+
+    def run(batches):
+        from bisect import bisect_left as _bisect
+
+        import pandas as _pd
+
+        b2l = tuple(int(round((1.033**n - 1) * 27)) for n in range(256))
+        maxlen = b2l[255]
+        for pdf in batches:
+            docids, terms, tfs, poss, lens, lbs = [], [], [], [], [], []
+            for docid, v in zip(pdf["docid"], pdf["text"]):
+                toks = tokenize_fn(v) if isinstance(v, str) else []
+                d = {}
+                for t, p in toks:
+                    d.setdefault(t, []).append(p)
+                n = len(toks)
+                lb = 255 if n >= maxlen else _bisect(b2l, n)
+                for t, ps in d.items():
+                    docids.append(docid)
+                    terms.append(t)
+                    tfs.append(len(ps))
+                    poss.append(sorted(ps))
+                    lens.append(n)
+                    lbs.append(lb)
+            yield _pd.DataFrame(
+                {
+                    "docid": docids,
+                    "term": terms,
+                    "tf": tfs,
+                    "positions": poss,
+                    "length": lens,
+                    "len_byte": lbs,
+                }
+            )
+
+    return run

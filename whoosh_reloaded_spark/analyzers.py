@@ -1,0 +1,215 @@
+"""Additional analyzers — the reference's tokenizer/filter family.
+
+Each analyzer is a callable ``text -> [(term, pos), ...]`` built from a
+``plain_fn()`` — a SELF-CONTAINED closure over plain data (no class refs),
+so cloudpickle ships it by value to executors with no --py-files needed.
+
+Replicated semantics (analysis/tokenizers.py, analysis/ngrams.py):
+
+- IDTokenizer: whole value = one token, pos = start_pos + 1 (sic — the
+  reference emits pos 1, tokenizers.py:71)
+- SpaceSeparatedTokenizer: RegexTokenizer(r"[^ \\t\\r\\n]+")
+- CommaSeparatedTokenizer: RegexTokenizer(r"[^,]+") | StripFilter
+- PathTokenizer: "/a/b/c" -> "/a", "/a/b", "/a/b/c"
+- NgramTokenizer(min,max): char n-grams over the whole text; all sizes at
+  one start share a position; query mode emits only size=min(max, len)
+- SimpleAnalyzer: RegexTokenizer | LowercaseFilter (no stop filter)
+- KeywordAnalyzer: space-separated [+ lowercase]
+- SubstitutionFilter: regex sub on token text (filters.py:485-528)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN
+
+TokenList = List[Tuple[str, int]]
+
+
+class BaseAnalyzer:
+    def plain_fn(self) -> Callable[[str], TokenList]:
+        raise NotImplementedError
+
+    def __call__(self, text: str) -> TokenList:
+        fn = getattr(self, "_fn", None)
+        if fn is None:
+            fn = self._fn = self.plain_fn()
+        return fn(text)
+
+    def query_terms(self, text: str) -> List[str]:
+        return [t for t, _ in self(text)]
+
+
+class IDAnalyzer(BaseAnalyzer):
+    """Whole value as one term (ID fields, fields.py:475-495)."""
+
+    def __init__(self, lowercase: bool = False):
+        self.lowercase = lowercase
+
+    def plain_fn(self):
+        lower = self.lowercase
+
+        def fn(text):
+            if not isinstance(text, str) or text == "":
+                return []
+            t = text.lower() if lower else text
+            return [(t, 1)]  # reference quirk: pos = start_pos + 1
+
+        return fn
+
+
+class RegexAnalyzer(BaseAnalyzer):
+    """RegexTokenizer | optional lowercase — SimpleAnalyzer when default."""
+
+    def __init__(self, expression: str = DEFAULT_PATTERN, lowercase: bool = True,
+                 gaps: bool = False):
+        self.expression = expression
+        self.lowercase = lowercase
+        self.gaps = gaps
+
+    def plain_fn(self):
+        expr, lower, gaps = self.expression, self.lowercase, self.gaps
+
+        def fn(text):
+            import re as _re
+
+            if not isinstance(text, str):
+                return []
+            pat = _re.compile(expr, _re.UNICODE)
+            out = []
+            if not gaps:
+                for pos, m in enumerate(pat.finditer(text)):
+                    t = m.group(0)
+                    out.append((t.lower() if lower else t, pos))
+            else:
+                prevend, pos = 0, 0
+                for m in pat.finditer(text):
+                    piece = text[prevend:m.start()]
+                    if piece:
+                        out.append((piece.lower() if lower else piece, pos))
+                        pos += 1
+                    prevend = m.end()
+                if prevend < len(text):
+                    piece = text[prevend:]
+                    out.append((piece.lower() if lower else piece, pos))
+            return out
+
+        return fn
+
+
+def SimpleAnalyzer() -> RegexAnalyzer:
+    return RegexAnalyzer()
+
+
+class KeywordAnalyzer(BaseAnalyzer):
+    """Space-separated tokens (KEYWORD fields, fields.py:1041-1087)."""
+
+    def __init__(self, lowercase: bool = False, commas: bool = False):
+        self.lowercase = lowercase
+        self.commas = commas
+
+    def plain_fn(self):
+        lower, commas = self.lowercase, self.commas
+
+        def fn(text):
+            import re as _re
+
+            if not isinstance(text, str):
+                return []
+            if commas:
+                toks = [p.strip() for p in _re.findall(r"[^,]+", text)]
+                toks = [p for p in toks if p]
+            else:
+                toks = _re.findall(r"[^ \t\r\n]+", text)
+            if lower:
+                toks = [t.lower() for t in toks]
+            return list(zip(toks, range(len(toks))))
+
+        return fn
+
+
+class PathAnalyzer(BaseAnalyzer):
+    """Progressive path prefixes (tokenizers.py:345-362)."""
+
+    def __init__(self, expression: str = "[^/]+"):
+        self.expression = expression
+
+    def plain_fn(self):
+        expr = self.expression
+
+        def fn(text):
+            import re as _re
+
+            if not isinstance(text, str):
+                return []
+            pat = _re.compile(expr, _re.UNICODE)
+            return [
+                (text[: m.end()], pos) for pos, m in enumerate(pat.finditer(text))
+            ]
+
+        return fn
+
+
+class NgramAnalyzer(BaseAnalyzer):
+    """Char n-grams over the whole text + lowercase (ngrams.py:35-126,
+    analyzers NgramAnalyzer).  Index mode; ``query_mode=True`` emits only the
+    single largest-fitting size per start like the reference's query mode."""
+
+    def __init__(self, minsize: int, maxsize: Optional[int] = None,
+                 lowercase: bool = True, query_mode: bool = False):
+        self.minsize = minsize
+        self.maxsize = maxsize or minsize
+        self.lowercase = lowercase
+        self.query_mode = query_mode
+
+    def plain_fn(self):
+        mn, mx, lower, qmode = (
+            self.minsize, self.maxsize, self.lowercase, self.query_mode
+        )
+
+        def fn(text):
+            if not isinstance(text, str):
+                return []
+            inlen = len(text)
+            out = []
+            pos = 0
+            if qmode:
+                size = min(mx, inlen)
+                for start in range(0, inlen - size + 1):
+                    g = text[start:start + size]
+                    out.append((g.lower() if lower else g, pos))
+                    pos += 1
+            else:
+                for start in range(0, inlen - mn + 1):
+                    for size in range(mn, mx + 1):
+                        if start + size > inlen:
+                            continue
+                        g = text[start:start + size]
+                        out.append((g.lower() if lower else g, pos))
+                    pos += 1
+            return out
+
+        return fn
+
+
+class SubstitutionAnalyzer(BaseAnalyzer):
+    """Wraps another analyzer with a regex substitution on each token
+    (SubstitutionFilter, filters.py:485-528)."""
+
+    def __init__(self, inner: BaseAnalyzer, pattern: str, replacement: str):
+        self.inner = inner
+        self.pattern = pattern
+        self.replacement = replacement
+
+    def plain_fn(self):
+        inner_fn = self.inner.plain_fn()
+        pattern, repl = self.pattern, self.replacement
+
+        def fn(text):
+            import re as _re
+
+            pat = _re.compile(pattern, _re.UNICODE)
+            return [(pat.sub(repl, t), p) for t, p in inner_fn(text)]
+
+        return fn

@@ -236,7 +236,8 @@ def compute_blocks(postings: DataFrame) -> DataFrame:
     )
 
 
-def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
+def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
+               compress_positions: bool = True) -> None:
     """Write the index as term-sorted parquet (segment commit ≙ TOC write).
 
     ONE heavy pipeline: the analyze+invert UDF pass streams straight into the
@@ -255,7 +256,16 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0) -> None:
     # cheap columnar re-read pays for the sampling, the term-range shuffle
     # and the (term, docid) sort.  Measured ~2x faster end-to-end.
     scratch = f"{path}/_scratch_postings"
-    ix.postings.write.mode("overwrite").parquet(scratch)
+    to_write = ix.postings
+    if compress_positions and dict(to_write.dtypes).get("positions") != "binary":
+        # delta+varint packing of position lists (the reference's posting
+        # payload encoding, whoosh3.py:844-850) — smaller at rest; load_index
+        # decodes lazily so readers still see array<int>
+        from whoosh_reloaded_spark.lengths import make_pack_positions_udf
+
+        pack = make_pack_positions_udf()
+        to_write = to_write.withColumn("positions", pack(F.col("positions")))
+    to_write.write.mode("overwrite").parquet(scratch)
     sp = spark.read.parquet(scratch)
     (
         sp.repartitionByRange(term_partitions, "term", "docid")
@@ -330,9 +340,17 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     blocks = None
     if os.path.isdir(os.path.join(path, "blocks")):
         blocks = spark.read.parquet(f"{path}/blocks")
+    postings = spark.read.parquet(f"{path}/postings")
+    if dict(postings.dtypes).get("positions") == "binary":
+        # stored delta+varint packed; decode lazily — column pruning means
+        # non-positional queries never pay for this
+        from whoosh_reloaded_spark.lengths import make_unpack_positions_udf
+
+        unpack = make_unpack_positions_udf()
+        postings = postings.withColumn("positions", unpack(F.col("positions")))
     return InvertedIndex(
         docmeta=spark.read.parquet(f"{path}/docmeta"),
-        postings=spark.read.parquet(f"{path}/postings"),
+        postings=postings,
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         stats=meta["stats"],
         uid_col=meta["uid_col"],
