@@ -101,3 +101,13 @@ def test_parsed_query_results_match(qs, engines):
     assert [u for u, _ in got] == [u for u, _ in expected], qs
     for (u1, s1), (u2, s2) in zip(got, expected):
         assert s1 == pytest.approx(s2, rel=1e-9), (qs, u1)
+
+
+def test_parse_degenerate_inputs():
+    p = QueryParser()
+    assert p.parse("") == Q.NullQuery()
+    assert p.parse("   ") == Q.NullQuery()
+    assert p.parse("the a an") == Q.NullQuery()  # all stop words
+    assert p.parse("render AND") == Q.Term("render")  # dangling operator
+    assert p.parse("(((") == Q.NullQuery()
+    assert p.parse('"unclosed phrase') is not None  # no crash

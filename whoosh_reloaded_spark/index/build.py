@@ -215,17 +215,53 @@ def build_index(
     )
 
 
-def compute_blocks(postings: DataFrame) -> DataFrame:
+def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
     """<=128-posting blocks per term with quality stats — the unit of
     block-max WAND skipping (ref: whoosh3.py:85 block size, :814-824 block
     stats).  Blocks are identified by their docid range, so posting rows
     need no stored block id; WAND joins on (term, docid BETWEEN lo AND hi).
-    The per-term window is the one skew-sensitive step; it runs over the
-    written columnar postings (cheap re-read), and a salted two-phase
-    ranking is the escape hatch for a term outgrowing one task."""
-    w_term = Window.partitionBy("term").orderBy("docid")
-    withno = postings.withColumn(
-        "block_no", ((F.row_number().over(w_term) - 1) / BLOCK_SIZE).cast("int")
+
+    SALTED per-term ranking: a naive Window.partitionBy(term) puts a Zipf
+    head term's entire posting list in ONE task.  Instead the per-term rank
+    is computed in two phases over (term, salt) where salt = a docid-range
+    bucket:
+      1. counts per (term, salt) -> per-term cumulative offsets (the tiny
+         frame is windowed, never the postings),
+      2. local rank within (term, salt) + broadcast offset = global rank.
+    The skew-sensitive shuffle key becomes (term, salt); a head term spreads
+    over `salt_buckets` tasks.  Docid order within a term is preserved
+    because salts are docid ranges.
+    """
+    spark = postings.sparkSession
+    max_docid_row = postings.agg(F.max("docid").alias("m")).collect()[0]
+    max_docid = int(max_docid_row["m"] or 0) + 1
+    width = max(1, max_docid // salt_buckets)
+    salt = (F.col("docid") / F.lit(width)).cast("int").alias("_salt")
+
+    p = postings.withColumn("_salt", salt)
+    counts = p.groupBy("term", "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy("term")
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    ).select("term", "_salt", "_off")
+
+    w_local = Window.partitionBy("term", "_salt").orderBy("docid")
+    withno = (
+        # no broadcast hint: the offsets frame is one row per (term, salt)
+        # pair — small for test vocabularies but O(|postings|/128) worst
+        # case at web scale; AQE picks broadcast vs shuffle join by size
+        p.join(offsets, ["term", "_salt"])
+        .withColumn(
+            "block_no",
+            (
+                (F.row_number().over(w_local) - 1 + F.col("_off")) / BLOCK_SIZE
+            ).cast("int"),
+        )
+        .drop("_salt", "_off")
     )
     return withno.groupBy("field", "term", "block_no").agg(
         F.count(F.lit(1)).cast("int").alias("n_postings"),

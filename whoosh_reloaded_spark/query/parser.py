@@ -95,6 +95,8 @@ class QueryParser:
     def parse(self, s: str) -> Q.Query:
         self._toks = _lex(s)
         self._i = 0
+        if not self._toks:
+            return Q.NullQuery()
         q = self._or_expr()
         return q.normalize()
 
@@ -162,6 +164,10 @@ class QueryParser:
         return self._primary()
 
     def _primary(self) -> Q.Query:
+        if self._peek() is None:
+            # dangling operator at end of input (e.g. "foo AND") — the
+            # reference's parser degrades gracefully; match that
+            return Q.NullQuery()
         t = self._next()
         if t.kind == "(":
             q = self._or_expr()
