@@ -124,3 +124,58 @@ def test_keyword_index_end_to_end(spark):
     ix = build_index(df, analyzer=KeywordAnalyzer(lowercase=True)).persist()
     s = Searcher(ix)
     assert s.search_list(Term("alfa"), 10)
+
+
+def test_porter_parity_vocab():
+    import gzip
+    import re as _re
+
+    from whoosh.lang.porter import stem as ref_stem
+
+    from whoosh_reloaded_spark.porter import stem as my_stem
+
+    words = set()
+    with gzip.open(
+        "/root/reference/tests/english-words.10.gz", "rt", encoding="latin-1"
+    ) as f:
+        for line in f:
+            w = line.strip().lower()
+            if _re.fullmatch(r"[a-z]+", w):
+                words.add(w)
+    for sfx in ("ing", "ed", "s", "ational", "fulness", "ization", "eed", "y"):
+        words.update(w + sfx for w in list(words)[:500])
+    for w in words:
+        assert my_stem(w) == ref_stem(w), w
+
+
+def test_stemming_analyzer_matches_reference_stream():
+    from whoosh.analysis import StemmingAnalyzer as WStem
+
+    from whoosh_reloaded_spark.analyzers import StemmingAnalyzer
+
+    ana = StemmingAnalyzer()
+    for txt in [
+        "The fundamentally rationalized organizations were running quickly",
+        "hopping hoped hopes conflated sky flying dying agreed",
+        "traditional apologizing controlling possession",
+    ]:
+        theirs = [(t.text, t.pos) for t in WStem()(txt, positions=True)]
+        assert ana(txt) == theirs, txt
+
+
+def test_stemming_index_end_to_end(spark):
+    from whoosh_reloaded_spark.analyzers import StemmingAnalyzer
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher, Term
+
+    rows = list(generate_rows(60))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    ix = build_index(df, analyzer=StemmingAnalyzer()).persist()
+    s = Searcher(ix)
+    # 'render', 'rendered', 'rendering' all stem to 'render'
+    hits = s.search_list(Term("render"), 20)
+    texts = {r[0]: r[3].lower() for r in rows}
+    assert hits
+    assert any("rendering" in texts[uid] or "rendered" in texts[uid]
+               for _, uid, _ in hits)

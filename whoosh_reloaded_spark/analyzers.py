@@ -213,3 +213,50 @@ class SubstitutionAnalyzer(BaseAnalyzer):
             return [(pat.sub(repl, t), p) for t, p in inner_fn(text)]
 
         return fn
+
+
+class StemmingAnalyzer(BaseAnalyzer):
+    """RegexTokenizer | Lowercase | StopFilter | StemFilter(porter) — the
+    reference's StemmingAnalyzer (analysis/analyzers.py, morph.py:34-149).
+    Stemming runs after stop removal on renumbered positions, with a
+    per-task stem cache like the reference's CacheFilter."""
+
+    def __init__(self, expression: str = None, stoplist=None,
+                 minsize: int = 2, maxsize=None):
+        from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN, STOP_WORDS
+
+        self.expression = expression or DEFAULT_PATTERN
+        self.stoplist = frozenset(STOP_WORDS if stoplist is None else stoplist)
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    def plain_fn(self):
+        # NOTE: references whoosh_reloaded_spark.porter by module — ship the
+        # package via spark-submit --py-files for cluster runs
+        from whoosh_reloaded_spark.porter import stem
+
+        expr, stops = self.expression, self.stoplist
+        minsize, maxsize = self.minsize, self.maxsize
+
+        def fn(text):
+            import re as _re
+
+            pat = _re.compile(expr, _re.UNICODE)
+            out = []
+            cache = {}
+            renumbered = None
+            for pos, m in enumerate(pat.finditer(text)):
+                t = m.group(0).lower()
+                n = len(t)
+                if n < minsize or (maxsize is not None and n > maxsize):
+                    continue
+                if t in stops:
+                    continue
+                renumbered = pos if renumbered is None else renumbered + 1
+                st = cache.get(t)
+                if st is None:
+                    st = cache[t] = stem(t)
+                out.append((st, renumbered))
+            return out
+
+        return fn
