@@ -231,6 +231,52 @@ class Phrase(Query):
         return self
 
 
+@dataclass(frozen=True)
+class Sequence(Query):
+    """Subqueries matching at consecutive positions (positional.py:36-133).
+    Terms-only form — equivalent to Phrase with per-term boosts."""
+
+    words: Tuple[str, ...]
+    fieldname: str = "text"
+    slop: int = 1
+    boost: float = 1.0
+
+    def __init__(self, words, fieldname="text", slop=1, boost=1.0):
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "fieldname", fieldname)
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        if not self.words:
+            return NullQuery()
+        if len(self.words) == 1:
+            return Term(self.words[0], self.fieldname, self.boost)
+        return Phrase(self.words, self.fieldname, self.slop, self.boost)
+
+
+@dataclass(frozen=True)
+class Ordered(Query):
+    """Terms appearing in increasing position order, any distance
+    (query/positional.py Ordered / span ordering semantics)."""
+
+    words: Tuple[str, ...]
+    fieldname: str = "text"
+    boost: float = 1.0
+
+    def __init__(self, words, fieldname="text", boost=1.0):
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "fieldname", fieldname)
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        if not self.words:
+            return NullQuery()
+        if len(self.words) == 1:
+            return Term(self.words[0], self.fieldname, self.boost)
+        return self
+
+
 # ---- multi-term (lexicon-expanding) queries (query/terms.py:150-520) --------
 
 

@@ -237,6 +237,26 @@ class Searcher:
             # fused fast path: one scan, no per-child union
             boosts = {c.text: c.boost for c in q.children}
             df = self._scored_postings([c.text for c in q.children], boosts=boosts)
+            if q.scale:
+                # coordination bonus: the SQR function (CoordMatcher,
+                # matching/wrappers.py — from the published V-Twin paper):
+                # (score + (matching-1)/(termcount-scale)^2)*((tc-1)/tc)
+                tc = len(q.children)
+                if tc == 0 or tc == q.scale:
+                    return df.sparkSession.createDataFrame(
+                        [], "docid long, score double"
+                    )
+                agg = df.groupBy("docid").agg(
+                    F.sum("score").alias("_s"),
+                    F.count_distinct("term").alias("_m"),
+                )
+                sqr = (
+                    F.col("_s")
+                    + (F.col("_m") - 1) / F.lit(float((tc - q.scale) ** 2))
+                ) * F.lit((tc - 1) / tc)
+                return agg.select(
+                    "docid", (sqr * F.lit(q.boost)).alias("score")
+                )
             out = df.groupBy("docid").agg(F.sum("score").alias("score"))
             return out.select(
                 "docid", (F.col("score") * F.lit(q.boost)).alias("score")
@@ -341,6 +361,8 @@ class Searcher:
             return a if a.limit(1).count() > 0 else self._eval(q.b)
         if isinstance(q, Q.Phrase):
             return self._eval_phrase(q)
+        if isinstance(q, Q.Ordered):
+            return self._eval_ordered(q)
         if isinstance(q, (Q.NumericRange, Q.DateRange)):
             c = F.col(q.fieldname)
             df = self.ix.docmeta
@@ -405,6 +427,81 @@ class Searcher:
         return (
             j.where(F.size(matched) > 0)
             .select("docid", (score * F.lit(q.boost)).alias("score"))
+        )
+
+    def _eval_ordered(self, q: Q.Ordered) -> DataFrame:
+        """Terms in increasing position order, any gap: m_i = positions of
+        word i having SOME earlier match before them; doc matches iff the
+        last word has a qualifying position.  Score = sum of term scores."""
+        words = list(q.words)
+        df = self._scored_postings(words, with_positions=True)
+        parts = []
+        for i, w in enumerate(words):
+            parts.append(
+                df.where(F.col("term") == w).select(
+                    "docid",
+                    F.col("score").alias(f"_s{i}"),
+                    F.col("positions").alias(f"_p{i}"),
+                )
+            )
+        j = parts[0]
+        for i in range(1, len(parts)):
+            j = j.join(parts[i], "docid")
+
+        def _after(prev_col):
+            def pred(p):
+                return F.exists(prev_col, lambda x: x < p)
+
+            return pred
+
+        matched = F.col("_p0")
+        for i in range(1, len(words)):
+            matched = F.filter(F.col(f"_p{i}"), _after(matched))
+        score = sum([F.col(f"_s{i}") for i in range(len(words))], F.lit(0.0))
+        return j.where(F.size(matched) > 0).select(
+            "docid", (score * F.lit(q.boost)).alias("score")
+        )
+
+    def matched_terms(self, q: Q.Query) -> DataFrame:
+        """TermsCollector analogue (collectors.py:1113+): which query terms
+        matched each hit — (docid, terms array<string>) for term-based
+        queries."""
+        terms = sorted(self._collect_terms(q.normalize()))
+        hits = self._eval(q.normalize()).select("docid")
+        per_term = self.ix.postings.where(F.col("term").isin(terms)).select(
+            "docid", "term"
+        )
+        return (
+            hits.join(per_term, "docid")
+            .groupBy("docid")
+            .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+        )
+
+    def _collect_terms(self, q: Q.Query) -> set:
+        out = set()
+        if isinstance(q, Q.Term):
+            out.add(q.text)
+        elif isinstance(q, (Q.Phrase, Q.Ordered)):
+            out.update(q.words)
+        elif hasattr(q, "children"):
+            for c in q.children:
+                out |= self._collect_terms(c)
+        else:
+            for attr in ("a", "b", "child"):
+                c = getattr(q, attr, None)
+                if isinstance(c, Q.Query):
+                    out |= self._collect_terms(c)
+        return out
+
+    def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10) -> DataFrame:
+        """ResultsPage semantics (searching.py:617-669): compute the top
+        pagenum*pagelen then slice the requested page."""
+        top = self.search(q, limit=pagenum * pagelen)
+        w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+        return (
+            top.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") > (pagenum - 1) * pagelen)
+            .drop("_rank")
         )
 
     # -- public API ----------------------------------------------------------
