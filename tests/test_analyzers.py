@@ -179,3 +179,11 @@ def test_stemming_index_end_to_end(spark):
     assert hits
     assert any("rendering" in texts[uid] or "rendered" in texts[uid]
                for _, uid, _ in hits)
+
+
+def test_accent_folding():
+    from whoosh_reloaded_spark.analyzers import AccentFoldingAnalyzer
+
+    ana = AccentFoldingAnalyzer(SimpleAnalyzer())
+    toks = [t for t, _ in ana("café naïve straße Frantiśek øre")]
+    assert toks == ["cafe", "naive", "strase", "frantisek", "ore"]

@@ -260,3 +260,35 @@ class StemmingAnalyzer(BaseAnalyzer):
             return out
 
         return fn
+
+
+class AccentFoldingAnalyzer(BaseAnalyzer):
+    """CharsetFilter-equivalent accent folding wrapped around another
+    analyzer (ref: analysis/tokenizers.py:201-315 + support/charset.py).
+
+    NOTE: folds via Unicode NFKD + combining-mark strip plus a small
+    supplement (ss/oe/etc.) — an equivalent capability, not a byte-identical
+    replica of the reference's Sphinx-derived charset table."""
+
+    _SUPPLEMENT = {"ß": "s", "ø": "o", "Ø": "o", "đ": "d", "Đ": "d",
+                   "ł": "l", "Ł": "l", "þ": "th", "Þ": "th", "ð": "d"}
+
+    def __init__(self, inner: BaseAnalyzer):
+        self.inner = inner
+
+    def plain_fn(self):
+        inner_fn = self.inner.plain_fn()
+        supplement = dict(self._SUPPLEMENT)
+
+        def fn(text):
+            import unicodedata as _ud
+
+            def fold(t):
+                t = "".join(supplement.get(c, c) for c in t)
+                return "".join(
+                    c for c in _ud.normalize("NFKD", t) if not _ud.combining(c)
+                )
+
+            return [(fold(t), p) for t, p in inner_fn(text)]
+
+        return fn
