@@ -162,14 +162,17 @@ class Searcher:
         lookup).  idf constants are embedded as a literal map.
         """
         terms = [t for t in dict.fromkeys(terms)]
-        ctx = self.score_context(terms)
         p = self.ix.postings.where(F.col("term").isin(list(terms)))
         if raw_weight:
             # constant-score context (weighting=None -> WeightScorer,
             # scoring.py:134-158): score = stored weight
             score = F.col("weight")
         else:
-            score = self.weighting.score_col(ctx)
+            # idf/cf via a tiny driver lookup cached per searcher (the
+            # reference caches idf the same way, searching.py:334-351).
+            # A broadcast-join alternative was measured SLOWER per query
+            # (broadcast materialization is its own job + join overhead).
+            score = self.weighting.score_col(self.score_context(terms))
         if boosts:
             bpairs = []
             for t in terms:
