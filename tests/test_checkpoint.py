@@ -130,3 +130,14 @@ def test_compressed_positions_roundtrip(spark, corpus, single, tmp_path_factory)
 
     hits = Searcher(loaded).search_list(Phrase(("quick", "went")), 5)
     assert hits
+
+
+def test_build_determinism(spark, corpus, single):
+    """FIXTURES §5: re-running the build yields identical posting tables,
+    regardless of partitioning."""
+    from whoosh_reloaded_spark.index import build_index as _bi
+
+    again = _bi(corpus)
+    assert _postings_set(again) == _postings_set(single)
+    repart = _bi(corpus.repartition(13), num_partitions=7)
+    assert _postings_set(repart) == _postings_set(single)
