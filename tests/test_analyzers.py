@@ -187,3 +187,23 @@ def test_accent_folding():
     ana = AccentFoldingAnalyzer(SimpleAnalyzer())
     toks = [t for t, _ in ana("café naïve straße Frantiśek øre")]
     assert toks == ["cafe", "naive", "strase", "frantisek", "ore"]
+
+
+def test_shingle_biword_parity():
+    from whoosh.analysis import BiWordFilter, RegexTokenizer, ShingleFilter
+
+    from whoosh_reloaded_spark.analyzers import BiWordAnalyzer, ShingleAnalyzer
+
+    texts = ["the sign of four", "better a witty fool than a foolish wit", "one"]
+    inner = RegexAnalyzer(lowercase=False)
+    for txt in texts:
+        theirs = [
+            (t.text, t.pos)
+            for t in (RegexTokenizer() | BiWordFilter())(txt, positions=True)
+        ]
+        assert BiWordAnalyzer(inner)(txt) == theirs, txt
+        theirs3 = [
+            (t.text, t.pos)
+            for t in (RegexTokenizer() | ShingleFilter(3, " "))(txt, positions=True)
+        ]
+        assert ShingleAnalyzer(inner, 3, " ")(txt) == theirs3, txt

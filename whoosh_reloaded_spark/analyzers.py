@@ -292,3 +292,36 @@ class AccentFoldingAnalyzer(BaseAnalyzer):
             return [(fold(t), p) for t, p in inner_fn(text)]
 
         return fn
+
+
+class ShingleAnalyzer(BaseAnalyzer):
+    """Token shingles: merges N adjacent tokens of the inner analyzer into
+    multi-word terms (ShingleFilter / BiWordFilter, intraword.py:100-220).
+    Shingle position = position of its first token."""
+
+    def __init__(self, inner: BaseAnalyzer, size: int = 2, sep: str = "-"):
+        self.inner = inner
+        self.size = size
+        self.sep = sep
+
+    def plain_fn(self):
+        inner_fn = self.inner.plain_fn()
+        size, sep = self.size, self.sep
+
+        def fn(text):
+            toks = inner_fn(text)
+            if len(toks) < size:
+                # too few tokens for one shingle: the reference passes the
+                # bare tokens through (intraword.py merge loop fallthrough)
+                return toks
+            out = []
+            for i in range(len(toks) - size + 1):
+                window = toks[i:i + size]
+                out.append((sep.join(t for t, _ in window), window[0][1]))
+            return out
+
+        return fn
+
+
+def BiWordAnalyzer(inner: BaseAnalyzer, sep: str = "-") -> ShingleAnalyzer:
+    return ShingleAnalyzer(inner, size=2, sep=sep)
