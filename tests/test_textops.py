@@ -78,3 +78,15 @@ def test_cosine_topk_and_lsh(spark):
                     for r in cosine_topk(emb, q, k=50, exclude_id=0).collect()}
     for r in lsh:
         assert r["cosine"] == exact_scores[r["vec_id"]]
+
+
+def test_dedup_clusters_and_corpus(spark, dup_docs):
+    from whoosh_reloaded_spark.textops.dedup import dedup_clusters, dedup_corpus
+
+    pairs = minhash_lsh_pairs(dup_docs, threshold=0.2)
+    clusters = {r["doc_id"]: r["keep_doc"] for r in
+                dedup_clusters(pairs, dup_docs).collect()}
+    # docs 0,1,2 form one cluster with canonical 0
+    assert clusters[0] == 0 and clusters[1] == 0 and clusters[2] == 0
+    kept = {r["doc_id"] for r in dedup_corpus(dup_docs, pairs).collect()}
+    assert kept == {0, 3, 4, 5}

@@ -232,3 +232,51 @@ def ngram_jaccard_vs_doc(docs: DataFrame, query_doc: int,
         .orderBy(F.col("jaccard").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def dedup_clusters(pairs_df: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs into clusters and pick canonical survivors:
+    (doc_id, keep_doc) for every doc in a cluster, keep_doc = min id.
+
+    Pair sets are tiny relative to the corpus (near-dup rate), so the
+    transitive closure runs as driver-side union-find over the collected
+    pairs — the standard shape even at 100 TB (the heavy work is pair
+    GENERATION, which stays distributed in minhash_lsh_pairs).  The result
+    joins back distributed for the actual filter.
+    """
+    rows = pairs_df.select("doc_a", "doc_b").collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    mapping = sorted(
+        {(x, find(x)) for x in set(parent) | {r["doc_a"] for r in rows}
+         | {r["doc_b"] for r in rows}}
+    )
+    spark = pairs_df.sparkSession
+    if not mapping:
+        return spark.createDataFrame([], f"{id_col} long, keep_doc long")
+    m = spark.createDataFrame(
+        [(int(d), int(k)) for d, k in mapping], f"{id_col} long, keep_doc long"
+    )
+    return m
+
+
+def dedup_corpus(docs: DataFrame, pairs_df: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Drop every near-duplicate except each cluster's canonical doc —
+    the end-to-end training-data dedup operation."""
+    clusters = dedup_clusters(pairs_df, docs, id_col)
+    drop = clusters.where(F.col(id_col) != F.col("keep_doc")).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
