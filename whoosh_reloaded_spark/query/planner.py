@@ -236,7 +236,10 @@ class Searcher:
         if isinstance(q, Q.Term):
             df = self._scored_postings([q.text])
             return df.select("docid", (F.col("score") * F.lit(q.boost)).alias("score"))
-        if isinstance(q, Q.Or) and all(isinstance(c, Q.Term) for c in q.children):
+        if isinstance(q, Q.Or) and all(
+            isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname
+            for c in q.children
+        ):
             # fused fast path: one scan, no per-child union
             boosts = {c.text: c.boost for c in q.children}
             df = self._scored_postings([c.text for c in q.children], boosts=boosts)
@@ -264,7 +267,10 @@ class Searcher:
             return out.select(
                 "docid", (F.col("score") * F.lit(q.boost)).alias("score")
             )
-        if isinstance(q, Q.And) and all(isinstance(c, Q.Term) for c in q.children):
+        if isinstance(q, Q.And) and all(
+            isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname
+            for c in q.children
+        ):
             # fused: one scan + single aggregation with match-count filter
             boosts = {c.text: c.boost for c in q.children}
             n = len({c.text for c in q.children})
