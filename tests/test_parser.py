@@ -111,3 +111,13 @@ def test_parse_degenerate_inputs():
     assert p.parse("render AND") == Q.Term("render")  # dangling operator
     assert p.parse("(((") == Q.NullQuery()
     assert p.parse('"unclosed phrase') is not None  # no crash
+
+
+def test_known_fields_routing():
+    p = QueryParser("value", known_fields={"name", "value"})
+    assert p.parse("name:yellow") == Q.Term("yellow", "name")
+    assert p.parse("value:red") == Q.Term("red", "value")
+    assert p.parse("other:red") == Q.Term("red", "value")  # unknown -> default
+    assert p.parse("name:yellow AND red") == Q.And(
+        (Q.Term("yellow", "name"), Q.Term("red", "value"))
+    )

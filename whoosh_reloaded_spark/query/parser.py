@@ -4,9 +4,9 @@ Covers the default plugin set (qparser/default.py:95-111): whitespace
 grouping with implicit AND, AND/OR/NOT/ANDNOT/ANDMAYBE operators
 (plugins.py:895+), quoted phrases (plugins.py:673), [a TO b] / {a TO b}
 ranges (plugins.py:835), ^boost (plugins.py:217), parenthesized groups
-(plugins.py:285), trailing-* prefix and * / ? wildcards, fuzzy~ terms.
-Single-field engine: `field:` prefixes are accepted and ignored for the
-default field.
+(plugins.py:285), trailing-* prefix and * / ? wildcards, fuzzy~ terms,
+and `field:` prefixes routed to `known_fields` (unknown prefixes fall back
+to the default field).
 
 Query words are analyzed with the index analyzer in query mode
 (FieldType.process_text, fields.py:196-207): lowercased, stop words dropped
@@ -85,10 +85,13 @@ class QueryParser:
 
     def __init__(self, fieldname: str = "text",
                  analyzer: Optional[StandardAnalyzer] = None,
-                 group: str = "and"):
+                 group: str = "and", known_fields=None):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
+        # fields a `field:` prefix may select (FieldsPlugin, plugins.py:364);
+        # unknown prefixes fall back to the default field
+        self.known_fields = set(known_fields or ())
 
     # -- recursive descent ---------------------------------------------------
 
@@ -210,25 +213,29 @@ class QueryParser:
 
     def _word(self, raw: str) -> Q.Query:
         boost = 1.0
+        fieldname = self.fieldname
         m = _BOOST_RE.search(raw)
         if m:
             boost = float(m.group(1))
             raw = raw[: m.start()]
         if ":" in raw:
-            field, raw = raw.split(":", 1)  # single-field engine: accept+drop
+            field, rest = raw.split(":", 1)
+            raw = rest
+            if field in self.known_fields:
+                fieldname = field
         maxdist = None
         m = _FUZZY_RE.search(raw)
         if m and not raw.endswith('~"'):
             maxdist = int(m.group(1)) if m.group(1) else 1
             raw = raw[: m.start()]
         if "*" in raw or "?" in raw:
-            return Q.Wildcard(raw.lower(), self.fieldname, boost)
+            return Q.Wildcard(raw.lower(), fieldname, boost)
         terms = self.analyzer.query_terms(raw)
         if not terms:
             return Q.NullQuery()
         if maxdist is not None:
-            return Q.FuzzyTerm(terms[0], self.fieldname, boost, maxdist=maxdist)
+            return Q.FuzzyTerm(terms[0], fieldname, boost, maxdist=maxdist)
         if len(terms) == 1:
-            return Q.Term(terms[0], self.fieldname, boost)
+            return Q.Term(terms[0], fieldname, boost)
         # multi-token word (e.g. hyphenated) -> phrase-like AND
-        return Q.And(tuple(Q.Term(w, self.fieldname, boost) for w in terms))
+        return Q.And(tuple(Q.Term(w, fieldname, boost) for w in terms))
