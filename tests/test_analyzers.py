@@ -207,3 +207,32 @@ def test_shingle_biword_parity():
             for t in (RegexTokenizer() | ShingleFilter(3, " "))(txt, positions=True)
         ]
         assert ShingleAnalyzer(inner, 3, " ")(txt) == theirs3, txt
+
+
+def test_intraword_parity_fuzz():
+    import random
+    import string
+
+    from whoosh.analysis import IntraWordFilter, LowercaseFilter, RegexTokenizer
+
+    from whoosh_reloaded_spark.analyzers import IntraWordAnalyzer
+
+    rng = random.Random(3)
+    texts = [
+        "WikiWord", "PowerShot SD500", "Super-Duper-XL500-42-AutoCoder!",
+        "mb500", "po4life", "o2f1x", "A1B2", "abc123def", "O'Neil's car",
+        "A's+B's&C's", "wi-fi WiFi 802.11b", "--lead trail-- mid--dle", "x", "",
+    ]
+    alph = string.ascii_letters + string.digits + "-_'.!x "
+    for _ in range(120):
+        texts.append("".join(rng.choice(alph) for _ in range(rng.randint(1, 25))))
+    for mw, mn in [(False, False), (True, True), (True, False), (False, True)]:
+        ref = (
+            RegexTokenizer(r"\S+")
+            | IntraWordFilter(mergewords=mw, mergenums=mn)
+            | LowercaseFilter()
+        )
+        ana = IntraWordAnalyzer(mergewords=mw, mergenums=mn)
+        for txt in texts:
+            theirs = [(t.text, t.pos) for t in ref(txt, positions=True)]
+            assert ana(txt) == theirs, (mw, mn, txt)

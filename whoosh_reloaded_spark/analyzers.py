@@ -325,3 +325,106 @@ class ShingleAnalyzer(BaseAnalyzer):
 
 def BiWordAnalyzer(inner: BaseAnalyzer, sep: str = "-") -> ShingleAnalyzer:
     return ShingleAnalyzer(inner, size=2, sep=sep)
+
+
+class IntraWordAnalyzer(BaseAnalyzer):
+    """Intra-word splitting/merging (IntraWordFilter, intraword.py:221+ —
+    itself modeled on Solr's WordDelimiterFilter):
+
+    - whitespace-tokenize, then split each token on delimiter chars, case
+      transitions (lower->upper) and letter<->digit transitions (transition
+      pairs are consumed NON-OVERLAPPING, matching the reference's regex
+      scan), strip possessive 's
+    - mergewords/mergenums add a merged token for each run of >=2
+      alphabetic/numeric subwords at the last subword's position
+    """
+
+    def __init__(self, delims="-_'\"()!@#$%^&*[]{}<>\\|;:,./?`~=+",
+                 splitwords: bool = True, splitnums: bool = True,
+                 mergewords: bool = False, mergenums: bool = False,
+                 lowercase: bool = True):
+        self.delims = delims
+        self.splitwords = splitwords
+        self.splitnums = splitnums
+        self.mergewords = mergewords
+        self.mergenums = mergenums
+        self.lowercase = lowercase
+
+    def plain_fn(self):
+        import re as _re
+
+        delims = self.delims
+        splitwords, splitnums = self.splitwords, self.splitnums
+        mergewords, mergenums = self.mergewords, self.mergenums
+        lowercase = self.lowercase
+        delims_esc = _re.escape(delims)
+        possessive_pat = rf"(?<=[^\W\d_])'[Ss](?=$|[{delims_esc}])"
+        between_pat = rf"[^{delims_esc}]+"
+
+        def fn(text):
+            import re as _re2
+
+            if not isinstance(text, str):
+                return []
+            possessive = _re2.compile(possessive_pat, _re2.UNICODE)
+            between = _re2.compile(between_pat, _re2.UNICODE)
+
+            def transitions(piece):
+                """Non-overlapping split points between transition pairs."""
+                cuts = []
+                i = 0
+                while i < len(piece) - 1:
+                    a, b = piece[i], piece[i + 1]
+                    hit = (
+                        (splitwords and a.islower() and b.isupper())
+                        or (splitnums and a.isalpha() and b.isdigit())
+                        or (splitnums and a.isdigit() and b.isalpha())
+                    )
+                    if hit:
+                        cuts.append(i + 1)
+                        i += 2  # the pair is consumed (regex non-overlap)
+                    else:
+                        i += 1
+                return cuts
+
+            out = []
+            pos = 0
+            for m in _re2.finditer(r"\S+", text):
+                token = possessive.sub("", m.group(0))
+                subwords = []
+                for bm in between.finditer(token):
+                    piece = bm.group(0)
+                    cuts = [0] + transitions(piece) + [len(piece)]
+                    for a, b in zip(cuts, cuts[1:]):
+                        if piece[a:b]:
+                            subwords.append(piece[a:b])
+                run_type = None
+                run = []
+
+                def flush():
+                    nonlocal run, run_type
+                    if len(run) >= 2 and (
+                        (run_type == "w" and mergewords)
+                        or (run_type == "n" and mergenums)
+                    ):
+                        merged = "".join(run)
+                        out.append(
+                            (merged.lower() if lowercase else merged, pos - 1)
+                        )
+                    run, run_type = [], None
+
+                for sw in subwords:
+                    # mixed digit/letter subwords (a non-overlapping-scan
+                    # artifact like '2f') are neither word nor num: they
+                    # break merge runs in the reference too
+                    t = "n" if sw.isdigit() else ("w" if sw.isalpha() else None)
+                    if t != run_type or t is None:
+                        flush()
+                        run_type = t
+                    out.append((sw.lower() if lowercase else sw, pos))
+                    pos += 1
+                    run.append(sw)
+                flush()
+            return out
+
+        return fn
