@@ -236,3 +236,37 @@ def test_intraword_parity_fuzz():
         for txt in texts:
             theirs = [(t.text, t.pos) for t in ref(txt, positions=True)]
             assert ana(txt) == theirs, (mw, mn, txt)
+
+
+def test_multi_mode_analyzer(spark):
+    from whoosh_reloaded_spark.analyzers import (
+        IntraWordAnalyzer,
+        MultiModeAnalyzer,
+    )
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher, Term
+    from whoosh_reloaded_spark.query.parser import QueryParser
+
+    ana = MultiModeAnalyzer(
+        IntraWordAnalyzer(mergewords=True, mergenums=True),
+        IntraWordAnalyzer(mergewords=False, mergenums=False),
+    )
+    import datetime as dt
+
+    rows = [
+        (f"u{i}", dt.datetime(2026, 1, 1), b"", t, "en")
+        for i, t in enumerate(["the WiFi router", "plain wifi word", "wi-fi dongle"])
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    ix = build_index(df, analyzer=ana).persist()
+    s = Searcher(ix)
+    # merged index token 'wifi' matches all three docs ('wifi' merged from
+    # WiFi and wi-fi at index time, literal in doc 1)
+    assert len(s.search_list(Term("wifi"), 10)) == 3
+    # query-mode parsing does NOT merge: "wi-fi" parses to wi AND fi, which
+    # matches the docs with split subwords (WiFi, wi-fi) but not the one
+    # that only has the literal merged token
+    q = QueryParser(analyzer=ana).parse("wi-fi")
+    hits = {u for _, u, _ in s.search_list(q, 10)}
+    assert hits == {"u0", "u2"}

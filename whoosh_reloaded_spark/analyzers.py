@@ -428,3 +428,20 @@ class IntraWordAnalyzer(BaseAnalyzer):
             return out
 
         return fn
+
+
+class MultiModeAnalyzer(BaseAnalyzer):
+    """Different analysis for indexing vs querying — the reference's
+    MultiFilter mode dispatch (filters.py:150-181), e.g. merged intra-word
+    tokens at index time but unmerged at query time, or fixed-size ngram
+    lookups against a multi-size ngram index."""
+
+    def __init__(self, index_analyzer: BaseAnalyzer, query_analyzer: BaseAnalyzer):
+        self.index_analyzer = index_analyzer
+        self.query_analyzer = query_analyzer
+
+    def plain_fn(self):
+        return self.index_analyzer.plain_fn()
+
+    def query_terms(self, text: str):
+        return self.query_analyzer.query_terms(text)
