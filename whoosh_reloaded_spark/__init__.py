@@ -20,4 +20,16 @@ replaced by declarative DataFrame plans optimized by Catalyst.
 
 __version__ = "0.1.0"
 
-from whoosh_reloaded_spark.analysis import STOP_WORDS, standard_tokens  # noqa: F401
+from whoosh_reloaded_spark.analysis import (  # noqa: F401
+    STOP_WORDS,
+    StandardAnalyzer,
+    standard_tokens,
+)
+from whoosh_reloaded_spark.index import (  # noqa: F401
+    InvertedIndex,
+    build_index,
+    load_index,
+    save_index,
+)
+from whoosh_reloaded_spark.query import Searcher  # noqa: F401
+from whoosh_reloaded_spark.query.parser import QueryParser  # noqa: F401
