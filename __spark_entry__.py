@@ -263,6 +263,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pl2_topk"] = lambda spark, sf: _topk_w(
         spark, sf, Or([Term("spark"), Term("join")]), PL2(quantized=False)
     )
+
+    def tfidf_topk(spark, sf):
+        from whoosh_reloaded_spark.scoring import TF_IDF
+
+        return _topk_w(spark, sf, Or([Term("spark"), Term("join")]), TF_IDF())
+
+    q["tfidf_topk"] = tfidf_topk
+
+    def dedup_fingerprint(spark, sf):
+        """Canonical-form duplicate groups (same sorted distinct tokens)."""
+        from whoosh_reloaded_spark.textops import doc_fingerprint
+
+        fp = doc_fingerprint(spark.read.parquet(f"{sf}/documents.parquet"))
+        return (
+            fp.groupBy("fingerprint")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_id").alias("keep_doc"),
+            )
+            .where(F.col("n_docs") > 1)
+        )
+
+    q["dedup_fingerprint"] = dedup_fingerprint
     q["numeric_range"] = lambda spark, sf: (
         _searcher(spark, sf)
         ._eval(NumericRange("n_chars", 200, 400))
@@ -556,6 +579,35 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
     )
+    # TF_IDF: score = w * (ln(N/(df+1)) + 1), summed over matched terms
+    o["tfidf_topk"] = (
+        _BASE_CTE
+        + """
+SELECT tf.doc_id,
+       round(sum(tf.w * (ln(g.n / (stats.df + 1)) + 1)), 6) AS score
+FROM tf JOIN stats USING (term) CROSS JOIN g
+WHERE tf.term IN ('spark', 'join')
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
+    )
+    o["dedup_fingerprint"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0) AS toks
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM t
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
     o["numeric_range"] = """
 SELECT doc_id, 1.0 AS score
 FROM documents

