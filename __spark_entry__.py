@@ -227,12 +227,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def postings_positions(spark, sf):
         """Posting rows with renumbered positions for one term — exercises
-        the positional payload (Positions format, formats.py:216-270)."""
+        the positional payload (Positions format, formats.py:216-270).
+        Positions are emitted as a comma-joined canonical string because the
+        driver's canonicalizer cannot hash list-typed columns."""
         ix = _docs_index(spark, sf)
         return ix.postings.where(F.col("term") == "stream").select(
             F.col("docid").alias("doc_id"),
             F.col("tf").cast("long").alias("tf"),
-            F.col("positions").cast("array<long>").alias("positions"),
+            F.array_join(
+                F.transform(F.col("positions"), lambda x: x.cast("string")), ","
+            ).alias("positions"),
         )
 
     q["postings_positions"] = postings_positions
@@ -484,7 +488,7 @@ GROUP BY term
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS tf,
-       list_sort(list(pos)) AS positions
+       array_to_string(list_sort(list(pos)), ',') AS positions
 FROM rp
 WHERE term = 'stream'
 GROUP BY doc_id

@@ -294,6 +294,19 @@ def _q15():
     )
 
 
+@case("q16_not_only_and")
+def _q16():
+    # "NOT yellow NOT red" — And whose children are ALL Nots; regression for
+    # the empty-pos IndexError (ADVICE r1): must return the complement set
+    from whoosh.query import And as WAnd
+    from whoosh.query import Not as WNot
+
+    return (
+        And([Not(Term("yellow")), Not(Term("red"))]),
+        WAnd([WNot(_wt("yellow")), WNot(_wt("red"))]),
+    )
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_rank_identical(name, whoosh_ix, our_searcher):
     ours_q, whoosh_q = CASES[name]()
@@ -319,6 +332,44 @@ def test_dismax_documented_semantics(whoosh_ix, our_searcher):
     expected = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:LIMIT]
     ours = our_topk(our_searcher, DisjunctionMax([Term("render"), Term("yellow")]))
     assert_parity(ours, expected, "q11_dismax_documented")
+
+
+def test_or_scale_generic_documented_semantics(whoosh_ix, our_searcher):
+    """Scaled Or with a NON-Term child (phrase) — CoordMatcher semantics with
+    a STABLE termcount.
+
+    NOT a raw parity case: the reference's CoordMatcher._replacement
+    (matching/wrappers.py:545-546) recomputes termcount from the surviving
+    subtree when a child matcher exhausts, so once the rarer child runs out
+    every later doc scores `(tc-1)/tc = 0` — scores depend on docnum-order
+    replacement state (verified: phrase 'quick went' matches only docnum 3;
+    reference scores 0.0 for every doc after it).  We implement the
+    DOCUMENTED SQR formula (wrappers.py:548-567) with termcount fixed at the
+    query's full term_matchers count, and build the golden here from the
+    reference's own per-child scores."""
+    from whoosh.query import Phrase as WPhrase
+    from whoosh.query import Term as WT
+
+    scale, tc = 0.5, 3  # render + quick + went
+    per_doc_score = {}
+    per_doc_match = {}
+    with whoosh_ix.searcher() as s:
+        for wq, n_tm in ((WT("text", "render"), 1),
+                         (WPhrase("text", ["quick", "went"]), 2)):
+            for hit in s.search(wq, limit=None, optimize=False):
+                u = hit["url"]
+                per_doc_score[u] = per_doc_score.get(u, 0.0) + hit.score
+                per_doc_match[u] = per_doc_match.get(u, 0) + n_tm
+    golden = {
+        u: (sc + (per_doc_match[u] - 1) / (tc - scale) ** 2) * ((tc - 1) / tc)
+        for u, sc in per_doc_score.items()
+    }
+    expected = sorted(golden.items(), key=lambda kv: (-kv[1], kv[0]))[:LIMIT]
+    ours = our_topk(
+        our_searcher,
+        Or([Term("render"), Phrase(["quick", "went"])], scale=scale),
+    )
+    assert_parity(ours, expected, "q17_or_scale_generic_documented")
 
 
 def test_intermediate_stats_parity(whoosh_ix, our_searcher):

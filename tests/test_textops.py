@@ -90,3 +90,23 @@ def test_dedup_clusters_and_corpus(spark, dup_docs):
     assert clusters[0] == 0 and clusters[1] == 0 and clusters[2] == 0
     kept = {r["doc_id"] for r in dedup_corpus(dup_docs, pairs).collect()}
     assert kept == {0, 3, 4, 5}
+
+
+def test_dedup_clusters_distributed_path(spark):
+    """driver_limit=0 forces the min-label-propagation path; must equal the
+    union-find result on a multi-hop chain graph (worst case: cluster min
+    only reachable transitively)."""
+    from whoosh_reloaded_spark.textops.dedup import dedup_clusters
+
+    # chain 10-11-12-13-14 (diameter 4), triangle 20-21-22, pair 30-31
+    edges = [(11, 10), (12, 11), (13, 12), (14, 13),
+             (20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "doc_a long, doc_b long, jaccard double"
+    )
+    got = {
+        r["doc_id"]: r["keep_doc"]
+        for r in dedup_clusters(pairs, None, driver_limit=0).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}

@@ -83,3 +83,43 @@ def test_blocks_stats_consistent(searcher):
     # every posting belongs to exactly one block of its term
     n_covered = joined.count()
     assert n_covered == p.count()
+
+
+@pytest.mark.parametrize(
+    "boosts",
+    [
+        {"alpha": 5.0, "render": 1.0},   # ADVICE repro: boosted head term
+        {"alpha": 1.0, "render": 7.0},
+        {"alpha": 0.25},                  # down-boost
+    ],
+)
+def test_wand_parity_with_boosts(searcher, boosts):
+    """Block UBs must include per-term boosts or pruning drops real hits."""
+    terms = ["alpha", "render"]
+    exhaustive = searcher._eval(
+        Or(tuple(Term(t, boost=boosts.get(t, 1.0)) for t in terms))
+    )
+    pruned = wand_topk(searcher, terms, k=5, boosts=boosts)
+    got = _topk(pruned, 5)
+    want = _topk(exhaustive, 5)
+    assert got == want, (boosts, got, want)
+    assert len(want) == 5  # the repro regression: result must not be empty
+
+
+def test_wand_parity_saved_index(spark, tmp_path):
+    """Saved indexes carry block_no on posting rows — WAND must take the
+    (term, block_no) equi-join path (no broadcast range join) and stay
+    exact."""
+    from whoosh_reloaded_spark.index import load_index, save_index
+
+    df = spark.createDataFrame(list(generate_rows(400)), PAGES_SCHEMA)
+    save_index(build_index(df), str(tmp_path / "ix"))
+    ix = load_index(spark, str(tmp_path / "ix"))
+    assert "block_no" in ix.postings.columns
+    s = Searcher(ix)
+    for terms in (["render", "yellow"], ["alpha", "data", "spark"]):
+        exhaustive = s._eval(Or(tuple(Term(t) for t in terms)))
+        pruned = wand_topk(s, terms, k=10)
+        assert _topk(pruned, 10) == _topk(exhaustive, 10), terms
+    plan = wand_topk(s, ["alpha", "render"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -215,11 +215,12 @@ def build_index(
     )
 
 
-def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
-    """<=128-posting blocks per term with quality stats — the unit of
+def with_block_no(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
+    """Posting rows + their <=128-posting `block_no` per term — the unit of
     block-max WAND skipping (ref: whoosh3.py:85 block size, :814-824 block
-    stats).  Blocks are identified by their docid range, so posting rows
-    need no stored block id; WAND joins on (term, docid BETWEEN lo AND hi).
+    stats).  save_index persists this column so WAND's block filters are
+    plain (term, block_no) EQUI-joins (AQE-sized), never a broadcast of a
+    surviving-block range list.
 
     SALTED per-term ranking: a naive Window.partitionBy(term) puts a Zipf
     head term's entire posting list in ONE task.  Instead the per-term rank
@@ -250,7 +251,7 @@ def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
     ).select("term", "_salt", "_off")
 
     w_local = Window.partitionBy("term", "_salt").orderBy("docid")
-    withno = (
+    return (
         # no broadcast hint: the offsets frame is one row per (term, salt)
         # pair — small for test vocabularies but O(|postings|/128) worst
         # case at web scale; AQE picks broadcast vs shuffle join by size
@@ -262,6 +263,18 @@ def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
             ).cast("int"),
         )
         .drop("_salt", "_off")
+    )
+
+
+def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
+    """Per-(term, block) quality stats for WAND.  If the posting rows
+    already carry `block_no` (written by save_index) this is one cheap
+    map-side-combinable aggregation; otherwise the salted rank assigns
+    block numbers first."""
+    withno = (
+        postings
+        if "block_no" in postings.columns
+        else with_block_no(postings, salt_buckets)
     )
     return withno.groupBy("field", "term", "block_no").agg(
         F.count(F.lit(1)).cast("int").alias("n_postings"),
@@ -306,8 +319,13 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         to_write = to_write.withColumn("positions", pack(F.col("positions")))
     to_write.write.mode("overwrite").parquet(scratch)
     sp = spark.read.parquet(scratch)
+    # assign block_no BEFORE the final write so the stored postings carry
+    # their WAND block id — query-time block filters become (term, block_no)
+    # equi-joins instead of broadcast range joins.  The salted-rank shuffle
+    # reads the cheap columnar scratch, not the UDF pipeline.
     (
-        sp.repartitionByRange(term_partitions, "term", "docid")
+        with_block_no(sp)
+        .repartitionByRange(term_partitions, "term", "docid")
         .sortWithinPartitions("term", "docid")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")

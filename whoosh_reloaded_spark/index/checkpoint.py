@@ -113,7 +113,9 @@ def build_partitioned(
             with_docids=True,
         )
         save_index(ix, seg_path)
-        n_postings = ix.postings.count()
+        # count the written parquet (row-group metadata), not ix.postings —
+        # the logical frame would re-run the whole tokenize+invert pipeline
+        n_postings = spark.read.parquet(os.path.join(seg_path, "postings")).count()
         wall = time.perf_counter() - t0
         mrow = {
             "slice_id": s,

@@ -10,11 +10,17 @@ the DataFrame analogue of the deletion bitset.  Production note: on
 Iceberg this is MERGE INTO / positional deletes; compaction (merge_segments
 with the tombstones applied) physically drops the rows, like the
 reference's segment-merge skipping deleted docs (writing.py:730-746).
+
+Scale note: every delete path writes the tombstone parquet DIRECTLY from a
+DataFrame — matching docids are never collected to the driver, so a
+head-term delete over 10^11 postings is one distributed distinct+union+write
+job, not a billion-row driver round-trip.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,51 +40,69 @@ def load_deleted(spark: SparkSession, path: str) -> Optional[DataFrame]:
     return None
 
 
-def delete_by_docids(spark: SparkSession, path: str, docids: List[int]) -> int:
-    """Append docids to the tombstone table; returns total tombstones."""
-    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+def append_tombstones(spark: SparkSession, path: str,
+                      docids_df: DataFrame) -> int:
+    """Union a docid frame into the tombstone table — fully distributed.
+
+    Returns the number of NEW tombstones added (docs deleted by this call,
+    excluding already-deleted ones), computed from parquet counts — the
+    docids themselves never touch the driver.
+
+    Single-writer semantics (write to tmp dir, atomic rename) match the
+    reference's writer lock (index.py:405+).
+    """
+    new = docids_df.select(F.col("docid").cast("long").alias("docid")).distinct()
     existing = load_deleted(spark, path)
     if existing is not None:
-        df = existing.unionByName(df).distinct()
-    # write via temp dir then swap would be needed for concurrent readers;
-    # single-writer semantics match the reference's writer lock
-    df = df.distinct()
+        n_before = existing.count()
+        merged = existing.select("docid").unionByName(new).distinct()
+    else:
+        n_before = 0
+        merged = new
     tmp = _deleted_path(path) + "_tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
     final = _deleted_path(path)
-    import shutil
-
     if os.path.isdir(final):
         shutil.rmtree(final)
     os.rename(tmp, final)
-    return spark.read.parquet(final).count()
+    n_after = spark.read.parquet(final).count()
+    return int(n_after - n_before)
+
+
+def delete_by_docids(spark: SparkSession, path: str, docids: List[int]) -> int:
+    """Append an explicit (small, driver-known) docid list to the tombstone
+    table; returns total tombstones.  For data-derived deletions use the
+    DataFrame paths below — they never materialize ids on the driver."""
+    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    append_tombstones(spark, path, df)
+    return spark.read.parquet(_deleted_path(path)).count()
 
 
 def delete_by_term(spark: SparkSession, path: str, ix: InvertedIndex,
                    term: str) -> int:
     """delete_by_term (writing.py:309-326): tombstone every doc containing
-    the term."""
-    ids = [
-        r["docid"]
-        for r in ix.postings.where(F.col("term") == term).select("docid").collect()
-    ]
-    if not ids:
-        return 0
-    delete_by_docids(spark, path, ids)
-    return len(ids)
+    the term.  One distributed job; returns the number of docs deleted."""
+    matching = ix.postings.where(F.col("term") == term).select("docid")
+    return append_tombstones(spark, path, matching)
+
+
+def delete_by_query(spark: SparkSession, path: str, ix: InvertedIndex,
+                    q) -> int:
+    """delete_by_query (writing.py:328-344): tombstone every doc matching an
+    arbitrary query — evaluated relationally, written without collect."""
+    from whoosh_reloaded_spark.query.planner import Searcher
+
+    hits = Searcher(ix)._eval(q.normalize()).select("docid")
+    return append_tombstones(spark, path, hits)
 
 
 def delete_by_uid(spark: SparkSession, path: str, ix: InvertedIndex,
                   uids: List[str]) -> int:
     """Delete by unique key (the update_document precursor,
-    writing.py:430-437)."""
-    ids = [
-        r["docid"]
-        for r in ix.docmeta.where(F.col("uid").isin(uids)).select("docid").collect()
-    ]
-    if ids:
-        delete_by_docids(spark, path, ids)
-    return len(ids)
+    writing.py:430-437).  `uids` is a driver-side list of user-supplied keys
+    (small); the docid resolution + write stay distributed."""
+    matching = ix.docmeta.where(F.col("uid").isin(uids)).select("docid")
+    return append_tombstones(spark, path, matching)
 
 
 def with_deleted(ix: InvertedIndex, deleted: Optional[DataFrame]) -> InvertedIndex:
@@ -112,9 +136,12 @@ def update_documents(spark: SparkSession, root: str, ix: InvertedIndex,
                      new_docs: DataFrame, uid_col: str = "url",
                      text_col: str = "text") -> dict:
     """update_document (writing.py:439-503): delete-by-unique-key then
-    append the replacement docs as a new segment (streaming append path)."""
+    append the replacement docs as a new segment (streaming append path).
+    The uid match is a semi-join — replacement batches of any size never
+    round-trip through the driver."""
     from whoosh_reloaded_spark.streaming.append import append_batch
 
-    uids = [r[uid_col] for r in new_docs.select(uid_col).collect()]
-    delete_by_uid(spark, root, ix, uids)
+    keys = new_docs.select(F.col(uid_col).alias("uid")).distinct()
+    matching = ix.docmeta.join(keys, "uid", "left_semi").select("docid")
+    append_tombstones(spark, root, matching)
     return append_batch(new_docs, root, uid_col=uid_col, text_col=text_col)

@@ -67,7 +67,13 @@ def load_multi(spark: SparkSession, seg_paths: List[str]) -> InvertedIndex:
         }
     # NOTE: per-segment blocks keep their own numbering; a merged view
     # re-blocks lazily on merge (WAND over multi-segment uses per-segment
-    # blocks exactly like the reference searches per-segment)
+    # blocks exactly like the reference searches per-segment).  The stored
+    # per-posting block_no also restarts at 0 per segment, so WAND's
+    # (term, block_no) equi-join over a multi-segment union matches a
+    # SUPERSET of the intended blocks — still correct (a doc is pruned only
+    # if every same-numbered block failed the UB test, including its own;
+    # candidates are rescored exactly), just weaker pruning until the next
+    # merge_segments rewrite renumbers globally.
     blocks = None
     if all(p.blocks is not None for p in parts):
         blocks = parts[0].blocks

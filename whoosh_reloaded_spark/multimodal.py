@@ -66,6 +66,27 @@ def _fake_decode(payload: bytes):
     return w, h, frames, feat
 
 
+def _estimate_total_bytes(df: DataFrame, bin_col: str,
+                          sample_rows: int = 1000) -> int:
+    """Estimated total payload bytes WITHOUT scanning every media blob.
+
+    A full `sum(length(payload))` pre-scan reads all media bytes once just
+    to pick a partition count — at 100 TB that doubles I/O.  Instead: row
+    count from table metadata (parquet footer stats, no payload read) x the
+    mean payload length of the first `sample_rows` rows (reads only enough
+    partitions to fill the sample).  Partition sizing only needs an
+    order-of-magnitude estimate.
+    """
+    n_rows = df.count()
+    if n_rows == 0:
+        return 1
+    sample = df.select(F.length(bin_col).alias("b")).head(sample_rows)
+    if not sample:
+        return 1
+    avg = sum((r["b"] or 0) for r in sample) / len(sample)
+    return max(1, int(avg * n_rows))
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "media_id",
@@ -82,7 +103,7 @@ def extract_features(
     """
     decode = decode_fn or _fake_decode
 
-    total = df.select(F.sum(F.length(bin_col))).collect()[0][0] or 1
+    total = _estimate_total_bytes(df, bin_col)
     parts = max(1, int(total / batch_target_bytes))
     src = df.select(F.col(id_col).alias("media_id"), F.col(bin_col).alias("_p"))
     if parts > src.rdd.getNumPartitions():

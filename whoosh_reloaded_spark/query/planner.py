@@ -73,6 +73,21 @@ def osa_distance(a: str, b: str, limit: Optional[int] = None) -> int:
     return prev[lb]
 
 
+def _make_osa_match_udf(qtext: str, maxdist: int):
+    """Arrow-batched predicate: osa_distance(qtext, term) <= maxdist.
+    Runs the DP on executors so fuzzy expansion never collects the
+    un-filtered lexicon slice to the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def within(terms):
+        return terms.map(
+            lambda t: osa_distance(qtext, t, maxdist) <= maxdist
+        )
+
+    return within
+
+
 def glob_to_java_regex(pat: str) -> str:
     """Translate a * / ? glob into an anchored Java regex for rlike()."""
     out = []
@@ -212,17 +227,60 @@ class Searcher:
                     F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
                 )
         elif isinstance(q, Q.FuzzyTerm):
-            # prefix-slice the dictionary then exact DP distance on the small
-            # candidate set, like reading.py:516-544
+            # prefix-slice + length-window pushdown (|len(t)-len(q)| <=
+            # maxdist — any farther term has distance > maxdist), then the
+            # exact OSA DP runs DISTRIBUTED over the windowed slice in an
+            # Arrow-batched pandas UDF; only the matching terms reach the
+            # driver.  The reference avoids full enumeration with a
+            # Levenshtein DFA (automata/lev.py); the pushed filters play the
+            # same role over the term-sorted parquet.
             pre = q.text[: q.prefixlength]
             c = ts.where(F.col("term").startswith(pre)) if pre else ts
-            cand = [r["term"] for r in c.select("term").collect()]
-            return sorted(
-                t for t in cand if osa_distance(q.text, t, q.maxdist) <= q.maxdist
+            c = c.where(
+                F.abs(F.length("term") - F.lit(len(q.text))) <= q.maxdist
             )
+            within = _make_osa_match_udf(q.text, q.maxdist)
+            matches = c.select("term").where(within(F.col("term")))
+            return sorted(r["term"] for r in matches.collect())
         else:
             raise TypeError(f"not a multiterm query: {q!r}")
         return sorted(r["term"] for r in c.select("term").limit(TOO_MANY_CLAUSES + 1).collect())
+
+    # -- coordination (SQR) helpers -------------------------------------------
+
+    def _n_term_matchers(self, q: Q.Query) -> int:
+        """Number of leaf term matchers the reference builds for q
+        (Matcher.term_matchers, mcore.py:103-110) — CoordMatcher's termcount
+        (wrappers.py:542)."""
+        if isinstance(q, Q.Term):
+            return 1
+        if isinstance(q, (Q.Phrase, Q.Ordered)):
+            return len(q.words)
+        if isinstance(q, Q._MultiTerm):
+            return len(self.expand_terms(q))
+        if isinstance(
+            q,
+            (Q.Every, Q.NullQuery, Q.NumericRange, Q.DateRange, Q.ColumnQuery),
+        ):
+            return 0
+        if hasattr(q, "children"):
+            return sum(self._n_term_matchers(c) for c in q.children)
+        n = 0
+        for attr in ("a", "b", "child"):
+            c = getattr(q, attr, None)
+            if isinstance(c, Q.Query):
+                n += self._n_term_matchers(c)
+        return n
+
+    def _matching_term_count(self, q: Q.Query) -> int:
+        """How many term matchers are active at a doc WHEN the child matches.
+        Exact for Term/Phrase/Ordered/And (match implies every leaf active)
+        and Not (complement docs activate none of the inner terms); for
+        variable-contribution children (AndMaybe, nested Or survivors of
+        normalize) this is the upper bound — documented approximation."""
+        if isinstance(q, Q.Not):
+            return 0
+        return self._n_term_matchers(q)
 
     # -- node evaluation -----------------------------------------------------
 
@@ -290,6 +348,38 @@ class Searcher:
         if isinstance(q, Q.Or):
             # Not children evaluate to their complement frame (score = boost,
             # like the reference's InverseMatcher, matching/wrappers.py:424-428)
+            if q.scale:
+                # SQR coordination bonus (CoordMatcher, wrappers.py:532-583).
+                # The reference's termcount is the number of LEAF TERM
+                # MATCHERS in the whole tree (mcore.py:103-110) — a phrase
+                # child contributes one per word — and `matching` counts the
+                # term matchers active at the doc.  Each child frame carries
+                # its term-matcher count; when a child matches, all of its
+                # term matchers are active (exact for Term/Phrase/Ordered/
+                # And; Not contributes 0).
+                tc = sum(self._n_term_matchers(c) for c in q.children)
+                if tc == 0 or tc == q.scale:
+                    return spark.createDataFrame([], "docid long, score double")
+                frames = [
+                    self._eval(c).withColumn(
+                        "_tm", F.lit(self._matching_term_count(c))
+                    )
+                    for c in q.children
+                ]
+                u = frames[0]
+                for f2 in frames[1:]:
+                    u = u.unionByName(f2)
+                agg = u.groupBy("docid").agg(
+                    F.sum("score").alias("_s"),
+                    F.sum("_tm").alias("_m"),
+                )
+                sqr = (
+                    F.col("_s")
+                    + (F.col("_m") - 1) / F.lit(float((tc - q.scale) ** 2))
+                ) * F.lit((tc - 1) / tc)
+                return agg.select(
+                    "docid", (sqr * F.lit(q.boost)).alias("score")
+                )
             frames = [self._eval(c) for c in q.children]
             u = frames[0]
             for f2 in frames[1:]:
@@ -304,22 +394,28 @@ class Searcher:
             pos = [c for c in q.children if not isinstance(c, Q.Not)]
             neg = [c for c in q.children if isinstance(c, Q.Not)]
             n = len(pos)
-            frames = [
-                self._eval(c).withColumn("_cid", F.lit(i))
-                for i, c in enumerate(pos)
-            ]
-            u = frames[0]
-            for f2 in frames[1:]:
-                u = u.unionByName(f2)
-            out = (
-                u.groupBy("docid")
-                .agg(
-                    F.sum("score").alias("score"),
-                    F.count_distinct("_cid").alias("_n"),
+            if not pos:
+                # And of only Nots (e.g. "NOT foo NOT bar"): start from the
+                # full doc set at score 0 — each Not's boost is added below,
+                # matching the bare-Not complement semantics
+                out = self._all_docs(0.0)
+            else:
+                frames = [
+                    self._eval(c).withColumn("_cid", F.lit(i))
+                    for i, c in enumerate(pos)
+                ]
+                u = frames[0]
+                for f2 in frames[1:]:
+                    u = u.unionByName(f2)
+                out = (
+                    u.groupBy("docid")
+                    .agg(
+                        F.sum("score").alias("score"),
+                        F.count_distinct("_cid").alias("_n"),
+                    )
+                    .where(F.col("_n") == n)
+                    .drop("_n")
                 )
-                .where(F.col("_n") == n)
-                .drop("_n")
-            )
             # anti-join each negated child; the InverseMatcher still SCORES
             # its boost for surviving docs (wrappers.py:424-428), so add it
             neg_bonus = 0.0

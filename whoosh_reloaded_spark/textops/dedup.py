@@ -234,18 +234,94 @@ def ngram_jaccard_vs_doc(docs: DataFrame, query_doc: int,
     )
 
 
+SMALL_PAIRS_DRIVER_LIMIT = 200_000  # below this, driver union-find is faster
+
+
 def dedup_clusters(pairs_df: DataFrame, docs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   driver_limit: int = SMALL_PAIRS_DRIVER_LIMIT) -> DataFrame:
     """Resolve near-dup pairs into clusters and pick canonical survivors:
     (doc_id, keep_doc) for every doc in a cluster, keep_doc = min id.
 
-    Pair sets are tiny relative to the corpus (near-dup rate), so the
-    transitive closure runs as driver-side union-find over the collected
-    pairs — the standard shape even at 100 TB (the heavy work is pair
-    GENERATION, which stays distributed in minhash_lsh_pairs).  The result
-    joins back distributed for the actual filter.
+    At web scale, near-dup pair sets are billions of rows (Common-Crawl
+    near-dup rates are tens of percent), so the transitive closure runs as
+    DISTRIBUTED min-label propagation: each node starts labeled with the
+    smallest direct neighbor (or itself), then labels propagate across edges
+    (join pairs↔labels, take min) until a fixpoint.  Rounds needed = graph
+    diameter — near-dup clusters are dense (most pairs connect directly to
+    the cluster minimum via LSH), so this converges in a handful of rounds.
+    Each round is one equi-join + one map-side-combinable min-aggregation.
+
+    A small pair set (< `driver_limit`) short-circuits to driver union-find
+    — one collect of an already-small frame, no iterative jobs.
     """
-    rows = pairs_df.select("doc_a", "doc_b").collect()
+    spark = pairs_df.sparkSession
+    pairs = pairs_df.select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+    n_pairs = pairs.limit(driver_limit + 1).count()
+    if n_pairs == 0:
+        return spark.createDataFrame([], f"{id_col} long, keep_doc long")
+    if n_pairs <= driver_limit:
+        return _driver_union_find(spark, pairs.collect(), id_col)
+
+    # symmetric edge list (each edge both directions) so one join direction
+    # suffices per round
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    # label(x) = min(x, min direct neighbor) — one aggregation seed
+    labels = (
+        edges.groupBy("doc_a")
+        .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
+        .select(F.col("doc_a").alias("node"), "label")
+        .persist()
+    )
+    while True:
+        # candidate label for x: min over neighbors y of label(y)
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("doc_b"),
+                    F.col("label").alias("nlabel"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nlabel").alias("nmin"))
+            .select(F.col("doc_a").alias("node"), "nmin")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("keep_doc")
+    )
+
+
+def _driver_union_find(spark, rows, id_col: str) -> DataFrame:
+    """Small-N fast path: classic union-find over collected pairs."""
     parent: dict = {}
 
     def find(x):
@@ -260,17 +336,13 @@ def dedup_clusters(pairs_df: DataFrame, docs: DataFrame,
             if b < a:
                 a, b = b, a
             parent[b] = a
-    mapping = sorted(
-        {(x, find(x)) for x in set(parent) | {r["doc_a"] for r in rows}
-         | {r["doc_b"] for r in rows}}
-    )
-    spark = pairs_df.sparkSession
+    nodes = set(parent) | {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    mapping = sorted({(x, find(x)) for x in nodes})
     if not mapping:
         return spark.createDataFrame([], f"{id_col} long, keep_doc long")
-    m = spark.createDataFrame(
+    return spark.createDataFrame(
         [(int(d), int(k)) for d, k in mapping], f"{id_col} long, keep_doc long"
     )
-    return m
 
 
 def dedup_corpus(docs: DataFrame, pairs_df: DataFrame,
@@ -279,4 +351,6 @@ def dedup_corpus(docs: DataFrame, pairs_df: DataFrame,
     the end-to-end training-data dedup operation."""
     clusters = dedup_clusters(pairs_df, docs, id_col)
     drop = clusters.where(F.col(id_col) != F.col("keep_doc")).select(id_col)
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    # no broadcast hint: at web scale the drop set is a large fraction of the
+    # corpus; AQE picks broadcast when it is actually small
+    return docs.join(drop, id_col, "left_anti")

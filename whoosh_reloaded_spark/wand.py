@@ -72,8 +72,17 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
         )
         return weighting.score_col(ctx)
 
+    # block upper bounds must include per-term boosts, or UB < exact score
+    # for boosted terms breaks the pruning invariant (empty results).
+    if boosts:
+        _bpairs = []
+        for t in terms:
+            _bpairs += [F.lit(t), F.lit(float(boosts.get(t, 1.0)))]
+        _ub = bound_col() * F.element_at(F.create_map(*_bpairs), F.col("term"))
+    else:
+        _ub = bound_col()
     blocks = ix.blocks.where(F.col("term").isin(terms)).select(
-        "term", "block_no", "min_docid", "max_docid", bound_col().alias("ub")
+        "term", "block_no", "min_docid", "max_docid", _ub.alias("ub")
     )
     # per-term max bound + best block (tiny collect, |Q| rows)
     per_term = (
@@ -103,29 +112,57 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
             score = score * F.element_at(F.create_map(*bpairs), F.col("term"))
         return p.select("term", "docid", score.alias("score"))
 
-    # phase 1: seed THETA from the single best block of each term.  Block
-    # membership is a (term, docid-range) predicate — posting rows carry no
-    # block id, so the seed and phase-2 filters join on range containment
-    # against the (tiny, broadcast) block list.
-    best = blocks.where(
-        F.concat_ws("#", F.col("term"), F.col("block_no")).isin(
-            [f"{t}#{best_block[t]}" for t in terms]
-        )
-    ).select(
-        F.col("term").alias("b_term"),
-        F.col("min_docid").alias("b_lo"),
-        F.col("max_docid").alias("b_hi"),
-    )
+    # phase 1: seed THETA from the single best block of each term.  When the
+    # index was saved by save_index, posting rows carry their block_no, so
+    # block membership is a plain (term, block_no) EQUI-join — AQE sizes it
+    # (broadcast when small, shuffle when a head term survives wide), no
+    # forced broadcast of an O(df/128) range list.  In-memory indexes
+    # (unsaved) fall back to range-containment against the block stats.
     post = ix.postings.where(F.col("term").isin(terms))
+    has_block_no = "block_no" in post.columns
 
-    def _in_blocks(p, blist):
-        return p.join(
-            F.broadcast(blist),
-            (p["term"] == blist["b_term"])
-            & (p["docid"] >= blist["b_lo"])
-            & (p["docid"] <= blist["b_hi"]),
-            "left_semi",
+    if has_block_no:
+
+        def _in_blocks(p, blist):
+            return p.join(
+                blist.select(
+                    F.col("b_term").alias("term"),
+                    F.col("b_no").alias("block_no"),
+                ),
+                ["term", "block_no"],
+                "left_semi",
+            )
+
+        def _bsel(bdf):
+            return bdf.select(
+                F.col("term").alias("b_term"), F.col("block_no").alias("b_no")
+            )
+
+    else:
+
+        def _in_blocks(p, blist):
+            return p.join(
+                F.broadcast(blist),
+                (p["term"] == blist["b_term"])
+                & (p["docid"] >= blist["b_lo"])
+                & (p["docid"] <= blist["b_hi"]),
+                "left_semi",
+            )
+
+        def _bsel(bdf):
+            return bdf.select(
+                F.col("term").alias("b_term"),
+                F.col("min_docid").alias("b_lo"),
+                F.col("max_docid").alias("b_hi"),
+            )
+
+    best = _bsel(
+        blocks.where(
+            F.concat_ws("#", F.col("term"), F.col("block_no")).isin(
+                [f"{t}#{best_block[t]}" for t in terms]
+            )
         )
+    )
 
     seed = (
         scored(_in_blocks(post, best))
@@ -138,16 +175,16 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
     theta = float(seed[-1]["score"]) if len(seed) >= k else 0.0
 
     # phase 2: blocks that could still contribute a top-k doc
-    surviving = blocks.where(
-        F.col("ub") + F.lit(total_ub) - F.element_at(
-            F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(max_ub[t]))]),
-            F.col("term"),
+    surviving = _bsel(
+        blocks.where(
+            F.col("ub") + F.lit(total_ub) - F.element_at(
+                F.create_map(
+                    *[x for t in terms for x in (F.lit(t), F.lit(max_ub[t]))]
+                ),
+                F.col("term"),
+            )
+            >= F.lit(theta)  # >= so equal-score (tie-broken) docs survive
         )
-        >= F.lit(theta)  # >= so equal-score (tie-broken) docs survive
-    ).select(
-        F.col("term").alias("b_term"),
-        F.col("min_docid").alias("b_lo"),
-        F.col("max_docid").alias("b_hi"),
     )
 
     cand = _in_blocks(post, surviving).select("docid").distinct()
