@@ -382,6 +382,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint"] = fingerprint
 
+    def parsed_gtlt(spark, sf):
+        """GtLtPlugin surface (qparser/plugins.py:1081): the query STRING
+        'spark n_chars:>=200 n_chars:<400' parses to And[Term, NumericRange,
+        NumericRange] and runs through the normal planner.  Score = BM25
+        term score + 1.0 per constant-score range child."""
+        from whoosh_reloaded_spark.query.parser import QueryParser
+
+        p = QueryParser("text", schema={"text": "text", "n_chars": "numeric"})
+        q = p.parse("spark n_chars:>=200 n_chars:<400")
+        s = _searcher(spark, sf)
+        out = s.search(q, limit=10, with_uid=False)
+        return out.select(
+            F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
+        )
+
+    q["parsed_gtlt"] = parsed_gtlt
+
+    def parsed_daterange(spark, sf):
+        """Absolute date-range parsing (qparser/dateparse.py:786+ subset):
+        'ts:[2024-01-10 to 2024-01-12]' -> DateRange with adatetime
+        floor/ceil span, applied as a pushed-down predicate on events."""
+        from whoosh_reloaded_spark.query.parser import QueryParser
+        from whoosh_reloaded_spark.query.planner import range_condition
+
+        p = QueryParser("text", schema={"ts": "date"})
+        q = p.parse("ts:[2024-01-10 to 2024-01-12]")
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.where(range_condition(q)).select(
+            "event_id", F.col("user_id").cast("long").alias("user_id")
+        )
+
+    q["parsed_daterange"] = parsed_daterange
+
     def ann_cosine(spark, sf):
         from whoosh_reloaded_spark.textops import cosine_topk
 
@@ -805,6 +838,26 @@ SELECT doc_id,
 FROM t
 """
     )
+
+    # And[Term(spark), NumericRange, NumericRange]: doc must match the term
+    # and both ranges; score = bm25(spark) + 1.0 + 1.0
+    o["parsed_gtlt"] = (
+        _BASE_CTE
+        + """
+SELECT s.doc_id, round(sum(s.s) + 2.0, 6) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.term = 'spark' AND d.n_chars >= 200 AND d.n_chars < 400
+GROUP BY s.doc_id
+ORDER BY score DESC, s.doc_id ASC
+LIMIT 10
+"""
+    )
+    o["parsed_daterange"] = """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+"""
 
     o["ann_cosine"] = """
 WITH e AS (

@@ -1,0 +1,153 @@
+"""Parser plugin surface — shapes mirrored from the reference's
+tests/test_parse_plugins.py (GtLt, CopyField, Every, dates) and
+tests/test_parsing.py::test_multifield."""
+
+from datetime import datetime
+
+import pytest
+
+from whoosh_reloaded_spark.query import ast as Q
+from whoosh_reloaded_spark.query.parser import MultifieldParser, QueryParser
+
+SCHEMA = {
+    "a": "text",
+    "b": "numeric",
+    "c": "text",
+    "d": "numeric",
+    "e": "date",
+}
+
+
+def qp(**kw):
+    return QueryParser("a", schema=SCHEMA, **kw)
+
+
+def test_gtlt_shapes():
+    # reference test_parse_plugins.py:348-371
+    q = qp().parse("a:hello b:>100 c:<=z there")
+    assert isinstance(q, Q.And) and len(q.children) == 4
+    assert q.children[0] == Q.Term("hello", "a")
+    assert q.children[1] == Q.NumericRange("b", 100.0, None, True, False)
+    assert q.children[2] == Q.TermRange(None, "z", "c")
+    assert q.children[3] == Q.Term("there", "a")
+
+
+def test_gtlt_requires_field():
+    # bare ">100" has no field specifier -> not a range (plugins.py:1092-1095)
+    q = qp().parse("hello >100")
+    assert all(not isinstance(c, Q.NumericRange) for c in q.children)
+
+
+def test_gtlt_date():
+    q = qp().parse("e:>=2010-05-12")
+    assert q == Q.DateRange("e", datetime(2010, 5, 12), None, False, False)
+    q2 = qp().parse("e:>2010")
+    assert q2 == Q.DateRange(
+        "e", datetime(2010, 12, 31, 23, 59, 59, 999999), None, True, False
+    )
+
+
+def test_numeric_exact_and_range():
+    q = qp().parse("b:250")
+    assert q == Q.NumericRange("b", 250.0, 250.0, False, False)
+    q2 = qp().parse("b:[100 to 200]")
+    assert q2 == Q.NumericRange("b", 100.0, 200.0, False, False)
+    q3 = qp().parse("b:{100 to 200}")
+    assert q3 == Q.NumericRange("b", 100.0, 200.0, True, True)
+
+
+def test_date_point_spans_period():
+    # date:2010 covers the whole year (adatetime floor/ceil, times.py:202-260)
+    q = qp().parse("e:2010")
+    assert q == Q.DateRange(
+        "e",
+        datetime(2010, 1, 1),
+        datetime(2010, 12, 31, 23, 59, 59, 999999),
+        False,
+        False,
+    )
+    q2 = qp().parse("e:2010-05")
+    assert q2.start == datetime(2010, 5, 1)
+    assert q2.end == datetime(2010, 5, 31, 23, 59, 59, 999999)
+
+
+def test_date_range_bracket():
+    # [2010 to 2012] -> floor(2010) .. ceil(2012) (dateparse.py:943-960)
+    q = qp().parse("e:[2010 to 2012]")
+    assert q == Q.DateRange(
+        "e",
+        datetime(2010, 1, 1),
+        datetime(2012, 12, 31, 23, 59, 59, 999999),
+        False,
+        False,
+    )
+
+
+def test_fielded_text_range():
+    q = qp().parse("c:[m to p]")
+    assert q == Q.TermRange("m", "p", "c")
+
+
+def test_every():
+    assert qp().parse("*:*") == Q.Every()
+    assert qp().parse("*") == Q.Every()
+
+
+def test_copyfield():
+    # reference test_parse_plugins.py:302-306 (default Or group)
+    p = QueryParser("a", schema={"a": "text", "b": "text", "c": "text"},
+                    copy_fields={"b": "c"})
+    q = p.parse("hello b:matt")
+    assert isinstance(q, Q.And)
+    assert q.children[0] == Q.Term("hello", "a")
+    assert q.children[1] == Q.Or((Q.Term("matt", "b"), Q.Term("matt", "c")))
+
+
+def test_copyfield_default_field():
+    # CopyFieldPlugin applies to the DEFAULT field too (fname = node.fieldname
+    # or parser.fieldname, plugins.py:1288)
+    p = QueryParser("a", schema={"a": "text", "c": "text"},
+                    copy_fields={"a": "c"})
+    q = p.parse("hello")
+    assert q == Q.Or((Q.Term("hello", "a"), Q.Term("hello", "c")))
+
+
+def test_multifield():
+    # reference test_parsing.py:191-203
+    p = MultifieldParser(["x", "y"], schema={"x": "text", "y": "text",
+                                             "cat": "text"})
+    q = p.parse("alfa (bravo charlie cat:delta) OR (bravo charlie cat:echo)")
+    s = repr(q)
+    # unfielded terms expand to Or over x/y; fielded cat:delta stays single
+    assert "Term(text='delta', fieldname='cat'" in s
+    assert "Term(text='bravo', fieldname='x'" in s
+    assert "Term(text='bravo', fieldname='y'" in s
+
+
+def test_multifield_boosts():
+    p = MultifieldParser(["x", "y"], fieldboosts={"x": 2.0},
+                         schema={"x": "text", "y": "text"})
+    q = p.parse("hello")
+    assert q == Q.Or((Q.Term("hello", "x", 2.0), Q.Term("hello", "y")))
+
+
+def test_multifield_phrase():
+    p = MultifieldParser(["x", "y"], schema={"x": "text", "y": "text"})
+    q = p.parse('"big data"')
+    assert q == Q.Or(
+        (Q.Phrase(("big", "data"), "x"), Q.Phrase(("big", "data"), "y"))
+    )
+
+
+def test_fielded_phrase():
+    p = QueryParser("a", schema={"a": "text", "t": "text"})
+    q = p.parse('t:"big data"')
+    assert q == Q.Phrase(("big", "data"), "t")
+
+
+def test_default_grammar_unchanged():
+    p = QueryParser("text")
+    q = p.parse("render AND yellow")
+    assert q == Q.And((Q.Term("render"), Q.Term("yellow")))
+    q2 = p.parse("render OR yellow^2")
+    assert q2 == Q.Or((Q.Term("render"), Q.Term("yellow", boost=2.0)))

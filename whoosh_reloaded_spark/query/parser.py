@@ -1,12 +1,33 @@
-"""Query-string parser — the reference's default QueryParser grammar subset.
+"""Query-string parser — the reference's default QueryParser grammar plus
+the everyday plugin surface.
 
 Covers the default plugin set (qparser/default.py:95-111): whitespace
 grouping with implicit AND, AND/OR/NOT/ANDNOT/ANDMAYBE operators
 (plugins.py:895+), quoted phrases (plugins.py:673), [a TO b] / {a TO b}
 ranges (plugins.py:835), ^boost (plugins.py:217), parenthesized groups
 (plugins.py:285), trailing-* prefix and * / ? wildcards, fuzzy~ terms,
-and `field:` prefixes routed to `known_fields` (unknown prefixes fall back
+and `field:` prefixes routed to the schema (unknown prefixes fall back
 to the default field).
+
+Plugin parity beyond the default set:
+
+- GtLtPlugin (plugins.py:1081-1155): ``field:>x  field:<=y  field:=>z`` —
+  requires a field specifier, exactly like the reference; translates to
+  the equivalent half-open range of the field's kind.
+- EveryPlugin (plugins.py:349-360): ``*:*`` (and a bare ``*``) -> Every().
+- CopyFieldPlugin (plugins.py:1241-1297): `copy_fields={"name": "author"}`
+  rewrites nodes in field `name` to Or([name:x, author:x]).
+- MultifieldPlugin (plugins.py:1157-1203): :class:`MultifieldParser` —
+  unfielded leaves become Or over the configured fields with per-field
+  boosts.
+- DateParserPlugin, absolute subset (dateparse.py:786+): on fields declared
+  ``"date"`` in the schema, `date:2010-05`, `date:[2010 to 2012]`, and
+  `date:>2010-05-12` parse to DateRange with adatetime floor/ceil span
+  semantics (util/times.py:202-260).  Relative/NL forms ('yesterday') are
+  documented as unsupported.
+- Numeric fields (schema kind ``"numeric"``): `n:250` -> exact NumericRange,
+  `n:[100 to 200]`, `n:>=100` -> NumericRange — the reference's NUMERIC
+  field parsing (fields.py:522-809) without the tiered-term machinery.
 
 Query words are analyzed with the index analyzer in query mode
 (FieldType.process_text, fields.py:196-207): lowercased, stop words dropped
@@ -18,17 +39,18 @@ Pure driver-side Python — parsing is not a hot path.
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from whoosh_reloaded_spark.analysis import StandardAnalyzer
 from whoosh_reloaded_spark.query import ast as Q
+from whoosh_reloaded_spark.query import dates as D
 
 _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\()
   | (?P<rparen>\))
-  | (?P<phrase>"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?)
-  | (?P<range>[\[{]\s*(?P<r_lo>\S+)?\s+TO(\s+(?P<r_hi>\S+?))?\s*[\]}])
+  | (?P<phrase>(?:(?P<p_field>\w+):)?"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?)
+  | (?P<range>(?:(?P<r_field>\w+):)?[\[{]\s*(?P<r_lo>\S+)?\s+(?:TO|to)(\s+(?P<r_hi>\S+?))?\s*[\]}])
   | (?P<word>[^\s()]+)
 """,
     re.VERBOSE,
@@ -36,6 +58,9 @@ _TOKEN_RE = re.compile(
 
 _BOOST_RE = re.compile(r"\^(\d+(\.\d+)?)$")
 _FUZZY_RE = re.compile(r"~(\d*)$")
+_GTLT_RE = re.compile(r"^(<=|>=|=<|=>|<|>)")
+
+TEXT, NUMERIC, DATE = "text", "numeric", "date"
 
 
 class _Tok:
@@ -60,19 +85,22 @@ def _lex(s: str) -> List[_Tok]:
                 _Tok(
                     "phrase",
                     m.group("phrase_body"),
+                    field=m.group("p_field"),
                     slop=int(m.group("slop")) if m.group("slop") else 1,
                 )
             )
         elif m.group("range") is not None:
             raw = m.group("range")
+            body = raw.split(":", 1)[1] if m.group("r_field") else raw
             out.append(
                 _Tok(
                     "range",
                     raw,
+                    field=m.group("r_field"),
                     lo=m.group("r_lo"),
                     hi=m.group("r_hi"),
-                    loexcl=raw.startswith("{"),
-                    hiexcl=raw.endswith("}"),
+                    loexcl=body.startswith("{"),
+                    hiexcl=body.endswith("}"),
                 )
             )
         elif m.group("word"):
@@ -85,13 +113,24 @@ class QueryParser:
 
     def __init__(self, fieldname: str = "text",
                  analyzer: Optional[StandardAnalyzer] = None,
-                 group: str = "and", known_fields=None):
+                 group: str = "and", known_fields=None,
+                 schema: Optional[Dict[str, str]] = None,
+                 copy_fields: Optional[Dict[str, str]] = None):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
-        # fields a `field:` prefix may select (FieldsPlugin, plugins.py:364);
-        # unknown prefixes fall back to the default field
-        self.known_fields = set(known_fields or ())
+        # schema: fieldname -> kind ("text" | "numeric" | "date"); a
+        # `field:` prefix may select any schema field (FieldsPlugin,
+        # plugins.py:364); unknown prefixes fall back to the default field
+        self.schema: Dict[str, str] = dict(schema or {})
+        for f in known_fields or ():
+            self.schema.setdefault(f, TEXT)
+        self.schema.setdefault(fieldname, TEXT)
+        # CopyFieldPlugin map (from-field -> to-field)
+        self.copy_fields = dict(copy_fields or {})
+
+    def _kind(self, fieldname: str) -> str:
+        return self.schema.get(fieldname, TEXT)
 
     # -- recursive descent ---------------------------------------------------
 
@@ -191,11 +230,23 @@ class QueryParser:
             words = self.analyzer.query_terms(t.value)
             if not words:
                 return Q.NullQuery()
-            return Q.Phrase(tuple(words), self.fieldname, slop=t.slop)
+            if t.field is not None and t.field in self.schema:
+                return self._leaf_hooks(
+                    Q.Phrase(tuple(words), t.field, slop=t.slop), t.field
+                )
+            return self._unfielded_leaf(
+                Q.Phrase(tuple(words), self.fieldname, slop=t.slop)
+            )
         if t.kind == "range":
-            lo = self._analyze_rangeterm(t.lo)
-            hi = self._analyze_rangeterm(t.hi)
-            return Q.TermRange(lo, hi, self.fieldname, t.loexcl, t.hiexcl)
+            fieldname = (
+                t.field
+                if t.field is not None and t.field in self.schema
+                else self.fieldname
+            )
+            return self._leaf_hooks(
+                self._make_range(fieldname, t.lo, t.hi, t.loexcl, t.hiexcl),
+                explicit_field=t.field if t.field in self.schema else None,
+            )
         return self._word(t.value)
 
     @staticmethod
@@ -206,36 +257,170 @@ class QueryParser:
             return replace(q, boost=q.boost * boost)
         return q
 
-    def _analyze_rangeterm(self, raw: Optional[str]) -> Optional[str]:
-        if raw is None:
-            return None
-        return raw.lower()
+    # -- range construction by field kind ------------------------------------
+
+    def _make_range(self, fieldname: str, lo: Optional[str], hi: Optional[str],
+                    loexcl: bool, hiexcl: bool, boost: float = 1.0) -> Q.Query:
+        kind = self._kind(fieldname)
+        if kind == NUMERIC:
+            try:
+                start = float(lo) if lo is not None else None
+                end = float(hi) if hi is not None else None
+                return Q.NumericRange(fieldname, start, end, loexcl, hiexcl, boost)
+            except ValueError:
+                pass  # non-numeric bound on a numeric field -> treat as text
+        if kind == DATE:
+            # [2010 to 2012] -> floor(lo) .. ceil(hi) (dateparse range
+            # semantics: each endpoint's span edge)
+            start = D.floor(lo) if lo is not None else None
+            end = D.ceil(hi) if hi is not None else None
+            if (lo is None or start is not None) and (hi is None or end is not None):
+                return Q.DateRange(fieldname, start, end, loexcl, hiexcl, boost)
+        lo_t = lo.lower() if lo is not None else None
+        hi_t = hi.lower() if hi is not None else None
+        return Q.TermRange(lo_t, hi_t, fieldname, loexcl, hiexcl, boost)
+
+    def _gtlt_range(self, fieldname: str, rel: str, text: str,
+                    boost: float) -> Q.Query:
+        """GtLtPlugin.make_range (plugins.py:1146-1155): < -> {None to x},
+        > -> {x to None], <= -> [None to x], >= -> [x to None].  For date
+        fields the endpoint uses the span edge facing AWAY from the range so
+        `date:>2010` means strictly after 2010 ends."""
+        kind = self._kind(fieldname)
+        if kind == DATE and D.parse_adate(text) is not None:
+            if rel == "<":
+                return Q.DateRange(fieldname, None, D.floor(text), False, True, boost)
+            if rel == ">":
+                return Q.DateRange(fieldname, D.ceil(text), None, True, False, boost)
+            if rel in ("<=", "=<"):
+                return Q.DateRange(fieldname, None, D.ceil(text), False, False, boost)
+            return Q.DateRange(fieldname, D.floor(text), None, False, False, boost)
+        if rel == "<":
+            return self._make_range(fieldname, None, text, False, True, boost)
+        if rel == ">":
+            return self._make_range(fieldname, text, None, True, False, boost)
+        if rel in ("<=", "=<"):
+            return self._make_range(fieldname, None, text, False, False, boost)
+        return self._make_range(fieldname, text, None, False, False, boost)
+
+    # -- leaf post-processing (CopyField / Multifield hooks) ------------------
+
+    def _leaf_hooks(self, q: Q.Query, explicit_field: Optional[str]) -> Q.Query:
+        """CopyFieldPlugin rewrite (plugins.py:1277-1297): a leaf whose
+        resolved field is in copy_fields becomes Or([orig, copy])."""
+        from dataclasses import replace
+
+        fname = getattr(q, "fieldname", None)
+        if fname in self.copy_fields:
+            return Q.Or((q, replace(q, fieldname=self.copy_fields[fname])))
+        return q
+
+    def _unfielded_leaf(self, q: Q.Query) -> Q.Query:
+        """Hook for MultifieldParser; identity in the base parser."""
+        return self._leaf_hooks(q, None)
 
     def _word(self, raw: str) -> Q.Query:
         boost = 1.0
         fieldname = self.fieldname
+        explicit_field: Optional[str] = None
         m = _BOOST_RE.search(raw)
         if m:
             boost = float(m.group(1))
             raw = raw[: m.start()]
+        # EveryPlugin: *:* (and bare *) matches every document
+        if raw in ("*", "*:*"):
+            return Q.Every(boost)
         if ":" in raw:
             field, rest = raw.split(":", 1)
-            raw = rest
-            if field in self.known_fields:
+            if field in self.schema:
                 fieldname = field
+                explicit_field = field
+                raw = rest
+            elif field == "*" and rest == "*":
+                return Q.Every(boost)
+            else:
+                raw = rest
+        # GtLtPlugin: requires an explicit field specifier (plugins.py:1093)
+        gm = _GTLT_RE.match(raw)
+        if gm and explicit_field is not None and raw[gm.end():]:
+            return self._leaf_hooks(
+                self._gtlt_range(fieldname, gm.group(1), raw[gm.end():], boost),
+                explicit_field,
+            )
+        kind = self._kind(fieldname)
+        if explicit_field is not None and kind == NUMERIC:
+            try:
+                v = float(raw)
+                return self._leaf_hooks(
+                    Q.NumericRange(fieldname, v, v, False, False, boost),
+                    explicit_field,
+                )
+            except ValueError:
+                pass
+        if explicit_field is not None and kind == DATE:
+            sp = D.span(raw)
+            if sp is not None:
+                return self._leaf_hooks(
+                    Q.DateRange(fieldname, sp[0], sp[1], False, False, boost),
+                    explicit_field,
+                )
         maxdist = None
         m = _FUZZY_RE.search(raw)
         if m and not raw.endswith('~"'):
             maxdist = int(m.group(1)) if m.group(1) else 1
             raw = raw[: m.start()]
         if "*" in raw or "?" in raw:
-            return Q.Wildcard(raw.lower(), fieldname, boost)
+            leaf = Q.Wildcard(raw.lower(), fieldname, boost)
+            return (
+                self._leaf_hooks(leaf, explicit_field)
+                if explicit_field is not None
+                else self._unfielded_leaf(leaf)
+            )
         terms = self.analyzer.query_terms(raw)
         if not terms:
             return Q.NullQuery()
         if maxdist is not None:
-            return Q.FuzzyTerm(terms[0], fieldname, boost, maxdist=maxdist)
-        if len(terms) == 1:
-            return Q.Term(terms[0], fieldname, boost)
-        # multi-token word (e.g. hyphenated) -> phrase-like AND
-        return Q.And(tuple(Q.Term(w, fieldname, boost) for w in terms))
+            leaf = Q.FuzzyTerm(terms[0], fieldname, boost, maxdist=maxdist)
+        elif len(terms) == 1:
+            leaf = Q.Term(terms[0], fieldname, boost)
+        else:
+            # multi-token word (e.g. hyphenated) -> phrase-like AND
+            leaf = Q.And(tuple(Q.Term(w, fieldname, boost) for w in terms))
+        if explicit_field is not None:
+            return self._leaf_hooks(leaf, explicit_field)
+        return self._unfielded_leaf(leaf)
+
+
+class MultifieldParser(QueryParser):
+    """MultifieldPlugin (plugins.py:1157-1203): unfielded leaves expand to
+    an Or over `fieldnames` with optional per-field boosts — the basis of
+    the reference's MultifieldParser (qparser/default.py:354-377)."""
+
+    def __init__(self, fieldnames: Sequence[str],
+                 fieldboosts: Optional[Dict[str, float]] = None,
+                 analyzer: Optional[StandardAnalyzer] = None,
+                 schema: Optional[Dict[str, str]] = None,
+                 copy_fields: Optional[Dict[str, str]] = None):
+        super().__init__(
+            fieldname=fieldnames[0],
+            analyzer=analyzer,
+            known_fields=fieldnames,
+            schema=schema,
+            copy_fields=copy_fields,
+        )
+        self.fieldnames = list(fieldnames)
+        self.fieldboosts = dict(fieldboosts or {})
+
+    def _unfielded_leaf(self, q: Q.Query) -> Q.Query:
+        from dataclasses import replace
+
+        if not hasattr(q, "fieldname"):
+            return self._leaf_hooks(q, None)
+        copies = []
+        for f in self.fieldnames:
+            c = replace(q, fieldname=f)
+            fb = self.fieldboosts.get(f, 1.0)
+            if fb != 1.0 and hasattr(c, "boost"):
+                c = replace(c, boost=c.boost * fb)
+            copies.append(self._leaf_hooks(c, f))
+        return Q.Or(tuple(copies))

@@ -42,6 +42,7 @@ from whoosh_reloaded_spark.scoring import (
 )
 
 TOO_MANY_CLAUSES = 1024  # compound.py:282 heuristic bound for expansions
+FUZZY_DRIVER_LIMIT = 20_000  # fuzzy slices below this run the DP driver-side
 
 
 def osa_distance(a: str, b: str, limit: Optional[int] = None) -> int:
@@ -86,6 +87,20 @@ def _make_osa_match_udf(qtext: str, maxdist: int):
         )
 
     return within
+
+
+def range_condition(q) -> "F.Column":
+    """Native column predicate for a NumericRange/DateRange node — Catalyst
+    pushes it into the scan (the reference needs tiered terms for this,
+    fields.py:563; a columnar engine gets it for free).  Usable against any
+    DataFrame carrying the field, not just docmeta."""
+    c = F.col(q.fieldname)
+    cond = F.lit(True)
+    if q.start is not None:
+        cond = cond & (c > q.start if q.startexcl else c >= q.start)
+    if q.end is not None:
+        cond = cond & (c < q.end if q.endexcl else c <= q.end)
+    return cond
 
 
 def glob_to_java_regex(pat: str) -> str:
@@ -239,6 +254,21 @@ class Searcher:
             c = c.where(
                 F.abs(F.length("term") - F.lit(len(q.text))) <= q.maxdist
             )
+            # bounded probe: collect at most LIMIT+1 windowed terms; a small
+            # slice (the common case — prefix + length window prune hard)
+            # runs the DP on the driver with no extra Python-worker job.  A
+            # head-term slice falls back to the distributed Arrow UDF, so no
+            # path ever collects an unbounded term dictionary.
+            cand = [
+                r["term"]
+                for r in c.select("term").limit(FUZZY_DRIVER_LIMIT + 1).collect()
+            ]
+            if len(cand) <= FUZZY_DRIVER_LIMIT:
+                return sorted(
+                    t
+                    for t in cand
+                    if osa_distance(q.text, t, q.maxdist) <= q.maxdist
+                )
             within = _make_osa_match_udf(q.text, q.maxdist)
             matches = c.select("term").where(within(F.col("term")))
             return sorted(r["term"] for r in matches.collect())
@@ -469,12 +499,7 @@ class Searcher:
         if isinstance(q, Q.Ordered):
             return self._eval_ordered(q)
         if isinstance(q, (Q.NumericRange, Q.DateRange)):
-            c = F.col(q.fieldname)
-            df = self.ix.docmeta
-            if q.start is not None:
-                df = df.where(c > q.start if q.startexcl else c >= q.start)
-            if q.end is not None:
-                df = df.where(c < q.end if q.endexcl else c <= q.end)
+            df = self.ix.docmeta.where(range_condition(q))
             return df.select("docid", F.lit(float(q.boost)).alias("score"))
         if isinstance(q, Q.ColumnQuery):
             return self.ix.docmeta.where(F.expr(q.expr)).select(
