@@ -275,6 +275,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_topk"] = tfidf_topk
 
+    def reverse_topk(spark, sf):
+        """ReverseWeighting (ref scoring.py:586-611): 0 - BM25, so the
+        LOWEST-scoring matches rank first."""
+        from whoosh_reloaded_spark.scoring import ReverseWeighting
+
+        return _topk_w(
+            spark, sf, Or([Term("spark"), Term("join")]),
+            ReverseWeighting(BM25F(quantized=False)),
+        )
+
+    q["reverse_topk"] = reverse_topk
+
+    def multiweighting_topk(spark, sf):
+        """MultiWeighting dispatch (ref scoring.py:558-583): the 'text'
+        entry (TF_IDF) must win over the BM25 default for the text field."""
+        from whoosh_reloaded_spark.scoring import MultiWeighting, TF_IDF
+
+        return _topk_w(
+            spark, sf, Or([Term("spark"), Term("join")]),
+            MultiWeighting(BM25F(quantized=False), text=TF_IDF()),
+        )
+
+    q["multiweighting_topk"] = multiweighting_topk
+
+    def function_pos_topk(spark, sf):
+        """FunctionWeighting (ref scoring.py:515-556) with the reference
+        docstring's example scorer: 1 / (first term position + 1)."""
+        from whoosh_reloaded_spark.scoring import FunctionWeighting
+
+        w = FunctionWeighting(
+            lambda ctx: F.lit(1.0) / (F.element_at(ctx.positions, 1) + 1.0),
+            needs_positions=True,
+        )
+        return _topk_w(spark, sf, Or([Term("spark"), Term("join")]), w)
+
+    q["function_pos_topk"] = function_pos_topk
+
     def dedup_fingerprint(spark, sf):
         """Canonical-form duplicate groups (same sorted distinct tokens)."""
         from whoosh_reloaded_spark.textops import doc_fingerprint
@@ -836,6 +873,42 @@ SELECT doc_id, lang AS pred_lang, score AS lang_score FROM rk WHERE rn = 1
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM t
+"""
+    )
+
+    o["reverse_topk"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(0 - sum(s), 6) AS score
+FROM scored WHERE term IN ('spark', 'join')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+    # MultiWeighting(BM25 default, text=TF_IDF): the text entry wins, so the
+    # oracle is exactly the TF_IDF formula
+    o["multiweighting_topk"] = o["tfidf_topk"]
+    # FunctionWeighting 1/(first renumbered position + 1), summed over terms
+    o["function_pos_topk"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+),
+firstpos AS (
+  SELECT doc_id, term, min(pos) AS fp FROM rp
+  WHERE term IN ('spark', 'join')
+  GROUP BY doc_id, term
+)
+SELECT doc_id, round(sum(1.0 / (fp + 1)), 6) AS score
+FROM firstpos
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """
     )
 

@@ -159,7 +159,7 @@ class Searcher:
 
     def score_context(
         self, terms: Sequence[str],
-        weight=None, len_byte=None, length=None,
+        weight=None, len_byte=None, length=None, positions=None,
     ) -> ScoreContext:
         """Build a ScoreContext for `terms` with idf/cf literal maps."""
         self._lookup_stats(terms)
@@ -177,6 +177,7 @@ class Searcher:
             avgfl=self.avgfl,
             field_length=self.field_length,
             fieldname=self.ix.fieldname,
+            positions=positions,
         )
 
     # -- leaf evaluation -----------------------------------------------------
@@ -202,7 +203,14 @@ class Searcher:
             # reference caches idf the same way, searching.py:334-351).
             # A broadcast-join alternative was measured SLOWER per query
             # (broadcast materialization is its own job + join overhead).
-            score = self.weighting.score_col(self.score_context(terms))
+            pos_col = (
+                F.col("positions")
+                if getattr(self.weighting, "needs_positions", False)
+                else None
+            )
+            score = self.weighting.score_col(
+                self.score_context(terms, positions=pos_col)
+            )
         if boosts:
             bpairs = []
             for t in terms:
@@ -646,6 +654,13 @@ class Searcher:
         """
         q = q.normalize()
         hits = self._eval(q)
+        if getattr(self.weighting, "use_final", False):
+            # doc-level final() hook applied to the COMBINED score, where
+            # the reference's collector calls weighting.final()
+            # (collectors.py _score path; scoring.py:66-82)
+            hits = hits.select(
+                "docid", self.weighting.final_col(F.col("score")).alias("score")
+            )
         # top-k FIRST (TakeOrderedAndProject over the hit frame), THEN join
         # the tiny result against docmeta for display fields — at scale the
         # uid join must touch k rows, not every hit

@@ -53,6 +53,8 @@ class ScoreContext:
     avgfl: float            # exact average field length
     field_length: int       # total field length (collection)
     fieldname: str = "text"
+    positions: Optional[Column] = None  # per-posting position array (only
+    # resolvable when the model sets needs_positions and the frame has it)
 
     def fl(self, quantized: bool) -> Column:
         """Effective per-doc length: byte-decoded in parity mode (the
@@ -66,9 +68,17 @@ class ScoreContext:
 
 class WeightingModel:
     quantized: bool = True
+    needs_positions: bool = False  # ask the planner to carry positions
+    use_final: bool = False        # apply final_col per doc after combining
 
     def score_col(self, ctx: ScoreContext) -> Column:
         raise NotImplementedError
+
+    def final_col(self, score: Column) -> Column:
+        """Doc-level post-hook (ref scoring.py:66-82 WeightingModel.final):
+        applied by Searcher.search to the combined per-doc score, exactly
+        where the reference's collector calls weighting.final()."""
+        return score
 
 
 @dataclass
@@ -163,3 +173,76 @@ class PL2(WeightingModel):
                 + TF * (F.log(TF) - F.lit(rec_log2_of_e))
             )
         )
+
+
+class FunctionWeighting(WeightingModel):
+    """Score with a user-supplied Column factory (ref scoring.py:515-556).
+
+    The reference's fn signature is ``(searcher, fieldname, text, matcher)``
+    pulled per posting; the Spark-native equivalent is one vectorized
+    ``fn(ctx: ScoreContext) -> Column`` evaluated over the whole posting
+    frame.  Example — the reference docstring's position scorer::
+
+        FunctionWeighting(lambda ctx: 1.0 / (F.element_at(ctx.positions, 1) + 1),
+                          needs_positions=True)
+
+    ``final_fn(score_col) -> Column`` maps onto the legacy ``final()``
+    doc-level hook (ref scoring.py:66-82, tests/test_weightings.py
+    test_compatibility).
+    """
+
+    def __init__(self, fn, quantized: bool = True,
+                 needs_positions: bool = False, final_fn=None):
+        self.fn = fn
+        self.quantized = quantized
+        self.needs_positions = needs_positions
+        self.final_fn = final_fn
+        self.use_final = final_fn is not None
+
+    def score_col(self, ctx: ScoreContext) -> Column:
+        return self.fn(ctx)
+
+    def final_col(self, score: Column) -> Column:
+        return self.final_fn(score) if self.final_fn is not None else score
+
+
+class MultiWeighting(WeightingModel):
+    """Per-field model dispatch (ref scoring.py:558-583): the keyword map
+    picks the model for each fieldname, falling back to `default`.  Dispatch
+    happens at plan time via ctx.fieldname — each per-field subplan gets its
+    own score expression, like the reference handing each fielded term its
+    field's scorer."""
+
+    def __init__(self, default: WeightingModel, **weightings: WeightingModel):
+        self.default = default
+        self.weightings = weightings
+
+    def _pick(self, fieldname: str) -> WeightingModel:
+        return self.weightings.get(fieldname, self.default)
+
+    @property
+    def quantized(self):  # parity mode follows the dispatched models
+        return self.default.quantized
+
+    def score_col(self, ctx: ScoreContext) -> Column:
+        return self._pick(ctx.fieldname).score_col(ctx)
+
+
+class ReverseWeighting(WeightingModel):
+    """0 - wrapped score (ref scoring.py:586-611): lowest-scoring docs rank
+    first.  Top-k keeps orderBy(score desc) — negated scores sort exactly
+    like the reference's reversed heap."""
+
+    def __init__(self, weighting: WeightingModel):
+        self.weighting = weighting
+
+    @property
+    def quantized(self):
+        return self.weighting.quantized
+
+    @property
+    def needs_positions(self):
+        return self.weighting.needs_positions
+
+    def score_col(self, ctx: ScoreContext) -> Column:
+        return F.lit(0.0) - self.weighting.score_col(ctx)
