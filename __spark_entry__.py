@@ -419,6 +419,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint"] = fingerprint
 
+    def span_near(spark, sf):
+        """SpanNear (spans.py:530-699): 'batch' within 2 positions before
+        'stream' — slop relaxes phrase adjacency."""
+        from whoosh_reloaded_spark.query import SpanNear
+
+        return _topk(
+            spark, sf, SpanNear(Term("batch"), Term("stream"), slop=2)
+        )
+
+    q["span_near"] = span_near
+
     def parsed_gtlt(spark, sf):
         """GtLtPlugin surface (qparser/plugins.py:1081): the query STRING
         'spark n_chars:>=200 n_chars:<400' parses to And[Term, NumericRange,
@@ -873,6 +884,34 @@ SELECT doc_id, lang AS pred_lang, score AS lang_score FROM rk WHERE rn = 1
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM t
+"""
+    )
+
+    # SpanNear(batch, stream, slop=2, ordered): exists positions with
+    # 1 <= p(stream) - p(batch) <= 2 over renumbered positions; score = sum
+    # of both terms' BM25 scores (intersection matcher scoring)
+    o["span_near"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+),
+nm AS (
+  SELECT DISTINCT a.doc_id
+  FROM rp a JOIN rp b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+  WHERE a.term = 'batch' AND b.term = 'stream'
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term IN ('batch', 'stream') AND doc_id IN (SELECT doc_id FROM nm)
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """
     )
 

@@ -324,7 +324,13 @@ class Searcher:
 
     def _eval(self, q: Q.Query) -> DataFrame:
         """Evaluate to a docid-unique (docid, score) frame."""
+        from whoosh_reloaded_spark.query.spans import SpanEvaluator, SpanQuery
+
         spark = self.ix.postings.sparkSession
+        if isinstance(q, SpanQuery):
+            # a doc matches iff its span list is nonempty (already filtered
+            # inside SpanEvaluator); score follows the wrapped matcher tree
+            return SpanEvaluator(self).frame(q).select("docid", "score")
         if isinstance(q, Q.NullQuery):
             return spark.createDataFrame([], "docid long, score double")
         if isinstance(q, Q.Every):
