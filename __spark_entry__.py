@@ -419,6 +419,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint"] = fingerprint
 
+    def variations_topk(spark, sf):
+        """Variations (query/terms.py:522): morphological expansion of
+        'stream' filtered by lexicon membership, scored as Or."""
+        from whoosh_reloaded_spark.query import Variations
+
+        return _topk(spark, sf, Variations("stream"))
+
+    q["variations_topk"] = variations_topk
+
     def span_near(spark, sf):
         """SpanNear (spans.py:530-699): 'batch' within 2 positions before
         'stream' — slop relaxes phrase adjacency."""
@@ -884,6 +893,24 @@ SELECT doc_id, lang AS pred_lang, score AS lang_score FROM rk WHERE rn = 1
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM t
+"""
+    )
+
+    # Variations('stream'): the LiteMorph candidate set is computed here in
+    # Python (the generator is deterministic data, not SQL-expressible); the
+    # scored CTE only contains lexicon terms, so IN auto-applies the
+    # membership filter the engine does via term_stats
+    from whoosh_reloaded_spark.variations import variations as _variations
+
+    _var_terms = ", ".join(f"'{t}'" for t in sorted(set(_variations("stream"))))
+    o["variations_topk"] = (
+        _BASE_CTE
+        + f"""
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term IN ({_var_terms})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """
     )
 

@@ -121,3 +121,23 @@ def test_known_fields_routing():
     assert p.parse("name:yellow AND red") == Q.And(
         (Q.Term("yellow", "name"), Q.Term("red", "value"))
     )
+
+
+def test_variations_generator_parity():
+    """Byte-parity of the LiteMorph engine vs the reference generator over a
+    word sample (the 3k-word fuzz runs in CI spirit; keep a fast subset)."""
+    import pytest
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        pytest.skip("reference not importable")
+    from whoosh.lang.morph_en import variations as ref_var
+
+    from whoosh_reloaded_spark.variations import variations as our_var
+
+    for w in ["render", "pull", "data", "tries", "happiness", "tokenizes",
+              "judges", "quickly", "happily", "schema", "datum", "arise",
+              "analysis", "fully", "spy", "betray", "fix", "unflag", "bed",
+              "toccata", "full", "spoon", "business", "kiss", "crisis"]:
+        assert set(ref_var(w)) == set(our_var(w)), w

@@ -307,6 +307,25 @@ def _q16():
     )
 
 
+@case("q18_variations_render")
+def _q18():
+    # test_searching.py:179-180 query shape; golden vs the real engine
+    from whoosh.query import Variations as WVariations
+
+    from whoosh_reloaded_spark.query import Variations
+
+    return Variations("render"), WVariations("text", "render")
+
+
+@case("q18b_variations_pull")
+def _q18b():
+    from whoosh.query import Variations as WVariations
+
+    from whoosh_reloaded_spark.query import Variations
+
+    return Variations("data"), WVariations("text", "data")
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_rank_identical(name, whoosh_ix, our_searcher):
     ours_q, whoosh_q = CASES[name]()

@@ -319,6 +319,16 @@ class Regex(_MultiTerm):
 
 
 @dataclass(frozen=True)
+class Variations(_MultiTerm):
+    """Morphological variations of an English word present in the lexicon
+    (query/terms.py:522-561; generator lang/morph_en.py:1107)."""
+
+    text: str
+    fieldname: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FuzzyTerm(_MultiTerm):
     """Terms within Damerau-Levenshtein maxdist (terms.py:436-520)."""
 

@@ -249,6 +249,14 @@ class Searcher:
                 c = c.where(
                     F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
                 )
+        elif isinstance(q, Q.Variations):
+            # expand driver-side (a few dozen candidates), then one pushed
+            # IN-filter scan keeps only lexicon members (terms.py:551-561)
+            from whoosh_reloaded_spark.variations import variations
+
+            cand = sorted(set(variations(q.text)))
+            rows = ts.where(F.col("term").isin(cand)).select("term").collect()
+            return sorted(r["term"] for r in rows)
         elif isinstance(q, Q.FuzzyTerm):
             # prefix-slice + length-window pushdown (|len(t)-len(q)| <=
             # maxdist — any farther term has distance > maxdist), then the
