@@ -262,6 +262,66 @@ class StemmingAnalyzer(BaseAnalyzer):
         return fn
 
 
+class LanguageAnalyzer(BaseAnalyzer):
+    """RegexTokenizer | Lowercase | StopFilter(lang) | StemFilter(lang) —
+    the reference's LanguageAnalyzer (analysis/analyzers.py:277-315).
+
+    Stop set = English STOP_WORDS UNION the language's list (the reference's
+    StopFilter(lang=...) updates the default stoplist rather than replacing
+    it, filters.py StopFilter.__init__).  Stemmers: snowball de/es/fr +
+    Porter for en (snowball.py); languages with a stop list but no stemmer
+    here (da/fi/hu/it/nl/no/pt/ru/sv/tr) get stop filtering only, mirroring
+    the reference's graceful NoStemmer fallback."""
+
+    def __init__(self, lang: str, expression: str = None,
+                 minsize: int = 2, maxsize=None):
+        from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN, STOP_WORDS
+        from whoosh_reloaded_spark.lang_stopwords_data import STOPLISTS
+
+        self.lang = lang
+        self.expression = expression or DEFAULT_PATTERN
+        code = lang.split("_")[0]
+        stops = set(STOP_WORDS)
+        if code in STOPLISTS:
+            stops |= STOPLISTS[code]
+        self.stoplist = frozenset(stops)
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    def plain_fn(self):
+        from whoosh_reloaded_spark.snowball import stemmer_for
+
+        stem = stemmer_for(self.lang)
+        expr, stops = self.expression, self.stoplist
+        minsize, maxsize = self.minsize, self.maxsize
+
+        def fn(text):
+            import re as _re
+
+            pat = _re.compile(expr, _re.UNICODE)
+            out = []
+            cache = {}
+            renumbered = None
+            for pos, m in enumerate(pat.finditer(text)):
+                t = m.group(0).lower()
+                n = len(t)
+                if n < minsize or (maxsize is not None and n > maxsize):
+                    continue
+                if t in stops:
+                    continue
+                renumbered = pos if renumbered is None else renumbered + 1
+                if stem is not None:
+                    st = cache.get(t)
+                    if st is None:
+                        st = cache[t] = stem(t)
+                else:
+                    st = t
+                out.append((st, renumbered))
+            return out
+
+        return fn
+
+
 class AccentFoldingAnalyzer(BaseAnalyzer):
     """CharsetFilter-equivalent accent folding wrapped around another
     analyzer (ref: analysis/tokenizers.py:201-315 + support/charset.py).

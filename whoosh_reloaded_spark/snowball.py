@@ -1,0 +1,584 @@
+"""Snowball stemmers for German, Spanish, and French.
+
+Martin Porter's published Snowball algorithms
+(https://snowball.tartarus.org/algorithms/{german,spanish,french}/stemmer.html),
+implemented as plain functions for use inside executor closures.  The
+reference ships the NLTK translation of the same algorithms
+(lang/snowball/{german,french,spanish}.py — Apache-2.0 NLTK port); for
+token-stream parity we replicate that port's OBSERVABLE behavior, including
+its documented quirks where it deviates from the pure spec:
+
+- region tests that use substring containment (``suffix in r2``) instead of
+  endswith (French step 1, reference french.py:195-340);
+- ``str.replace`` rewrites that touch the FIRST occurrence (Spanish
+  logía/ución/encia, reference spanish.py:322-331);
+- sequential in-place vowel-protection loops whose later iterations see
+  earlier replacements (German/French pre-passes);
+- the French step-4 ``rv[-4]`` probe is length-guarded here; the port
+  raises IndexError on degenerate short RVs — the only intentional
+  divergence (a crash is not a behavior worth preserving).
+
+Parity is enforced by fuzz tests against the reference stemmers
+(tests/test_language_analyzers.py).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# German — snowball.tartarus.org/algorithms/german/stemmer.html
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouy\xe4\xf6\xfc"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+_DE_STEP1 = ("ern", "em", "er", "en", "es", "e", "s")
+_DE_STEP2 = ("est", "en", "er", "st")
+_DE_STEP3 = ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik")
+
+
+def _r1r2(word: str, vowels: str):
+    """Standard R1/R2 regions (snowball.tartarus.org/texts/r1r2.html)."""
+    r1 = ""
+    r2 = ""
+    for i in range(1, len(word)):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = word[i + 1:]
+            break
+    for i in range(1, len(r1)):
+        if r1[i] not in vowels and r1[i - 1] in vowels:
+            r2 = r1[i + 1:]
+            break
+    return r1, r2
+
+
+def stem_de(word: str) -> str:
+    vowels = _DE_VOWELS
+    word = word.lower().replace("\xdf", "ss")
+    # protect u/y between vowels; sequential updates are visible to later
+    # iterations (port behavior)
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in vowels and word[i + 1] in vowels:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "y":
+                word = word[:i] + "Y" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, vowels)
+    # R1 must leave >= 3 chars before it
+    for i in range(1, len(word)):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            if 0 < len(word[: i + 1]) < 3:
+                r1 = word[3:]
+            break
+
+    for suffix in _DE_STEP1:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("en", "es", "e") and word[-n - 4: -n] == "niss":
+                word, r1, r2 = word[: -n - 1], r1[: -n - 1], r2[: -n - 1]
+            elif suffix == "s":
+                if word[-2] in _DE_S_END:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            else:
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    for suffix in _DE_STEP2:
+        if r1.endswith(suffix):
+            if suffix == "st":
+                if word[-3] in _DE_ST_END and len(word[:-3]) >= 3:
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            else:
+                n = len(suffix)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    for suffix in _DE_STEP3:
+        if r2.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("end", "ung"):
+                if "ig" in r2[-n - 2: -n] and "e" not in r2[-n - 3: -n - 2]:
+                    word = word[: -n - 2]
+                else:
+                    word = word[:-n]
+            elif suffix in ("ig", "ik", "isch"):
+                if "e" not in r2[-n - 1: -n]:
+                    word = word[:-n]
+            elif suffix in ("lich", "heit"):
+                if "er" in r1[-n - 2: -n] or "en" in r1[-n - 2: -n]:
+                    word = word[: -n - 2]
+                else:
+                    word = word[:-n]
+            elif suffix == "keit":
+                if "lich" in r2[-n - 4: -n]:
+                    word = word[: -n - 4]
+                elif "ig" in r2[-n - 2: -n]:
+                    word = word[: -n - 2]
+                else:
+                    word = word[:-n]
+            break
+
+    return (
+        word.replace("\xe4", "a").replace("\xf6", "o").replace("\xfc", "u")
+        .replace("U", "u").replace("Y", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spanish — snowball.tartarus.org/algorithms/spanish/stemmer.html
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiou\xe1\xe9\xed\xf3\xfa\xfc"
+_ES_STEP0 = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_STEP1 = (
+    "amientos", "imientos", "amiento", "imiento", "aciones", "uciones",
+    "adoras", "adores", "ancias", "log\xedas", "encias", "amente",
+    "idades", "anzas", "ismos", "ables", "ibles", "istas", "adora",
+    "aci\xf3n", "antes", "ancia", "log\xeda", "uci\xf3n", "encia",
+    "mente", "anza", "icos", "icas", "ismo", "able", "ible", "ista",
+    "osos", "osas", "ador", "ante", "idad", "ivas", "ivos", "ico",
+    "ica", "oso", "osa", "iva", "ivo",
+)
+_ES_STEP2A = (
+    "yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+    "ya", "ye", "yo", "y\xf3",
+)
+_ES_STEP2B = (
+    "ar\xedamos", "er\xedamos", "ir\xedamos", "i\xe9ramos", "i\xe9semos",
+    "ar\xedais", "aremos", "er\xedais", "eremos", "ir\xedais", "iremos",
+    "ierais", "ieseis", "asteis", "isteis", "\xe1bamos", "\xe1ramos",
+    "\xe1semos", "ar\xedan", "ar\xedas", "ar\xe9is", "er\xedan",
+    "er\xedas", "er\xe9is", "ir\xedan", "ir\xedas", "ir\xe9is",
+    "ieran", "iesen", "ieron", "iendo", "ieras", "ieses", "abais",
+    "arais", "aseis", "\xe9amos", "ar\xe1n", "ar\xe1s", "ar\xeda",
+    "er\xe1n", "er\xe1s", "er\xeda", "ir\xe1n", "ir\xe1s", "ir\xeda",
+    "iera", "iese", "aste", "iste", "aban", "aran", "asen", "aron",
+    "ando", "abas", "adas", "idas", "aras", "ases", "\xedais", "ados",
+    "idos", "amos", "imos", "emos", "ar\xe1", "ar\xe9", "er\xe1",
+    "er\xe9", "ir\xe1", "ir\xe9", "aba", "ada", "ida", "ara", "ase",
+    "\xedan", "ado", "ido", "\xedas", "\xe1is", "\xe9is", "\xeda",
+    "ad", "ed", "id", "an", "i\xf3", "ar", "er", "ir", "as", "\xeds",
+    "en", "es",
+)
+_ES_STEP3 = ("os", "a", "e", "o", "\xe1", "\xe9", "\xed", "\xf3")
+
+
+def _rv_standard(word: str, vowels: str) -> str:
+    """RV per the NLTK port (bases.py:96-133) — NOTE the ``word[:2] in
+    vowels`` branch is a SUBSTRING test of the vowel string, a port quirk
+    replicated for parity (the spec says "first two letters are vowels")."""
+    rv = ""
+    if len(word) >= 2:
+        if word[1] not in vowels:
+            for i in range(2, len(word)):
+                if word[i] in vowels:
+                    rv = word[i + 1:]
+                    break
+        elif word[:2] in vowels:
+            for i in range(2, len(word)):
+                if word[i] not in vowels:
+                    rv = word[i + 1:]
+                    break
+        else:
+            rv = word[3:]
+    return rv
+
+
+def _deaccent_es(s: str) -> str:
+    return (
+        s.replace("\xe1", "a").replace("\xe9", "e").replace("\xed", "i")
+    )
+
+
+def stem_es(word: str) -> str:
+    vowels = _ES_VOWELS
+    word = word.lower()
+    step1_success = False
+    r1, r2 = _r1r2(word, vowels)
+    rv = _rv_standard(word, vowels)
+
+    # STEP 0: attached pronoun
+    for suffix in _ES_STEP0:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if rv.endswith(suffix):
+                if rv[:-n].endswith(
+                    ("i\xe9ndo", "\xe1ndo", "\xe1r", "\xe9r", "\xedr")
+                ):
+                    word = _deaccent_es(word[:-n])
+                    r1 = _deaccent_es(r1[:-n])
+                    r2 = _deaccent_es(r2[:-n])
+                    rv = _deaccent_es(rv[:-n])
+                elif rv[:-n].endswith(("ando", "iendo", "ar", "er", "ir")):
+                    word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+                elif rv[:-n].endswith("yendo") and word[:-n].endswith("uyendo"):
+                    word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+            break
+
+    # STEP 1: standard suffixes
+    for suffix in _ES_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "amente" and r1.endswith(suffix):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic", "ad")):
+                    word, rv = word[:-2], rv[:-2]
+            elif r2.endswith(suffix):
+                step1_success = True
+                if suffix in (
+                    "adora", "ador", "aci\xf3n", "adoras", "adores",
+                    "aciones", "ante", "antes", "ancia", "ancias",
+                ):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("ic"):
+                        word, rv = word[:-2], rv[:-2]
+                elif suffix in ("log\xeda", "log\xedas"):
+                    # first-occurrence replace: port quirk
+                    word = word.replace(suffix, "log")
+                    rv = rv.replace(suffix, "log")
+                elif suffix in ("uci\xf3n", "uciones"):
+                    word = word.replace(suffix, "u")
+                    rv = rv.replace(suffix, "u")
+                elif suffix in ("encia", "encias"):
+                    word = word.replace(suffix, "ente")
+                    rv = rv.replace(suffix, "ente")
+                elif suffix == "mente":
+                    word, r2, rv = word[:-5], r2[:-5], rv[:-5]
+                    if r2.endswith(("ante", "able", "ible")):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("idad", "idades"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    for pre in ("abil", "ic", "iv"):
+                        if r2.endswith(pre):
+                            word = word[: -len(pre)]
+                            rv = rv[: -len(pre)]
+                elif suffix in ("ivo", "iva", "ivos", "ivas"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2a: verb suffixes beginning 'y' (preceded by 'u')
+    if not step1_success:
+        for suffix in _ES_STEP2A:
+            n = len(suffix)
+            if rv.endswith(suffix) and word[-n - 1: -n] == "u":
+                word, rv = word[:-n], rv[:-n]
+                break
+
+        for suffix in _ES_STEP2B:
+            if rv.endswith(suffix):
+                n = len(suffix)
+                word, rv = word[:-n], rv[:-n]
+                if suffix in ("en", "es", "\xe9is", "emos"):
+                    if word.endswith("gu"):
+                        word = word[:-1]
+                    if rv.endswith("gu"):
+                        rv = rv[:-1]
+                break
+
+    # STEP 3: residual suffix
+    for suffix in _ES_STEP3:
+        if rv.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("e", "\xe9"):
+                word, rv = word[:-n], rv[:-n]
+                if len(word) >= 2 and word[-2:] == "gu" and rv and rv[-1] == "u":
+                    word = word[:-1]
+            else:
+                word = word[:-n]
+            break
+
+    return (
+        word.replace("\xe1", "a").replace("\xe9", "e").replace("\xed", "i")
+        .replace("\xf3", "o").replace("\xfa", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# French — snowball.tartarus.org/algorithms/french/stemmer.html
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = "aeiouy\xe2\xe0\xeb\xe9\xea\xe8\xef\xee\xf4\xfb\xf9"
+_FR_STEP1 = (
+    "issements", "issement", "atrices", "atrice", "ateurs", "ations",
+    "logies", "usions", "utions", "ements", "amment", "emment", "ances",
+    "iqUes", "ismes", "ables", "istes", "ateur", "ation", "logie",
+    "usion", "ution", "ences", "ement", "euses", "ments", "ance",
+    "iqUe", "isme", "able", "iste", "ence", "it\xe9s", "ives", "eaux",
+    "euse", "ment", "eux", "it\xe9", "ive", "ifs", "aux", "if",
+)
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "\xeemes", "\xeetes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "\xeet", "ie", "ir", "is", "it", "i",
+)
+_FR_STEP2B = (
+    "eraIent", "assions", "erions", "assent", "assiez", "\xe8rent",
+    "erais", "erait", "eriez", "erons", "eront", "aIent", "antes",
+    "asses", "ions", "erai", "eras", "erez", "\xe2mes", "\xe2tes",
+    "ante", "ants", "asse", "\xe9es", "era", "iez", "ais", "ait",
+    "ant", "\xe9e", "\xe9s", "er", "ez", "\xe2t", "ai", "as",
+    "\xe9", "a",
+)
+_FR_STEP4 = ("i\xe8re", "I\xe8re", "ion", "ier", "Ier", "e", "\xeb")
+_FR_2B_ER_GROUP = (
+    "eraIent", "erions", "\xe8rent", "erais", "erait", "eriez",
+    "erons", "eront", "erai", "eras", "erez", "\xe9es", "era", "iez",
+    "\xe9e", "\xe9s", "er", "ez", "\xe9",
+)
+_FR_2B_A_GROUP = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses",
+    "\xe2mes", "\xe2tes", "ante", "ants", "asse", "ais", "ait",
+    "ant", "\xe2t", "ai", "as", "a",
+)
+
+
+def _rv_french(word: str, vowels: str) -> str:
+    rv = ""
+    if len(word) >= 2:
+        if word.startswith(("par", "col", "tap")) or (
+            word[0] in vowels and word[1] in vowels
+        ):
+            rv = word[3:]
+        else:
+            for i in range(1, len(word)):
+                if word[i] in vowels:
+                    rv = word[i + 1:]
+                    break
+    return rv
+
+
+def stem_fr(word: str) -> str:
+    vowels = _FR_VOWELS
+    word = word.lower()
+    step1_success = False
+    rv_ending_found = False
+    step2a_success = False
+    step2b_success = False
+
+    # protect qu, intervocalic u/i, vowel-adjacent y (sequential updates)
+    for i in range(1, len(word)):
+        if word[i - 1] == "q" and word[i] == "u":
+            word = word[:i] + "U" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in vowels and word[i + 1] in vowels:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+        if word[i - 1] in vowels or word[i + 1] in vowels:
+            if word[i] == "y":
+                word = word[:i] + "Y" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, vowels)
+    rv = _rv_french(word, vowels)
+
+    # STEP 1 — note the substring (`in r2`) region tests: port behavior
+    for suffix in _FR_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "eaux":
+                word = word[:-1]
+                step1_success = True
+            elif suffix in ("euse", "euses"):
+                if suffix in r2:
+                    word = word[:-n]
+                    step1_success = True
+                elif suffix in r1:
+                    word = word[:-n] + "eux"
+                    step1_success = True
+            elif suffix in ("ement", "ements") and suffix in rv:
+                word = word[:-n]
+                step1_success = True
+                if word[-2:] == "iv" and "iv" in r2:
+                    word = word[:-2]
+                    if word[-2:] == "at" and "at" in r2:
+                        word = word[:-2]
+                elif word[-3:] == "eus":
+                    if "eus" in r2:
+                        word = word[:-3]
+                    elif "eus" in r1:
+                        word = word[:-1] + "x"
+                elif word[-3:] in ("abl", "iqU"):
+                    if "abl" in r2 or "iqU" in r2:
+                        word = word[:-3]
+                elif word[-3:] in ("i\xe8r", "I\xe8r"):
+                    if "i\xe8r" in rv or "I\xe8r" in rv:
+                        word = word[:-3] + "i"
+            elif suffix == "amment" and suffix in rv:
+                word = word[:-6] + "ant"
+                rv = rv[:-6] + "ant"
+                rv_ending_found = True
+            elif suffix == "emment" and suffix in rv:
+                word = word[:-6] + "ent"
+                rv_ending_found = True
+            elif (
+                suffix in ("ment", "ments")
+                and suffix in rv
+                and not rv.startswith(suffix)
+                and rv[rv.rindex(suffix) - 1] in vowels
+            ):
+                word = word[:-n]
+                rv = rv[:-n]
+                rv_ending_found = True
+            elif suffix == "aux" and suffix in r1:
+                word = word[:-2] + "l"
+                step1_success = True
+            elif (
+                suffix in ("issement", "issements")
+                and suffix in r1
+                and word[-n - 1] not in vowels
+            ):
+                word = word[:-n]
+                step1_success = True
+            elif suffix in (
+                "ance", "iqUe", "isme", "able", "iste", "eux",
+                "ances", "iqUes", "ismes", "ables", "istes",
+            ) and suffix in r2:
+                word = word[:-n]
+                step1_success = True
+            elif suffix in (
+                "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+            ) and suffix in r2:
+                word = word[:-n]
+                step1_success = True
+                if word[-2:] == "ic":
+                    if "ic" in r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+            elif suffix in ("logie", "logies") and suffix in r2:
+                word = word[:-n] + "log"
+                step1_success = True
+            elif suffix in (
+                "usion", "ution", "usions", "utions",
+            ) and suffix in r2:
+                word = word[:-n] + "u"
+                step1_success = True
+            elif suffix in ("ence", "ences") and suffix in r2:
+                word = word[:-n] + "ent"
+                step1_success = True
+            elif suffix in ("it\xe9", "it\xe9s") and suffix in r2:
+                word = word[:-n]
+                step1_success = True
+                if word[-4:] == "abil":
+                    if "abil" in r2:
+                        word = word[:-4]
+                    else:
+                        word = word[:-2] + "l"
+                elif word[-2:] == "ic":
+                    if "ic" in r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+                elif word[-2:] == "iv":
+                    if "iv" in r2:
+                        word = word[:-2]
+            elif suffix in ("if", "ive", "ifs", "ives") and suffix in r2:
+                word = word[:-n]
+                step1_success = True
+                if word[-2:] == "at" and "at" in r2:
+                    word = word[:-2]
+                    if word[-2:] == "ic":
+                        if "ic" in r2:
+                            word = word[:-2]
+                        else:
+                            word = word[:-2] + "iqU"
+            break
+
+    # STEP 2a: verb suffixes beginning 'i'
+    if not step1_success or rv_ending_found:
+        for suffix in _FR_STEP2A:
+            if word.endswith(suffix):
+                if (
+                    suffix in rv
+                    and len(rv) > len(suffix)
+                    and rv[rv.rindex(suffix) - 1] not in vowels
+                ):
+                    word = word[: -len(suffix)]
+                    step2a_success = True
+                break
+
+        if not step2a_success:
+            for suffix in _FR_STEP2B:
+                if rv.endswith(suffix):
+                    if suffix == "ions" and "ions" in r2:
+                        word = word[:-4]
+                        step2b_success = True
+                    elif suffix in _FR_2B_ER_GROUP:
+                        word = word[: -len(suffix)]
+                        step2b_success = True
+                    elif suffix in _FR_2B_A_GROUP:
+                        word = word[: -len(suffix)]
+                        rv = rv[: -len(suffix)]
+                        step2b_success = True
+                        if rv.endswith("e"):
+                            word = word[:-1]
+                    break
+
+    if step1_success or step2a_success or step2b_success:
+        # STEP 3
+        if word[-1] == "Y":
+            word = word[:-1] + "i"
+        elif word[-1] == "\xe7":
+            word = word[:-1] + "c"
+    else:
+        # STEP 4: residual suffixes
+        if len(word) >= 2 and word[-1] == "s" and word[-2] not in "aiou\xe8s":
+            word = word[:-1]
+        for suffix in _FR_STEP4:
+            if word.endswith(suffix):
+                if suffix in rv:
+                    if (
+                        suffix == "ion"
+                        and suffix in r2
+                        and len(rv) >= 4  # port raises IndexError here
+                        and rv[-4] in "st"
+                    ):
+                        word = word[:-3]
+                    elif suffix in ("ier", "i\xe8re", "Ier", "I\xe8re"):
+                        word = word[: -len(suffix)] + "i"
+                    elif suffix == "e":
+                        word = word[:-1]
+                    elif suffix == "\xeb" and word[-3:-1] == "gu":
+                        word = word[:-1]
+                    break
+
+    # STEP 5: undouble
+    if word.endswith(("enn", "onn", "ett", "ell", "eill")):
+        word = word[:-1]
+
+    # STEP 6: un-accent the last vowel if non-final
+    for i in range(1, len(word)):
+        if word[-i] in vowels:
+            if i != 1 and word[-i] in ("\xe9", "\xe8"):
+                word = word[:-i] + "e" + word[-i + 1:]
+            break
+
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr}
+
+
+def stemmer_for(lang: str):
+    """Stemming function for a language code, or None (lang/__init__.py
+    stemmer_for_language analogue; English routes to porter.stem)."""
+    if lang in ("en", "en_US", "en_GB"):
+        from whoosh_reloaded_spark.porter import stem
+
+        return stem
+    return STEMMERS.get(lang.split("_")[0])
