@@ -270,3 +270,51 @@ def test_multi_mode_analyzer(spark):
     q = QueryParser(analyzer=ana).parse("wi-fi")
     hits = {u for _, u, _ in s.search_list(q, 10)}
     assert hits == {"u0", "u2"}
+
+
+def test_charset_tables_byte_identical():
+    """Both fold tables must be byte-identical to the reference's
+    (support/charset.py accent_map + charset_table_to_dict(default_charset)),
+    and the filter output must match CharsetFilter per token over unicode
+    fixtures."""
+    import pytest as _pt
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        _pt.skip("reference not importable")
+    from whoosh.support.charset import (
+        accent_map,
+        charset_table_to_dict,
+        default_charset,
+    )
+
+    from whoosh_reloaded_spark.charset import accent_charmap, default_charmap
+
+    assert accent_charmap() == dict(accent_map)
+    ref_tab = {
+        k: v for k, v in charset_table_to_dict(default_charset).items()
+        if v is not None
+    }
+    assert default_charmap() == ref_tab
+
+    from whoosh.analysis import CharsetFilter, RegexTokenizer
+
+    fixtures = [
+        "café naïve straße Frantiśek øre",
+        "ÀÁÂÃÄÅ àáâãäå ČĆ čć ĐĎ đď Łł Ñ ñ ŠŚ šś Žž",
+        "Ελληνικά Русский 日本語 한국어",
+        "ﬁﬂ ½ ² Ⅷ №",
+    ]
+    for cm, mode in ((accent_map, "accent"),):
+        chain = RegexTokenizer() | CharsetFilter(cm)
+        from whoosh_reloaded_spark.analyzers import (
+            AccentFoldingAnalyzer,
+            RegexAnalyzer,
+        )
+
+        ana = AccentFoldingAnalyzer(RegexAnalyzer(lowercase=False), mode=mode)
+        for text in fixtures:
+            theirs = [t.text for t in chain(text)]
+            ours = [t for t, _ in ana(text)]
+            assert ours == theirs, (mode, text)

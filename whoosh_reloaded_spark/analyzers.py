@@ -323,21 +323,41 @@ class LanguageAnalyzer(BaseAnalyzer):
 
 
 class AccentFoldingAnalyzer(BaseAnalyzer):
-    """CharsetFilter-equivalent accent folding wrapped around another
-    analyzer (ref: analysis/tokenizers.py:201-315 + support/charset.py).
+    """CharsetFilter accent folding wrapped around another analyzer
+    (ref: analysis/filters.py:365-416 + support/charset.py).
 
-    NOTE: folds via Unicode NFKD + combining-mark strip plus a small
-    supplement (ss/oe/etc.) — an equivalent capability, not a byte-identical
-    replica of the reference's Sphinx-derived charset table."""
+    ``mode="accent"`` (default) folds with the exact accent_map table the
+    reference documents for CharsetFilter; ``mode="sphinx"`` uses the full
+    resolved Sphinx default charset table (charset_table_to_dict
+    (default_charset)); ``mode="nfkd"`` keeps the earlier NFKD +
+    combining-strip heuristic.  The two table modes are byte-identical to
+    the reference filter (tested per-token against it)."""
 
     _SUPPLEMENT = {"ß": "s", "ø": "o", "Ø": "o", "đ": "d", "Đ": "d",
                    "ł": "l", "Ł": "l", "þ": "th", "Þ": "th", "ð": "d"}
 
-    def __init__(self, inner: BaseAnalyzer):
+    def __init__(self, inner: BaseAnalyzer, mode: str = "accent"):
+        assert mode in ("accent", "sphinx", "nfkd")
         self.inner = inner
+        self.mode = mode
 
     def plain_fn(self):
         inner_fn = self.inner.plain_fn()
+        if self.mode in ("accent", "sphinx"):
+            from whoosh_reloaded_spark.charset import (
+                accent_charmap,
+                default_charmap,
+            )
+
+            charmap = (
+                accent_charmap() if self.mode == "accent" else default_charmap()
+            )
+
+            def fn(text):
+                return [(t.translate(charmap), p) for t, p in inner_fn(text)]
+
+            return fn
+
         supplement = dict(self._SUPPLEMENT)
 
         def fn(text):
