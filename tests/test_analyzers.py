@@ -318,3 +318,87 @@ def test_charset_tables_byte_identical():
             theirs = [t.text for t in chain(text)]
             ours = [t for t, _ in ana(text)]
             assert ours == theirs, (mode, text)
+
+
+def test_ngramword_parity():
+    """NgramWordAnalyzer vs the reference (index + query modes), all `at`
+    variants."""
+    import pytest as _pt
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        _pt.skip("reference not importable")
+    from whoosh.analysis import NgramWordAnalyzer as RefNWA
+
+    from whoosh_reloaded_spark.analyzers import NgramWordAnalyzer
+
+    texts = ["hello there", "a bc def ghij klmno", "Tokenization RULES ok"]
+    for minsize, maxsize, at in [(4, None, None), (2, 4, None),
+                                 (3, 5, "start"), (3, 5, "end"), (2, 2, None)]:
+        ref = RefNWA(minsize, maxsize=maxsize, at=at)
+        ours = NgramWordAnalyzer(minsize, maxsize=maxsize, at=at)
+        for text in texts:
+            theirs_ix = [(t.text, t.pos) for t in ref(text, positions=True)]
+            assert ours(text) == theirs_ix, ("index", minsize, maxsize, at, text)
+            theirs_q = [t.text for t in ref(text, mode="query", positions=True)]
+            assert ours.query_terms(text) == theirs_q, (
+                "query", minsize, maxsize, at, text)
+
+
+def test_delimited_boost_parity(spark):
+    """Per-token boosts (DelimitedAttributeFilter, filters.py:419-482):
+    posting weights sum boosts; BM25 rank+score parity vs the reference."""
+    import pytest as _pt
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        _pt.skip("reference not importable")
+    from whoosh import fields, index
+    from whoosh.analysis import (
+        DelimitedAttributeFilter,
+        LowercaseFilter,
+        RegexTokenizer,
+    )
+    from whoosh.query import Term as WT
+
+    from whoosh_reloaded_spark.analyzers import DelimitedBoostAnalyzer
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher, Term
+
+    docs = [
+        "image render^2 file^0.5 render",
+        "render file image^3",
+        "file file render^4 image",
+        "image image image render",
+    ]
+    ana = RegexTokenizer(r"\S+") | LowercaseFilter() | DelimitedAttributeFilter()
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True),
+        text=fields.TEXT(analyzer=ana),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    wix = index.create_in(d, schema)
+    w = wix.writer()
+    for i, t in enumerate(docs):
+        w.add_document(url=f"{i:03d}", text=t)
+    w.commit()
+
+    df = spark.createDataFrame(
+        [(f"{i:03d}", t) for i, t in enumerate(docs)], "url string, text string"
+    )
+    ours_ana = DelimitedBoostAnalyzer(RegexAnalyzer(expression=r"\S+"))
+    s = Searcher(build_index(df, analyzer=ours_ana))
+
+    for word in ("render", "image", "file"):
+        with wix.searcher() as ws:
+            theirs = [(h["url"], h.score) for h in ws.search(WT("text", word), limit=10)]
+        ours = [(u, sc) for _, u, sc in s.search_list(Term(word), 10)]
+        assert [u for u, _ in ours] == [u for u, _ in theirs], word
+        for (u1, s1), (u2, s2) in zip(ours, theirs):
+            import pytest as _pt2
+
+            assert s1 == _pt2.approx(s2, rel=1e-9), (word, u1)

@@ -151,7 +151,7 @@ INVERT_SCHEMA = (
 
 INVERT_ROWS_SCHEMA = (
     "docid long, term string, tf int, positions array<int>, "
-    "length int, len_byte int"
+    "length int, len_byte int, wsum double"
 )
 
 
@@ -196,6 +196,7 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
                 ("positions", _pa.list_(_pa.int32())),
                 ("length", _pa.int32()),
                 ("len_byte", _pa.int32()),
+                ("wsum", _pa.float64()),
             ]
         )
 
@@ -241,6 +242,7 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
                     ),
                     _pa.array(lens, _pa.int32()),
                     _pa.array(lbs, _pa.int32()),
+                    _pa.array([float(x) for x in tfs], _pa.float64()),
                 ],
                 schema=schema,
             )
@@ -308,7 +310,10 @@ def make_query_terms(analyzer: Optional[StandardAnalyzer] = None):
 
 def _make_invert_rows_generic(tokenize_fn):
     """Inversion loop around any self-contained tokenize closure
-    (text -> [(term, pos)]); same Arrow output as the fast path."""
+    (text -> [(term, pos)] or [(term, pos, boost)]); same Arrow output as
+    the fast path.  Per-term weight wsum = sum of token boosts (the
+    reference Format.word_values sums per-token boosts, formats.py:190-236);
+    2-tuple analyzers get boost 1.0 per token, so wsum == tf."""
 
     def run(batches):
         from bisect import bisect_left as _bisect
@@ -325,18 +330,23 @@ def _make_invert_rows_generic(tokenize_fn):
                 ("positions", _pa.list_(_pa.int32())),
                 ("length", _pa.int32()),
                 ("len_byte", _pa.int32()),
+                ("wsum", _pa.float64()),
             ]
         )
         for rb in batches:
             docids_in = rb.column(0).to_pylist()
             texts = rb.column(1).to_pylist()
-            docids, terms, tfs, lens, lbs = [], [], [], [], []
+            docids, terms, tfs, lens, lbs, ws = [], [], [], [], [], []
             flat_pos, offsets = [], [0]
             for docid, v in zip(docids_in, texts):
                 toks = tokenize_fn(v) if isinstance(v, str) else []
                 d = {}
-                for t, p in toks:
+                bsum = {}
+                for tok in toks:
+                    t, p = tok[0], tok[1]
+                    b = tok[2] if len(tok) > 2 else 1.0
                     d.setdefault(t, []).append(p)
+                    bsum[t] = bsum.get(t, 0.0) + b
                 n = len(toks)
                 lb = 255 if n >= maxlen else _bisect(b2l, n)
                 for t, ps in d.items():
@@ -347,6 +357,7 @@ def _make_invert_rows_generic(tokenize_fn):
                     offsets.append(len(flat_pos))
                     lens.append(n)
                     lbs.append(lb)
+                    ws.append(bsum[t])
             yield _pa.RecordBatch.from_arrays(
                 [
                     _pa.array(docids, _pa.int64()),
@@ -358,6 +369,7 @@ def _make_invert_rows_generic(tokenize_fn):
                     ),
                     _pa.array(lens, _pa.int32()),
                     _pa.array(lbs, _pa.int32()),
+                    _pa.array(ws, _pa.float64()),
                 ],
                 schema=schema,
             )

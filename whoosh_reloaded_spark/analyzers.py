@@ -262,6 +262,116 @@ class StemmingAnalyzer(BaseAnalyzer):
         return fn
 
 
+class DelimitedBoostAnalyzer(BaseAnalyzer):
+    """DelimitedAttributeFilter for the boost attribute
+    (analysis/filters.py:419-482): 'render^2' -> token 'render' with boost
+    2.0; tokens without the delimiter get boost 1.0.  Emits 3-tuples
+    (term, pos, boost) — the inverter sums boosts into the posting weight
+    exactly like the reference's Format.word_values.
+
+    Wrap a tokenizer whose pattern KEEPS the delimiter in the token (the
+    reference's docstring uses RegexTokenizer(r'\\S+'))."""
+
+    def __init__(self, inner: BaseAnalyzer, delimiter: str = "^"):
+        self.inner = inner
+        self.delimiter = delimiter
+
+    def plain_fn(self):
+        inner_fn = self.inner.plain_fn()
+        delim = self.delimiter
+
+        def fn(text):
+            out = []
+            for tok in inner_fn(text):
+                t, p = tok[0], tok[1]
+                i = t.find(delim)
+                if i > -1:
+                    out.append((t[:i], p, float(t[i + 1:])))
+                else:
+                    out.append((t, p, 1.0))
+            return out
+
+        return fn
+
+    def query_terms(self, text: str):
+        delim = self.delimiter
+        out = []
+        for t in self.inner.query_terms(text):
+            i = t.find(delim)
+            out.append(t[:i] if i > -1 else t)
+        return out
+
+
+class NgramWordAnalyzer(BaseAnalyzer):
+    """tokenize | lowercase | per-word NgramFilter — the reference's
+    NgramWordAnalyzer (analysis/ngrams.py:247-251, filter :127-229), the
+    NGRAMWORDS field's analyzer (fields.py:1291-1330).
+
+    All n-grams of a word keep the word's position (the reference leaves
+    token positions untouched).  Index mode emits every (start, size)
+    window bounded by [minsize, maxsize] (or only start-/end-anchored
+    windows with ``at``); query mode emits windows of the single size
+    min(maxsize, len(word)) — both replicated from NgramFilter.__call__.
+    """
+
+    def __init__(self, minsize: int, maxsize: int = None, at: str = None,
+                 expression: str = None):
+        from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN
+
+        self.minsize = minsize
+        self.maxsize = maxsize or minsize
+        assert at in (None, "start", "end")
+        self.at = at
+        self.expression = expression or DEFAULT_PATTERN
+
+    def plain_fn(self):
+        expr, mn, mx, at = self.expression, self.minsize, self.maxsize, self.at
+
+        def fn(text):
+            import re as _re
+
+            pat = _re.compile(expr, _re.UNICODE)
+            out = []
+            for pos, m in enumerate(pat.finditer(text)):
+                t = m.group(0).lower()
+                n = len(t)
+                if n < mn:
+                    continue
+                if at == "start":
+                    for size in range(mn, min(mx, n) + 1):
+                        out.append((t[:size], pos))
+                elif at == "end":
+                    for i in range(max(0, n - mx), n - mn + 1):
+                        out.append((t[i:], pos))
+                else:
+                    for start in range(0, n - mn + 1):
+                        for size in range(mn, mx + 1):
+                            if start + size <= n:
+                                out.append((t[start:start + size], pos))
+            return out
+
+        return fn
+
+    def query_terms(self, text: str):
+        import re as _re
+
+        pat = _re.compile(self.expression, _re.UNICODE)
+        out = []
+        for m in pat.finditer(text):
+            t = m.group(0).lower()
+            if len(t) < self.minsize:
+                continue
+            size = min(self.maxsize, len(t))
+            if self.at == "start":
+                out.append(t[:size])
+            elif self.at == "end":
+                out.append(t[-size:])
+            else:
+                for start in range(0, len(t) - size + 1):
+                    out.append(t[start:start + size])
+        return out
+
+
 class LanguageAnalyzer(BaseAnalyzer):
     """RegexTokenizer | Lowercase | StopFilter(lang) | StemFilter(lang) —
     the reference's LanguageAnalyzer (analysis/analyzers.py:277-315).

@@ -150,8 +150,9 @@ def build_index(
 ) -> InvertedIndex:
     """Run the index-build job. Everything is lazy until persisted/written.
 
-    Posting weight = tf * field_boost (token boost 1.0 — the reference's
-    Frequency/Positions formats sum per-token boosts, formats.py:190-236).
+    Posting weight = sum(token boosts) * field_boost (the reference's
+    Frequency/Positions formats sum per-token boosts, formats.py:190-236;
+    boost-emitting analyzers like DelimitedBoostAnalyzer feed the sum).
     """
     from whoosh_reloaded_spark.analysis import (
         INVERT_ROWS_SCHEMA,
@@ -175,7 +176,9 @@ def build_index(
         F.lit(fieldname).alias("field"),
         "term",
         "docid",
-        (F.col("tf") * F.lit(field_boost)).cast("double").alias("weight"),
+        # wsum = sum of per-token boosts (== tf for boost-less analyzers);
+        # Format.word_values semantics, formats.py:190-236
+        (F.col("wsum") * F.lit(field_boost)).cast("double").alias("weight"),
         "tf",
         "positions",
         "length",
