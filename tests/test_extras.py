@@ -209,3 +209,103 @@ def test_highlight():
     assert highlight(text, ["zebra"]) == ""
     # case-insensitive matching through the analyzer regex
     assert "<b>Fox</b>" in highlight("A Fox ran.", ["fox"], before=5, after=5)
+
+
+def test_time_limit_collector(spark):
+    """TimeLimitCollector analogue (collectors.py:1012): generous budget
+    returns results; tiny budget on a slowed plan raises TimeLimit and
+    cancels the job."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from whoosh_reloaded_spark.collectors import (
+        TimeLimit,
+        collect_with_time_limit,
+        search_with_time_limit,
+    )
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Or, Searcher, Term
+
+    df = spark.createDataFrame(list(generate_rows(200)), PAGES_SCHEMA)
+    s = Searcher(build_index(df).persist())
+    q = Or([Term("render"), Term("yellow")])
+
+    rows = search_with_time_limit(s, q, timelimit=120.0, limit=5)
+    assert len(rows) == 5
+
+    # an artificially slow frame: per-row sleep via a python UDF
+    from pyspark.sql.functions import udf
+
+    @udf("double")
+    def slow(x):
+        time.sleep(0.5)
+        return float(x)
+
+    slow_df = (
+        spark.range(2000).repartition(4).select(slow(F.col("id")).alias("v"))
+    )
+    t0 = time.time()
+    with pytest.raises(TimeLimit):
+        collect_with_time_limit(slow_df, timelimit=2.0)
+    assert time.time() - t0 < 30  # cancelled, not run to completion
+
+
+def test_characters_format_parity(spark):
+    """char_spans must be byte-identical to the reference's Characters
+    payloads ((pos, startchar, endchar) per occurrence, formats.py:273-330)
+    for the same analyzer, and the distributed frame must agree."""
+    if not reference_importable():
+        pytest.skip("reference not importable")
+    from whoosh import analysis as wana
+    from whoosh import fields, formats, index
+
+    from whoosh_reloaded_spark.chars import char_spans, char_spans_df
+
+    texts = [t for _, _, _, t, _ in generate_rows(30)]
+
+    charfield = fields.FieldType(
+        formats.Characters(), wana.StandardAnalyzer(), scorable=True
+    )
+    schema = fields.Schema(url=fields.ID(stored=True, unique=True),
+                           text=charfield)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    wix = index.create_in(d, schema)
+    w = wix.writer()
+    for i, t in enumerate(texts):
+        w.add_document(url=f"{i:03d}", text=t)
+    w.commit()
+
+    # reference golden: docnum -> term -> [(pos, sc, ec), ...]
+    golden = {}
+    with wix.searcher() as s:
+        r = s.reader()
+        for term in r.lexicon("text"):
+            m = r.postings("text", term)
+            while m.is_active():
+                golden.setdefault(m.id(), {}).setdefault(
+                    term.decode() if isinstance(term, bytes) else term, []
+                ).extend(
+                    [(p, sc, ec) for p, sc, ec in m.value_as("characters")]
+                )
+                m.next()
+
+    for i, t in enumerate(texts):
+        ours = {}
+        for term, pos, sc, ec in char_spans(t):
+            ours.setdefault(term, []).append((pos, sc, ec))
+        assert ours == golden.get(i, {}), i
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "docid long, text string"
+    )
+    rows = char_spans_df(df).collect()
+    dist = {}
+    for r2 in rows:
+        dist.setdefault(r2["docid"], {}).setdefault(r2["term"], []).append(
+            (r2["pos"], r2["startchar"], r2["endchar"])
+        )
+    assert dist == {i: g for i, g in golden.items()}
