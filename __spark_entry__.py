@@ -345,6 +345,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_lang_counts"] = facet_lang_counts
 
+    def facet_function_buckets(spark, sf):
+        """FunctionFacet (sorting.py:593): computed key int(n_chars/100)
+        over docs matching a term."""
+        from whoosh_reloaded_spark.facets import function_facet
+
+        s = _searcher(spark, sf)
+        hits = s._eval(Term("spark"))
+        return function_facet(
+            hits, s.ix.docmeta, "int(n_chars / 100)", ["n_chars"]
+        ).select(
+            F.col("key").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+
+    q["facet_function_buckets"] = facet_function_buckets
+
     def collapse_top1_lang(spark, sf):
         """CollapseCollector: best-scoring doc per lang for a query."""
         from whoosh_reloaded_spark.facets import best_per_group
@@ -716,6 +732,17 @@ WHERE tf.term = 'spark'
 GROUP BY d.lang
 """
     )
+    o["facet_function_buckets"] = (
+        _BASE_CTE
+        + """
+SELECT CAST(d.n_chars // 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM tf JOIN documents d USING (doc_id)
+WHERE tf.term = 'spark'
+GROUP BY 1
+"""
+    )
+
     o["collapse_top1_lang"] = (
         _BASE_CTE
         + """

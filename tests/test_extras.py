@@ -309,3 +309,45 @@ def test_characters_format_parity(spark):
             (r2["pos"], r2["startchar"], r2["endchar"])
         )
     assert dist == {i: g for i, g in golden.items()}
+
+
+def test_function_translate_storedfield_facets(spark):
+    """FunctionFacet / TranslateFacet / StoredFieldFacet(allow_overlap)
+    (sorting.py:593-746) as expression-driven aggregations."""
+    from whoosh_reloaded_spark.facets import (
+        function_facet,
+        stored_field_facet,
+        translate_facet,
+    )
+
+    docmeta = spark.createDataFrame(
+        [(0, 5, "red blue"), (1, 17, "blue"), (2, 23, "red green"),
+         (3, 41, "green red")],
+        "docid long, n long, tags string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 1.0), (3, 1.0)], "docid long, score double"
+    )
+    # FunctionFacet: bucket n by decade
+    ff = {
+        r["key"]: r["n_docs"]
+        for r in function_facet(hits, docmeta, "int(n / 10)", ["n"]).collect()
+    }
+    assert ff == {0: 1, 1: 1, 2: 1, 4: 1}
+    # TranslateFacet: collapse decades into parity-of-decade
+    tf = {
+        r["key"]: r["n_docs"]
+        for r in translate_facet(
+            function_facet(hits, docmeta, "int(n / 10)", ["n"]),
+            "key % 2",
+        ).collect()
+    }
+    assert tf == {0: 3, 1: 1}
+    # StoredFieldFacet with allow_overlap: split tags, doc counts per piece
+    sf = {
+        r["key"]: r["n_docs"]
+        for r in stored_field_facet(
+            hits, docmeta, "tags", allow_overlap=True
+        ).collect()
+    }
+    assert sf == {"red": 3, "blue": 2, "green": 2}

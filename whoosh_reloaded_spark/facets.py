@@ -127,3 +127,53 @@ def sort_by(hits: DataFrame, docmeta: DataFrame, keys: Sequence[str],
     order = [F.col(k).desc() if reverse else F.col(k).asc() for k in keys]
     out = df.orderBy(*order, F.col("docid").asc())
     return out.limit(limit) if limit is not None else out
+
+
+def function_facet(hits: DataFrame, docmeta: DataFrame,
+                   key_expr: ColLike, needed_cols: Sequence[str],
+                   alias: str = "key") -> DataFrame:
+    """FunctionFacet (sorting.py:593-640): facet key computed by an
+    arbitrary function of the document — here an arbitrary Column/SQL
+    expression over docmeta columns (runs in codegen, not per-row Python):
+    (key, n_docs)."""
+    df = _with_meta(hits, docmeta, needed_cols)
+    key = F.expr(key_expr) if isinstance(key_expr, str) else key_expr
+    return (
+        df.withColumn(alias, key)
+        .groupBy(alias)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def translate_facet(facet_df: DataFrame, key_expr: ColLike,
+                    key_col: str = "key") -> DataFrame:
+    """TranslateFacet (sorting.py:642-687): post-map another facet's keys
+    through a function (expression over the key column), re-aggregating
+    counts for keys that collapse together."""
+    key = F.expr(key_expr) if isinstance(key_expr, str) else key_expr
+    other = [c for c in facet_df.columns if c != key_col]
+    return (
+        facet_df.withColumn(key_col, key)
+        .groupBy(key_col)
+        .agg(*[F.sum(c).alias(c) for c in other])
+    )
+
+
+def stored_field_facet(hits: DataFrame, docmeta: DataFrame, col: str,
+                       allow_overlap: bool = False,
+                       split_pattern: str = r"\s+") -> DataFrame:
+    """StoredFieldFacet (sorting.py:689-746): key from a stored column; with
+    ``allow_overlap`` the value is split and the doc counts once per piece
+    (the reference's UnorderedList overlap mode): (key, n_docs)."""
+    df = _with_meta(hits, docmeta, [col])
+    if allow_overlap:
+        key = F.explode(F.split(F.col(col), split_pattern)).alias("key")
+        return (
+            df.select("docid", key)
+            .where(F.col("key") != "")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    return df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
