@@ -151,3 +151,29 @@ def test_default_grammar_unchanged():
     assert q == Q.And((Q.Term("render"), Q.Term("yellow")))
     q2 = p.parse("render OR yellow^2")
     assert q2 == Q.Or((Q.Term("render"), Q.Term("yellow", boost=2.0)))
+
+
+def test_plugin_ast_transform():
+    """Plugin extension point: PseudoField/FieldAlias-style rewrites as
+    bottom-up AST transforms (plugins.py:60-90 filter protocol analogue)."""
+    from dataclasses import replace
+
+    # alias field 'body' -> 'text'
+    def alias(q):
+        if getattr(q, "fieldname", None) == "body":
+            return replace(q, fieldname="text")
+        return q
+
+    p = QueryParser("a", schema={"a": "text", "body": "text"}, plugins=[alias])
+    q = p.parse("hello body:world")
+    assert q == Q.And((Q.Term("hello", "a"), Q.Term("world", "text")))
+
+    # pseudo-field-style: turn terms in field 'rx' into Regex queries
+    def rx(q):
+        if isinstance(q, Q.Term) and q.fieldname == "rx":
+            return Q.Regex(q.text, "a")
+        return q
+
+    p2 = QueryParser("a", schema={"a": "text", "rx": "text"}, plugins=[rx])
+    q2 = p2.parse("alfa rx:bravo")
+    assert q2 == Q.And((Q.Term("alfa", "a"), Q.Regex("bravo", "a")))

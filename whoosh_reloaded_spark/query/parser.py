@@ -108,6 +108,23 @@ def _lex(s: str) -> List[_Tok]:
     return out
 
 
+def _map_tree(q: Q.Query, fn) -> Q.Query:
+    """Apply fn bottom-up over a Query tree (children first, then node)."""
+    from dataclasses import replace
+
+    if hasattr(q, "children"):
+        q = replace(q, children=tuple(_map_tree(c, fn) for c in q.children))
+    else:
+        kw = {}
+        for attr in ("a", "b", "child"):
+            c = getattr(q, attr, None)
+            if isinstance(c, Q.Query):
+                kw[attr] = _map_tree(c, fn)
+        if kw:
+            q = replace(q, **kw)
+    return fn(q)
+
+
 class QueryParser:
     """parse(text) -> normalized Query AST for the default text field."""
 
@@ -115,10 +132,16 @@ class QueryParser:
                  analyzer: Optional[StandardAnalyzer] = None,
                  group: str = "and", known_fields=None,
                  schema: Optional[Dict[str, str]] = None,
-                 copy_fields: Optional[Dict[str, str]] = None):
+                 copy_fields: Optional[Dict[str, str]] = None,
+                 plugins=None):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
+        # extension point (the reference's Plugin.filters run over the
+        # syntax tree, qparser/plugins.py:60-90): each plugin is a callable
+        # Query -> Query applied bottom-up after parsing, before normalize.
+        # PseudoField/FieldAlias-style rewrites compose as AST transforms.
+        self.plugins = list(plugins or ())
         # schema: fieldname -> kind ("text" | "numeric" | "date"); a
         # `field:` prefix may select any schema field (FieldsPlugin,
         # plugins.py:364); unknown prefixes fall back to the default field
@@ -140,6 +163,8 @@ class QueryParser:
         if not self._toks:
             return Q.NullQuery()
         q = self._or_expr()
+        for plugin in self.plugins:
+            q = _map_tree(q, plugin)
         return q.normalize()
 
     def _peek(self) -> Optional[_Tok]:
