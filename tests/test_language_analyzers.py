@@ -59,11 +59,15 @@ def test_sentence_parity(lang):
         ("de", "abcdefghiklmnorstuwyäöüß"),
         ("es", "abcdeghilmnopqrstuvyáéíóúü"),
         ("fr", "abcdefghilmnopqrstuvyâàëéêèïîôûùç"),
+        ("it", "abcdeghilmnopqrstuvzàèìòùáéíóú"),
+        ("pt", "abcdeghilmnopqrstuvzãõçáéíóúâêô"),
     ],
 )
 def test_stemmer_fuzz_parity(lang, charset):
     from whoosh.lang.snowball.french import FrenchStemmer
     from whoosh.lang.snowball.german import GermanStemmer
+    from whoosh.lang.snowball.italian import ItalianStemmer
+    from whoosh.lang.snowball.portugese import PortugueseStemmer
     from whoosh.lang.snowball.spanish import SpanishStemmer
 
     from whoosh_reloaded_spark.snowball import stemmer_for
@@ -72,6 +76,8 @@ def test_stemmer_fuzz_parity(lang, charset):
         "de": GermanStemmer().stem,
         "es": SpanishStemmer().stem,
         "fr": FrenchStemmer().stem,
+        "it": ItalianStemmer().stem,
+        "pt": PortugueseStemmer().stem,
     }[lang]
     ours = stemmer_for(lang)
     rng = random.Random(1234)
@@ -91,9 +97,9 @@ def test_stop_only_language():
     # a language with a stop list but no stemmer here: stop filtering active
     from whoosh_reloaded_spark.analyzers import LanguageAnalyzer
 
-    toks = LanguageAnalyzer("it")("il gatto corre nella casa")
+    toks = LanguageAnalyzer("sv")("och katten sprang i huset")
     texts = [t for t, _ in toks]
-    assert "il" not in texts and "gatto" in texts
+    assert "och" not in texts and "katten" in texts
 
 
 def test_german_index_rank_parity(spark, tmp_path_factory):

@@ -1,10 +1,10 @@
-"""Snowball stemmers for German, Spanish, and French.
+"""Snowball stemmers for German, Spanish, French, Italian, and Portuguese.
 
 Martin Porter's published Snowball algorithms
 (https://snowball.tartarus.org/algorithms/{german,spanish,french}/stemmer.html),
 implemented as plain functions for use inside executor closures.  The
 reference ships the NLTK translation of the same algorithms
-(lang/snowball/{german,french,spanish}.py — Apache-2.0 NLTK port); for
+(lang/snowball/*.py — Apache-2.0 NLTK port); for
 token-stream parity we replicate that port's OBSERVABLE behavior, including
 its documented quirks where it deviates from the pure spec:
 
@@ -571,7 +571,283 @@ def stem_fr(word: str) -> str:
     return word.replace("I", "i").replace("U", "u").replace("Y", "y")
 
 
-STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr}
+# ---------------------------------------------------------------------------
+# Italian — snowball.tartarus.org/algorithms/italian/stemmer.html
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiou\xe0\xe8\xec\xf2\xf9"
+_IT_STEP0 = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi",
+    "ne", "si", "ti", "vi",
+)
+_IT_STEP1 = (
+    "atrice", "atrici", "azione", "azioni", "uzione", "uzioni",
+    "usione", "usioni", "amento", "amenti", "imento", "imenti",
+    "amente", "abile", "abili", "ibile", "ibili", "mente", "atore",
+    "atori", "logia", "logie", "anza", "anze", "iche", "ichi", "ismo",
+    "ismi", "ista", "iste", "isti", "ist\xe0", "ist\xe8", "ist\xec",
+    "ante", "anti", "enza", "enze", "ico", "ici", "ica", "ice", "oso",
+    "osi", "osa", "ose", "it\xe0", "ivo", "ivi", "iva", "ive",
+)
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo",
+    "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "er\xe0", "ere",
+    "er\xf2", "ete", "eva", "evi", "evo", "ir\xe0", "ire", "ir\xf2",
+    "ita", "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta",
+    "ute", "uti", "uto", "ar", "ir",
+)
+
+
+def stem_it(word: str) -> str:
+    vowels = _IT_VOWELS
+    word = word.lower()
+    step1_success = False
+
+    # acute accents -> grave
+    word = (
+        word.replace("\xe1", "\xe0").replace("\xe9", "\xe8")
+        .replace("\xed", "\xec").replace("\xf3", "\xf2")
+        .replace("\xfa", "\xf9")
+    )
+    for i in range(1, len(word)):
+        if word[i - 1] == "q" and word[i] == "u":
+            word = word[:i] + "U" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in vowels and word[i + 1] in vowels:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, vowels)
+    rv = _rv_standard(word, vowels)
+
+    # STEP 0: attached pronoun
+    for suffix in _IT_STEP0:
+        if rv.endswith(suffix):
+            n = len(suffix)
+            if rv[-n - 4: -n] in ("ando", "endo"):
+                word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+            elif rv[-n - 2: -n] in ("ar", "er", "ir"):
+                word = word[:-n] + "e"
+                r1 = r1[:-n] + "e"
+                r2 = r2[:-n] + "e"
+                rv = rv[:-n] + "e"
+            break
+
+    # STEP 1
+    for suffix in _IT_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "amente" and r1.endswith(suffix):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic")):
+                    word, rv = word[:-2], rv[:-2]
+                elif r2.endswith("abil"):
+                    word, rv = word[:-4], rv[:-4]
+            elif (
+                suffix in ("amento", "amenti", "imento", "imenti")
+                and rv.endswith(suffix)
+            ):
+                step1_success = True
+                word, rv = word[:-6], rv[:-6]
+            elif r2.endswith(suffix):
+                step1_success = True
+                if suffix in ("azione", "azioni", "atore", "atori"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("ic"):
+                        word, rv = word[:-2], rv[:-2]
+                elif suffix in ("logia", "logie"):
+                    # port quirk: rv is rebound to word[:-2], not rv[:-2]
+                    word = word[:-2]
+                    rv = word[:-2]
+                elif suffix in ("uzione", "uzioni", "usione", "usioni"):
+                    word, rv = word[:-5], rv[:-5]
+                elif suffix in ("enza", "enze"):
+                    word = word[:-2] + "te"
+                    rv = rv[:-2] + "te"
+                elif suffix == "it\xe0":
+                    word, r2, rv = word[:-3], r2[:-3], rv[:-3]
+                    if r2.endswith(("ic", "iv")):
+                        word, rv = word[:-2], rv[:-2]
+                    elif r2.endswith("abil"):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("ivo", "ivi", "iva", "ive"):
+                    word, r2, rv = word[:-3], r2[:-3], rv[:-3]
+                    if r2.endswith("at"):
+                        word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                        if r2.endswith("ic"):
+                            word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2: verb suffixes
+    if not step1_success:
+        for suffix in _IT_STEP2:
+            if rv.endswith(suffix):
+                word, rv = word[: -len(suffix)], rv[: -len(suffix)]
+                break
+
+    # STEP 3a
+    if rv.endswith(("a", "e", "i", "o", "\xe0", "\xe8", "\xec", "\xf2")):
+        word, rv = word[:-1], rv[:-1]
+        if rv.endswith("i"):
+            word, rv = word[:-1], rv[:-1]
+
+    # STEP 3b
+    if rv.endswith(("ch", "gh")):
+        word = word[:-1]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Portuguese — snowball.tartarus.org/algorithms/portuguese/stemmer.html
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiou\xe1\xe9\xed\xf3\xfa\xe2\xea\xf4"
+_PT_STEP1 = (
+    "amentos", "imentos", "uciones", "amento", "imento", "adoras",
+    "adores", "a\xe7o~es", "log\xedas", "\xeancias", "amente",
+    "idades", "ismos", "istas", "adora", "a\xe7a~o", "antes",
+    "\xe2ncia", "log\xeda", "uci\xf3n", "\xeancia", "mente",
+    "idade", "ezas", "icos", "icas", "ismo", "\xe1vel", "\xedvel",
+    "ista", "osos", "osas", "ador", "ante", "ivas", "ivos", "iras",
+    "eza", "ico", "ica", "oso", "osa", "iva", "ivo", "ira",
+)
+_PT_STEP2 = (
+    "ar\xedamos", "er\xedamos", "ir\xedamos", "\xe1ssemos",
+    "\xeassemos", "\xedssemos", "ar\xedeis", "er\xedeis",
+    "ir\xedeis", "\xe1sseis", "\xe9sseis", "\xedsseis",
+    "\xe1ramos", "\xe9ramos", "\xedramos", "\xe1vamos", "aremos",
+    "eremos", "iremos", "ariam", "eriam", "iriam", "assem", "essem",
+    "issem", "ara~o", "era~o", "ira~o", "arias", "erias", "irias",
+    "ardes", "erdes", "irdes", "asses", "esses", "isses", "astes",
+    "estes", "istes", "\xe1reis", "areis", "\xe9reis", "ereis",
+    "\xedreis", "ireis", "\xe1veis", "\xedamos", "armos", "ermos",
+    "irmos", "aria", "eria", "iria", "asse", "esse", "isse", "aste",
+    "este", "iste", "arei", "erei", "irei", "aram", "eram", "iram",
+    "avam", "arem", "erem", "irem", "ando", "endo", "indo", "adas",
+    "idas", "ar\xe1s", "aras", "er\xe1s", "eras", "ir\xe1s", "avas",
+    "ares", "eres", "ires", "\xedeis", "ados", "idos", "\xe1mos",
+    "amos", "emos", "imos", "iras", "ada", "ida", "ar\xe1", "ara",
+    "er\xe1", "era", "ir\xe1", "ava", "iam", "ado", "ido", "ias",
+    "ais", "eis", "ira", "ia", "ei", "am", "em", "ar", "er", "ir",
+    "as", "es", "is", "eu", "iu", "ou",
+)
+_PT_STEP4 = ("os", "a", "i", "o", "\xe1", "\xed", "\xf3")
+
+
+def stem_pt(word: str) -> str:
+    vowels = _PT_VOWELS
+    word = word.lower()
+    step1_success = False
+    step2_success = False
+
+    # nasalized vowels get an ASCII digraph spelling during stemming
+    word = word.replace("\xe3", "a~").replace("\xf5", "o~")
+
+    r1, r2 = _r1r2(word, vowels)
+    rv = _rv_standard(word, vowels)
+
+    # STEP 1
+    for suffix in _PT_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "amente" and r1.endswith(suffix):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic", "ad")):
+                    word, rv = word[:-2], rv[:-2]
+            elif (
+                suffix in ("ira", "iras")
+                and rv.endswith(suffix)
+                and word[-n - 1: -n] == "e"
+            ):
+                step1_success = True
+                word = word[:-n] + "ir"
+                rv = rv[:-n] + "ir"
+            elif r2.endswith(suffix):
+                step1_success = True
+                if suffix in ("log\xeda", "log\xedas"):
+                    word, rv = word[:-2], rv[:-2]
+                elif suffix in ("uci\xf3n", "uciones"):
+                    word = word[:-n] + "u"
+                    rv = rv[:-n] + "u"
+                elif suffix in ("\xeancia", "\xeancias"):
+                    word = word[:-n] + "ente"
+                    rv = rv[:-n] + "ente"
+                elif suffix == "mente":
+                    word, r2, rv = word[:-5], r2[:-5], rv[:-5]
+                    if r2.endswith(("ante", "avel", "\xedvel")):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("idade", "idades"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith(("ic", "iv")):
+                        word, rv = word[:-2], rv[:-2]
+                    elif r2.endswith("abil"):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("iva", "ivo", "ivas", "ivos"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2: verb suffixes
+    if not step1_success:
+        for suffix in _PT_STEP2:
+            if rv.endswith(suffix):
+                step2_success = True
+                word, rv = word[: -len(suffix)], rv[: -len(suffix)]
+                break
+
+    # STEP 3
+    if (step1_success or step2_success) and rv.endswith("i") and word[-2] == "c":
+        word, rv = word[:-1], rv[:-1]
+
+    # STEP 4: residual suffix
+    if not step1_success and not step2_success:
+        for suffix in _PT_STEP4:
+            if rv.endswith(suffix):
+                word, rv = word[: -len(suffix)], rv[: -len(suffix)]
+                break
+
+    # STEP 5
+    if rv.endswith(("e", "\xe9", "\xea")):
+        word, rv = word[:-1], rv[:-1]
+        if (word.endswith("gu") and rv.endswith("u")) or (
+            word.endswith("ci") and rv.endswith("i")
+        ):
+            word = word[:-1]
+    elif word.endswith("\xe7"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "\xe3").replace("o~", "\xf5")
+
+
+STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr, "it": stem_it, "pt": stem_pt}
 
 
 def stemmer_for(lang: str):
