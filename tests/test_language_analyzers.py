@@ -61,6 +61,7 @@ def test_sentence_parity(lang):
         ("fr", "abcdefghilmnopqrstuvyâàëéêèïîôûùç"),
         ("it", "abcdeghilmnopqrstuvzàèìòùáéíóú"),
         ("pt", "abcdeghilmnopqrstuvzãõçáéíóúâêô"),
+        ("ru", "абвгдежзийклмнопрстуфхцчшщъыьэюяё"),
     ],
 )
 def test_stemmer_fuzz_parity(lang, charset):
@@ -68,6 +69,7 @@ def test_stemmer_fuzz_parity(lang, charset):
     from whoosh.lang.snowball.german import GermanStemmer
     from whoosh.lang.snowball.italian import ItalianStemmer
     from whoosh.lang.snowball.portugese import PortugueseStemmer
+    from whoosh.lang.snowball.russian import RussianStemmer
     from whoosh.lang.snowball.spanish import SpanishStemmer
 
     from whoosh_reloaded_spark.snowball import stemmer_for
@@ -78,6 +80,7 @@ def test_stemmer_fuzz_parity(lang, charset):
         "fr": FrenchStemmer().stem,
         "it": ItalianStemmer().stem,
         "pt": PortugueseStemmer().stem,
+        "ru": RussianStemmer().stem,
     }[lang]
     ours = stemmer_for(lang)
     rng = random.Random(1234)

@@ -847,7 +847,149 @@ def stem_pt(word: str) -> str:
     return word.replace("a~", "\xe3").replace("o~", "\xf5")
 
 
-STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr, "it": stem_it, "pt": stem_pt}
+
+
+
+# ---------------------------------------------------------------------------
+# Russian — snowball.tartarus.org/algorithms/russian/stemmer.html
+# (engine over the transliterated tables in lang_ru_data.py)
+# ---------------------------------------------------------------------------
+
+
+def _ru_regions(word: str):
+    """RV + R2 with i^a/i^u/e` masked to single letters during region
+    finding (reference russian.py:646-691)."""
+    vowels = ("A", "U", "E", "a", "e", "i", "o", "u", "y")
+    w = word.replace("i^a", "A").replace("i^u", "U").replace("e`", "E")
+    r1 = ""
+    r2 = ""
+    rv = ""
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = w[i + 1:]
+            break
+    for i in range(1, len(r1)):
+        if r1[i] not in vowels and r1[i - 1] in vowels:
+            r2 = r1[i + 1:]
+            break
+    for i in range(len(w)):
+        if w[i] in vowels:
+            rv = w[i + 1:]
+            break
+    unmask = lambda s: s.replace("A", "i^a").replace("U", "i^u").replace("E", "e`")
+    return unmask(rv), unmask(r2)
+
+
+def stem_ru(word: str) -> str:
+    from whoosh_reloaded_spark import lang_ru_data as D
+
+    cyrillic = any(ord(c) > 255 for c in word)
+    if cyrillic:
+        for a, b in D.CYR_TO_ROM:
+            word = word.replace(a, b)
+
+    step1_success = False
+    adjectival_removed = False
+    verb_removed = False
+    undouble_success = False
+    superlative_removed = False
+
+    rv, r2 = _ru_regions(word)
+
+    def _a_ok(suffix):
+        # removal conditioned on a preceding i^a or a (russian.py:402-405)
+        n = len(suffix)
+        return rv[-n - 3: -n] == "i^a" or rv[-n - 1: -n] == "a"
+
+    # Step 1: perfective gerund
+    for suffix in D.PERFECTIVE_GERUND:
+        if rv.endswith(suffix):
+            if suffix in D.PERFECTIVE_A_GROUP:
+                if _a_ok(suffix):
+                    n = len(suffix)
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    step1_success = True
+                    break
+            else:
+                n = len(suffix)
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                step1_success = True
+                break
+
+    if not step1_success:
+        for suffix in D.REFLEXIVE:
+            if rv.endswith(suffix):
+                n = len(suffix)
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                break
+        for suffix in D.ADJECTIVAL:
+            if rv.endswith(suffix):
+                if suffix in D.ADJECTIVAL_A_GROUP:
+                    if _a_ok(suffix):
+                        n = len(suffix)
+                        word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                        adjectival_removed = True
+                        break
+                else:
+                    n = len(suffix)
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    adjectival_removed = True
+                    break
+        if not adjectival_removed:
+            for suffix in D.VERB:
+                if rv.endswith(suffix):
+                    if suffix in D.VERB_A_GROUP:
+                        if _a_ok(suffix):
+                            n = len(suffix)
+                            word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                            verb_removed = True
+                            break
+                    else:
+                        n = len(suffix)
+                        word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                        verb_removed = True
+                        break
+        if not adjectival_removed and not verb_removed:
+            for suffix in D.NOUN:
+                if rv.endswith(suffix):
+                    n = len(suffix)
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    break
+
+    # Step 2: remove trailing i
+    if rv.endswith("i"):
+        word, r2 = word[:-1], r2[:-1]
+
+    # Step 3: derivational (in R2)
+    for suffix in D.DERIVATIONAL:
+        if r2.endswith(suffix):
+            word = word[: -len(suffix)]
+            break
+
+    # Step 4: undouble nn / superlative / soft sign
+    if word.endswith("nn"):
+        word = word[:-1]
+        undouble_success = True
+    if not undouble_success:
+        for suffix in D.SUPERLATIVE:
+            if word.endswith(suffix):
+                word = word[: -len(suffix)]
+                superlative_removed = True
+                break
+        if word.endswith("nn"):
+            word = word[:-1]
+    if not undouble_success and not superlative_removed:
+        if word.endswith("'"):
+            word = word[:-1]
+
+    if cyrillic:
+        for a, b in D.ROM_TO_CYR:
+            word = word.replace(a, b)
+    return word
+
+
+STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr, "it": stem_it,
+            "pt": stem_pt, "ru": stem_ru}
 
 
 def stemmer_for(lang: str):
