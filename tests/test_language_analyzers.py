@@ -62,6 +62,10 @@ def test_sentence_parity(lang):
         ("it", "abcdeghilmnopqrstuvzàèìòùáéíóú"),
         ("pt", "abcdeghilmnopqrstuvzãõçáéíóúâêô"),
         ("ru", "абвгдежзийклмнопрстуфхцчшщъыьэюяё"),
+        ("da", "abcdefghijklmnoprstuvyzæåø"),
+        ("no", "abcdefghijklmnoprstuvyzæåø"),
+        ("sv", "abcdefghijklmnoprstuvyzäåö"),
+        ("nl", "abcdefghijklmnoprstuvwyzèéëïöü"),
     ],
 )
 def test_stemmer_fuzz_parity(lang, charset):
@@ -69,7 +73,11 @@ def test_stemmer_fuzz_parity(lang, charset):
     from whoosh.lang.snowball.german import GermanStemmer
     from whoosh.lang.snowball.italian import ItalianStemmer
     from whoosh.lang.snowball.portugese import PortugueseStemmer
+    from whoosh.lang.snowball.danish import DanishStemmer
+    from whoosh.lang.snowball.dutch import DutchStemmer
+    from whoosh.lang.snowball.norwegian import NorwegianStemmer
     from whoosh.lang.snowball.russian import RussianStemmer
+    from whoosh.lang.snowball.swedish import SwedishStemmer
     from whoosh.lang.snowball.spanish import SpanishStemmer
 
     from whoosh_reloaded_spark.snowball import stemmer_for
@@ -81,6 +89,10 @@ def test_stemmer_fuzz_parity(lang, charset):
         "it": ItalianStemmer().stem,
         "pt": PortugueseStemmer().stem,
         "ru": RussianStemmer().stem,
+        "da": DanishStemmer().stem,
+        "no": NorwegianStemmer().stem,
+        "sv": SwedishStemmer().stem,
+        "nl": DutchStemmer().stem,
     }[lang]
     ours = stemmer_for(lang)
     rng = random.Random(1234)
@@ -100,9 +112,9 @@ def test_stop_only_language():
     # a language with a stop list but no stemmer here: stop filtering active
     from whoosh_reloaded_spark.analyzers import LanguageAnalyzer
 
-    toks = LanguageAnalyzer("sv")("och katten sprang i huset")
+    toks = LanguageAnalyzer("fi")("ja kissa juoksi talossa")
     texts = [t for t, _ in toks]
-    assert "och" not in texts and "katten" in texts
+    assert "ja" not in texts and "kissa" in texts
 
 
 def test_german_index_rank_parity(spark, tmp_path_factory):

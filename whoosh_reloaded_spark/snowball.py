@@ -988,8 +988,275 @@ def stem_ru(word: str) -> str:
     return word
 
 
+# ---------------------------------------------------------------------------
+# Scandinavian (Danish / Norwegian / Swedish) + Dutch
+# snowball.tartarus.org/algorithms/{danish,norwegian,swedish,dutch}/stemmer.html
+# ---------------------------------------------------------------------------
+
+
+def _r1_scandinavian(word: str, vowels: str) -> str:
+    """R1 with the 3-letter-prefix floor (bases.py:13-45)."""
+    r1 = ""
+    for i in range(1, len(word)):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            if 0 < len(word[: i + 1]) < 3:
+                r1 = word[3:]
+            elif len(word[: i + 1]) >= 3:
+                r1 = word[i + 1:]
+            else:
+                return word
+            break
+    return r1
+
+
+_DA_VOWELS = "aeiouy\xe6\xe5\xf8"
+_DA_DOUBLE_CONS = (
+    "bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll", "mm", "nn",
+    "pp", "qq", "rr", "ss", "tt", "vv", "ww", "xx", "zz",
+)
+_DA_S_END = "abcdfghjklmnoprtvyz\xe5"
+_DA_STEP1 = (
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "en", "er", "es", "et", "e", "s",
+)
+_DA_STEP2 = ("gd", "dt", "gt", "kt")
+_DA_STEP3 = ("elig", "l\xf8st", "lig", "els", "ig")
+
+
+def stem_da(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_scandinavian(word, _DA_VOWELS)
+    for suffix in _DA_STEP1:
+        if r1.endswith(suffix):
+            if suffix == "s":
+                if word[-2] in _DA_S_END:
+                    word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(suffix)
+                word, r1 = word[:-n], r1[:-n]
+            break
+    for suffix in _DA_STEP2:
+        if r1.endswith(suffix):
+            word, r1 = word[:-1], r1[:-1]
+            break
+    if r1.endswith("igst"):
+        word, r1 = word[:-2], r1[:-2]
+    for suffix in _DA_STEP3:
+        if r1.endswith(suffix):
+            if suffix == "l\xf8st":
+                word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(suffix)
+                word, r1 = word[:-n], r1[:-n]
+                if r1.endswith(_DA_STEP2):
+                    word, r1 = word[:-1], r1[:-1]
+            break
+    for dc in _DA_DOUBLE_CONS:
+        if word.endswith(dc) and len(word) > 3:
+            word = word[:-1]
+            break
+    return word
+
+
+_NO_VOWELS = "aeiouy\xe6\xe5\xf8"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = (
+    "hetenes", "hetene", "hetens", "heter", "heten", "endes", "ande",
+    "ende", "edes", "enes", "erte", "ede", "ane", "ene", "ens", "ers",
+    "ets", "het", "ast", "ert", "en", "ar", "er", "as", "es", "et",
+    "a", "e", "s",
+)
+_NO_STEP2 = ("dt", "vt")
+_NO_STEP3 = (
+    "hetslov", "eleg", "elig", "elov", "slov", "leg", "eig", "lig",
+    "els", "lov", "ig",
+)
+
+
+def stem_no(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_scandinavian(word, _NO_VOWELS)
+    for suffix in _NO_STEP1:
+        if r1.endswith(suffix):
+            if suffix in ("erte", "ert"):
+                n = len(suffix)
+                word = word[:-n] + "er"
+                r1 = r1[:-n] + "er"
+            elif suffix == "s":
+                if word[-2] in _NO_S_END or (
+                    word[-2] == "k" and word[-3] not in _NO_VOWELS
+                ):
+                    word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(suffix)
+                word, r1 = word[:-n], r1[:-n]
+            break
+    for suffix in _NO_STEP2:
+        if r1.endswith(suffix):
+            word, r1 = word[:-1], r1[:-1]
+            break
+    for suffix in _NO_STEP3:
+        if r1.endswith(suffix):
+            word = word[: -len(suffix)]
+            break
+    return word
+
+
+_SV_VOWELS = "aeiouy\xe4\xe5\xf6"
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_STEP1 = (
+    "heterna", "hetens", "heter", "heten", "anden", "arnas", "ernas",
+    "ornas", "andes", "andet", "arens", "arna", "erna", "orna", "ande",
+    "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern", "ens",
+    "het", "ast", "ad", "en", "ar", "er", "or", "as", "es", "at",
+    "a", "e", "s",
+)
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_STEP3 = ("fullt", "l\xf6st", "els", "lig", "ig")
+
+
+def stem_sv(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_scandinavian(word, _SV_VOWELS)
+    for suffix in _SV_STEP1:
+        if r1.endswith(suffix):
+            if suffix == "s":
+                if word[-2] in _SV_S_END:
+                    word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(suffix)
+                word, r1 = word[:-n], r1[:-n]
+            break
+    for suffix in _SV_STEP2:
+        if r1.endswith(suffix):
+            word, r1 = word[:-1], r1[:-1]
+            break
+    for suffix in _SV_STEP3:
+        if r1.endswith(suffix):
+            if suffix in ("els", "lig", "ig"):
+                word = word[: -len(suffix)]
+            elif suffix in ("fullt", "l\xf6st"):
+                word = word[:-1]
+            break
+    return word
+
+
+_NL_VOWELS = "aeiouy\xe8"
+_NL_STEP1 = ("heden", "ene", "en", "se", "s")
+_NL_STEP3B = ("baar", "lijk", "bar", "end", "ing", "ig")
+
+
+def stem_nl(word: str) -> str:
+    vowels = _NL_VOWELS
+    word = word.lower()
+    step2_success = False
+    word = (
+        word.replace("\xe4", "a").replace("\xe1", "a")
+        .replace("\xeb", "e").replace("\xe9", "e")
+        .replace("\xed", "i").replace("\xef", "i")
+        .replace("\xf6", "o").replace("\xf3", "o")
+        .replace("\xfc", "u").replace("\xfa", "u")
+    )
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    for i in range(1, len(word)):
+        if word[i - 1] in vowels and word[i] == "y":
+            word = word[:i] + "Y" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in vowels and word[i] == "i" and word[i + 1] in vowels:
+            word = word[:i] + "I" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, vowels)
+    for i in range(1, len(word)):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            if 0 < len(word[: i + 1]) < 3:
+                r1 = word[3:]
+            break
+
+    # STEP 1
+    for suffix in _NL_STEP1:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix == "heden":
+                word = word[:-5] + "heid"
+                r1 = r1[:-5] + "heid"
+                if r2.endswith("heden"):
+                    r2 = r2[:-5] + "heid"
+            elif (
+                suffix in ("ene", "en")
+                and not word.endswith("heden")
+                and word[-n - 1] not in vowels
+                and word[-n - 3: -n] != "gem"
+            ):
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                if word.endswith(("kk", "dd", "tt")):
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            elif (
+                suffix in ("se", "s")
+                and word[-n - 1] not in vowels
+                and word[-n - 1] != "j"
+            ):
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 2
+    if r1.endswith("e") and word[-2] not in vowels:
+        step2_success = True
+        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+        if word.endswith(("kk", "dd", "tt")):
+            word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+
+    # STEP 3a
+    if r2.endswith("heid") and word[-5] != "c":
+        word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+        if (
+            r1.endswith("en")
+            and word[-3] not in vowels
+            and word[-5:-2] != "gem"
+        ):
+            word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            if word.endswith(("kk", "dd", "tt")):
+                word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+
+    # STEP 3b
+    for suffix in _NL_STEP3B:
+        if r2.endswith(suffix):
+            if suffix in ("end", "ing"):
+                word, r2 = word[:-3], r2[:-3]
+                if r2.endswith("ig") and word[-3] != "e":
+                    word = word[:-2]
+                else:
+                    if word.endswith(("kk", "dd", "tt")):
+                        word = word[:-1]
+            elif suffix == "ig" and word[-3] != "e":
+                word = word[:-2]
+            elif suffix == "lijk":
+                word, r1 = word[:-4], r1[:-4]
+                if r1.endswith("e") and word[-2] not in vowels:
+                    word = word[:-1]
+                    if word.endswith(("kk", "dd", "tt")):
+                        word = word[:-1]
+            elif suffix == "baar":
+                word = word[:-4]
+            elif suffix == "bar" and step2_success:
+                word = word[:-3]
+            break
+
+    # STEP 4: undouble vowel
+    if len(word) >= 4:
+        if word[-1] not in vowels and word[-1] != "I":
+            if word[-3:-1] in ("aa", "ee", "oo", "uu"):
+                if word[-4] not in vowels:
+                    word = word[:-3] + word[-3] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
+
+
 STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr, "it": stem_it,
-            "pt": stem_pt, "ru": stem_ru}
+            "pt": stem_pt, "ru": stem_ru, "da": stem_da, "no": stem_no,
+            "sv": stem_sv, "nl": stem_nl}
 
 
 def stemmer_for(lang: str):
