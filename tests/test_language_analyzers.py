@@ -66,6 +66,9 @@ def test_sentence_parity(lang):
         ("no", "abcdefghijklmnoprstuvyzæåø"),
         ("sv", "abcdefghijklmnoprstuvyzäåö"),
         ("nl", "abcdefghijklmnoprstuvwyzèéëïöü"),
+        ("fi", "abdeghijklmnoprstuvyäö"),
+        ("hu", "abcdeghijklmnoprstuvyzöüáéíóõúû"),
+        ("ro", "abcdeghilmnoprstuvzăâîşţ"),
     ],
 )
 def test_stemmer_fuzz_parity(lang, charset):
@@ -74,6 +77,9 @@ def test_stemmer_fuzz_parity(lang, charset):
     from whoosh.lang.snowball.italian import ItalianStemmer
     from whoosh.lang.snowball.portugese import PortugueseStemmer
     from whoosh.lang.snowball.danish import DanishStemmer
+    from whoosh.lang.snowball.finnish import FinnishStemmer
+    from whoosh.lang.snowball.hungarian import HungarianStemmer
+    from whoosh.lang.snowball.romanian import RomanianStemmer
     from whoosh.lang.snowball.dutch import DutchStemmer
     from whoosh.lang.snowball.norwegian import NorwegianStemmer
     from whoosh.lang.snowball.russian import RussianStemmer
@@ -93,6 +99,9 @@ def test_stemmer_fuzz_parity(lang, charset):
         "no": NorwegianStemmer().stem,
         "sv": SwedishStemmer().stem,
         "nl": DutchStemmer().stem,
+        "fi": FinnishStemmer().stem,
+        "hu": HungarianStemmer().stem,
+        "ro": RomanianStemmer().stem,
     }[lang]
     ours = stemmer_for(lang)
     rng = random.Random(1234)
@@ -112,9 +121,9 @@ def test_stop_only_language():
     # a language with a stop list but no stemmer here: stop filtering active
     from whoosh_reloaded_spark.analyzers import LanguageAnalyzer
 
-    toks = LanguageAnalyzer("fi")("ja kissa juoksi talossa")
+    toks = LanguageAnalyzer("tr")("ve kedi evde oturuyor")
     texts = [t for t, _ in toks]
-    assert "ja" not in texts and "kissa" in texts
+    assert "ve" not in texts and "kedi" in texts
 
 
 def test_german_index_rank_parity(spark, tmp_path_factory):

@@ -110,3 +110,22 @@ def test_dedup_clusters_distributed_path(spark):
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket drops mega-buckets before the self-join: identical docs in
+    an oversized bucket produce no pairs; normal-size buckets unaffected."""
+    from whoosh_reloaded_spark.textops.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "the same boilerplate text repeated") for i in range(10)]
+    pair = [(100, "unique snowflake document alpha beta"),
+            (101, "unique snowflake document alpha beta")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, threshold=0.2, max_bucket=5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # boilerplate bucket (size 10) dropped
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.2).collect()
+    assert len(uncapped) > len(capped)

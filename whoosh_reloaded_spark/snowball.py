@@ -1,4 +1,5 @@
-"""Snowball stemmers for German, Spanish, French, Italian, and Portuguese.
+"""Snowball stemmers for all 13 of the reference's snowball languages
+(de es fr it pt ru da no sv nl fi hu ro).
 
 Martin Porter's published Snowball algorithms
 (https://snowball.tartarus.org/algorithms/{german,spanish,french}/stemmer.html),
@@ -1254,9 +1255,569 @@ def stem_nl(word: str) -> str:
     return word.replace("I", "i").replace("Y", "y")
 
 
+# ---------------------------------------------------------------------------
+# Finnish — snowball.tartarus.org/algorithms/finnish/stemmer.html
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = "aeiouy\xe4\xf6"
+_FI_RESTRICTED = "aeiou\xe4\xf6"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "\xe4\xe4", "\xf6\xf6")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+_FI_DOUBLE_CONS = (
+    "bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll", "mm", "nn",
+    "pp", "qq", "rr", "ss", "tt", "vv", "ww", "xx", "zz",
+)
+_FI_STEP1 = (
+    "kaan", "k\xe4\xe4n", "sti", "kin", "han", "h\xe4n", "ko",
+    "k\xf6", "pa", "p\xe4",
+)
+_FI_STEP2 = ("nsa", "ns\xe4", "mme", "nne", "si", "ni", "an", "\xe4n", "en")
+_FI_STEP3 = (
+    "siin", "tten", "seen", "han", "hen", "hin", "hon", "h\xe4n",
+    "h\xf6n", "den", "tta", "tt\xe4", "ssa", "ss\xe4", "sta",
+    "st\xe4", "lla", "ll\xe4", "lta", "lt\xe4", "lle", "ksi", "ine",
+    "ta", "t\xe4", "na", "n\xe4", "a", "\xe4", "n",
+)
+_FI_STEP4 = (
+    "impi", "impa", "imp\xe4", "immi", "imma", "imm\xe4", "mpi",
+    "mpa", "mp\xe4", "mmi", "mma", "mm\xe4", "eja", "ej\xe4",
+)
+
+
+def stem_fi(word: str) -> str:
+    vowels = _FI_VOWELS
+    word = word.lower()
+    step3_success = False
+    r1, r2 = _r1r2(word, vowels)
+
+    # STEP 1: particles
+    for suffix in _FI_STEP1:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix == "sti":
+                if suffix in r2:  # substring test, port behavior
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            else:
+                if word[-n - 1] in "ntaeiouy\xe4\xf6":
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 2: possessives
+    for suffix in _FI_STEP2:
+        if r1.endswith(suffix):
+            if suffix == "si":
+                if word[-3] != "k":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix == "ni":
+                word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+                if r1.endswith("kse"):
+                    r1 = r1[:-3] + "ksi"
+                if r2.endswith("kse"):
+                    r2 = r2[:-3] + "ksi"
+            elif suffix == "an":
+                if word[-4:-2] in ("ta", "na") or word[-5:-2] in (
+                    "ssa", "sta", "lla", "lta",
+                ):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix == "\xe4n":
+                if word[-4:-2] in ("t\xe4", "n\xe4") or word[-5:-2] in (
+                    "ss\xe4", "st\xe4", "ll\xe4", "lt\xe4",
+                ):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix == "en":
+                if word[-5:-2] in ("lle", "ine"):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            else:
+                word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            break
+
+    # STEP 3: cases
+    for suffix in _FI_STEP3:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("han", "hen", "hin", "hon", "h\xe4n", "h\xf6n"):
+                if (
+                    (suffix == "han" and word[-4] == "a")
+                    or (suffix == "hen" and word[-4] == "e")
+                    or (suffix == "hin" and word[-4] == "i")
+                    or (suffix == "hon" and word[-4] == "o")
+                    or (suffix == "h\xe4n" and word[-4] == "\xe4")
+                    or (suffix == "h\xf6n" and word[-4] == "\xf6")
+                ):
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3_success = True
+            elif suffix in ("siin", "den", "tten"):
+                if (
+                    word[-n - 1] == "i"
+                    and word[-n - 2] in _FI_RESTRICTED
+                ):
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                    step3_success = True
+                else:
+                    continue
+            elif suffix == "seen":
+                if word[-6:-4] in _FI_LONG:
+                    word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+                    step3_success = True
+                else:
+                    continue
+            elif suffix in ("a", "\xe4"):
+                if word[-2] in vowels and word[-3] in _FI_CONS:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                    step3_success = True
+            elif suffix in ("tta", "tt\xe4"):
+                if word[-4] == "e":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3_success = True
+            elif suffix == "n":
+                word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                step3_success = True
+                if word[-2:] == "ie" or word[-2:] in _FI_LONG:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            else:
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                step3_success = True
+            break
+
+    # STEP 4: other endings (in R2)
+    for suffix in _FI_STEP4:
+        if r2.endswith(suffix):
+            if suffix in ("mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4"):
+                if word[-5:-3] != "po":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            else:
+                n = len(suffix)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 5: plurals
+    if step3_success and len(r1) >= 1 and r1[-1] in "ij":
+        word, r1 = word[:-1], r1[:-1]
+    elif (
+        not step3_success
+        and len(r1) >= 2
+        and r1[-1] == "t"
+        and r1[-2] in vowels
+    ):
+        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+        if r2.endswith("imma"):
+            word, r1 = word[:-4], r1[:-4]
+        elif r2.endswith("mma") and r2[-5:-3] != "po":
+            word, r1 = word[:-3], r1[:-3]
+
+    # STEP 6: tidying
+    if r1[-2:] in _FI_LONG:
+        word, r1 = word[:-1], r1[:-1]
+    if len(r1) >= 2 and r1[-2] in _FI_CONS and r1[-1] in "a\xe4ei":
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith(("oj", "uj")):
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith("jo"):
+        word, r1 = word[:-1], r1[:-1]
+
+    # undouble: double consonant followed by zero or more vowels
+    for i in range(1, len(word)):
+        if word[-i] in vowels:
+            continue
+        if i == 1:
+            if word[-i - 1:] in _FI_DOUBLE_CONS:
+                word = word[:-1]
+        else:
+            if word[-i - 1: -i + 1] in _FI_DOUBLE_CONS:
+                word = word[:-i] + word[-i + 1:]
+        break
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Hungarian — snowball.tartarus.org/algorithms/hungarian/stemmer.html
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = "aeiou\xf6\xfc\xe1\xe9\xed\xf3\xf5\xfa\xfb"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "ty", "zs")
+_HU_DOUBLE_CONS = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+    "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+    "vv", "zz", "zzs",
+)
+_HU_STEP1 = ("al", "el")
+_HU_STEP2 = (
+    "k\xe9ppen", "onk\xe9nt", "enk\xe9nt", "ank\xe9nt", "k\xe9pp",
+    "k\xe9nt", "ban", "ben", "nak", "nek", "val", "vel", "t\xf3l",
+    "t\xf5l", "r\xf3l", "r\xf5l", "b\xf3l", "b\xf5l", "hoz",
+    "hez", "h\xf6z", "n\xe1l", "n\xe9l", "\xe9rt", "kor", "ba",
+    "be", "ra", "re", "ig", "at", "et", "ot", "\xf6t", "ul",
+    "\xfcl", "v\xe1", "v\xe9", "en", "on", "an", "\xf6n", "n", "t",
+)
+_HU_STEP3 = ("\xe1nk\xe9nt", "\xe1n", "\xe9n")
+_HU_STEP4 = (
+    "astul", "est\xfcl", "\xe1stul", "\xe9st\xfcl", "stul", "st\xfcl",
+)
+_HU_STEP5 = ("\xe1", "\xe9")
+_HU_STEP6 = (
+    "ok\xe9", "\xf6k\xe9", "ak\xe9", "ek\xe9", "\xe1k\xe9",
+    "\xe1\xe9i", "\xe9k\xe9", "\xe9\xe9i", "k\xe9", "\xe9i",
+    "\xe9\xe9", "\xe9",
+)
+_HU_STEP7 = (
+    "\xe1juk", "\xe9j\xfck", "\xfcnk", "unk", "juk", "j\xfck",
+    "\xe1nk", "\xe9nk", "nk", "uk", "\xfck", "em", "om", "am",
+    "od", "ed", "ad", "\xf6d", "ja", "je", "\xe1m", "\xe1d",
+    "\xe9m", "\xe9d", "m", "d", "a", "e", "o", "\xe1", "\xe9",
+)
+_HU_STEP8 = (
+    "jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek",
+    "\xe1itok", "\xe9itek", "jaim", "jeim", "jaid", "jeid", "eink",
+    "aink", "itek", "jeik", "jaik", "\xe1ink", "\xe9ink", "aim",
+    "eim", "aid", "eid", "jai", "jei", "ink", "aik", "eik",
+    "\xe1im", "\xe1id", "\xe1ik", "\xe9im", "\xe9id", "\xe9ik",
+    "im", "id", "ai", "ei", "ik", "\xe1i", "\xe9i", "i",
+)
+_HU_STEP9 = ("\xe1k", "\xe9k", "\xf6k", "ok", "ek", "ak", "k")
+
+
+def _r1_hungarian(word: str) -> str:
+    """R1 per the port (hungarian.py:330-352) — NOTE the digraph branch
+    slices after the first occurrence of the digraph's LAST LETTER anywhere
+    in the word (word.index(digraph[-1])), a port quirk kept for parity."""
+    vowels = _HU_VOWELS
+    r1 = ""
+    if word[0] in vowels:
+        for digraph in _HU_DIGRAPHS:
+            if digraph in word[1:]:
+                return word[word.index(digraph[-1]) + 1:]
+        for i in range(1, len(word)):
+            if word[i] not in vowels:
+                r1 = word[i + 1:]
+                break
+    else:
+        for i in range(1, len(word)):
+            if word[i] in vowels:
+                r1 = word[i + 1:]
+                break
+    return r1
+
+
+def stem_hu(word: str) -> str:
+    word = word.lower()
+    if not word:
+        return word
+    r1 = _r1_hungarian(word)
+
+    # STEP 1: instrumental case (undouble before -al/-el)
+    if r1.endswith(_HU_STEP1):
+        for dc in _HU_DOUBLE_CONS:
+            if word[-2 - len(dc): -2] == dc:
+                word = word[:-4] + word[-3]
+                if r1[-2 - len(dc): -2] == dc:
+                    r1 = r1[:-4] + r1[-3]
+                break
+
+    # STEP 2: frequent cases
+    for suffix in _HU_STEP2:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                n = len(suffix)
+                word, r1 = word[:-n], r1[:-n]
+                if r1.endswith("\xe1"):
+                    word = word[:-1] + "a"
+                    r1 = r1[:-1] + "a"
+                elif r1.endswith("\xe9"):
+                    word = word[:-1] + "e"
+                    r1 = r1[:-1] + "e"
+            break
+
+    # STEP 3: special cases
+    for suffix in _HU_STEP3:
+        if r1.endswith(suffix):
+            if suffix == "\xe9n":
+                word = word[:-2] + "e"
+                r1 = r1[:-2] + "e"
+            else:
+                n = len(suffix)
+                word = word[:-n] + "a"
+                r1 = r1[:-n] + "a"
+            break
+
+    # STEP 4: other cases
+    for suffix in _HU_STEP4:
+        if r1.endswith(suffix):
+            if suffix == "\xe1stul":
+                word = word[:-5] + "a"
+                r1 = r1[:-5] + "a"
+            elif suffix == "\xe9st\xfcl":
+                word = word[:-5] + "e"
+                r1 = r1[:-5] + "e"
+            else:
+                n = len(suffix)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    # STEP 5: factive case (undouble before final accent)
+    for suffix in _HU_STEP5:
+        if r1.endswith(suffix):
+            for dc in _HU_DOUBLE_CONS:
+                if word[-1 - len(dc): -1] == dc:
+                    word = word[:-3] + word[-2]
+                    if r1[-1 - len(dc): -1] == dc:
+                        r1 = r1[:-3] + r1[-2]
+                    break
+
+    # STEP 6: owned
+    for suffix in _HU_STEP6:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("\xe1k\xe9", "\xe1\xe9i"):
+                word = word[:-3] + "a"
+                r1 = r1[:-3] + "a"
+            elif suffix in ("\xe9k\xe9", "\xe9\xe9i", "\xe9\xe9"):
+                word = word[:-n] + "e"
+                r1 = r1[:-n] + "e"
+            else:
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    # STEP 7: singular owner
+    for suffix in _HU_STEP7:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                n = len(suffix)
+                if suffix in ("\xe1nk", "\xe1juk", "\xe1m", "\xe1d", "\xe1"):
+                    word = word[:-n] + "a"
+                    r1 = r1[:-n] + "a"
+                elif suffix in ("\xe9nk", "\xe9j\xfck", "\xe9m", "\xe9d", "\xe9"):
+                    word = word[:-n] + "e"
+                    r1 = r1[:-n] + "e"
+                else:
+                    word, r1 = word[:-n], r1[:-n]
+            break
+
+    # STEP 8: plural owner
+    for suffix in _HU_STEP8:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                n = len(suffix)
+                if suffix in ("\xe1im", "\xe1id", "\xe1i", "\xe1ink",
+                              "\xe1itok", "\xe1ik"):
+                    word = word[:-n] + "a"
+                    r1 = r1[:-n] + "a"
+                elif suffix in ("\xe9im", "\xe9id", "\xe9i", "\xe9ink",
+                                "\xe9itek", "\xe9ik"):
+                    word = word[:-n] + "e"
+                    r1 = r1[:-n] + "e"
+                else:
+                    word, r1 = word[:-n], r1[:-n]
+            break
+
+    # STEP 9: plural
+    for suffix in _HU_STEP9:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                if suffix == "\xe1k":
+                    word = word[:-2] + "a"
+                elif suffix == "\xe9k":
+                    word = word[:-2] + "e"
+                else:
+                    word = word[: -len(suffix)]
+            break
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Romanian — snowball.tartarus.org/algorithms/romanian/stemmer.html
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = "aeiou\u0103\xe2\xee"
+_RO_STEP0 = (
+    "iilor", "ului", "elor", "iile", "ilor", "atei", "a\u0163ie",
+    "a\u0163ia", "aua", "ele", "iua", "iei", "ile", "ul", "ea", "ii",
+)
+_RO_STEP1 = (
+    "abilitate", "abilitati", "abilit\u0103\u0163i", "ibilitate",
+    "abilit\u0103i", "ivitate", "ivitati", "ivit\u0103\u0163i",
+    "icitate", "icitati", "icit\u0103\u0163i", "icatori",
+    "ivit\u0103i", "icit\u0103i", "icator", "a\u0163iune",
+    "atoare", "\u0103toare", "i\u0163iune", "itoare", "iciva",
+    "icive", "icivi", "iciv\u0103", "icala", "icale", "icali",
+    "ical\u0103", "ativa", "ative", "ativi", "ativ\u0103", "atori",
+    "\u0103tori", "itiva", "itive", "itivi", "itiv\u0103", "itori",
+    "iciv", "ical", "ativ", "ator", "\u0103tor", "itiv", "itor",
+)
+_RO_STEP2 = (
+    "abila", "abile", "abili", "abil\u0103", "ibila", "ibile",
+    "ibili", "ibil\u0103", "atori", "itate", "itati",
+    "it\u0103\u0163i", "abil", "ibil", "oasa", "oas\u0103", "oase",
+    "anta", "ante", "anti", "ant\u0103", "ator", "it\u0103i",
+    "iune", "iuni", "isme", "ista", "iste", "isti", "ist\u0103",
+    "i\u015fti", "ata", "at\u0103", "ati", "ate", "uta",
+    "ut\u0103", "uti", "ute", "ita", "it\u0103", "iti", "ite",
+    "ica", "ice", "ici", "ic\u0103", "osi", "o\u015fi", "ant",
+    "iva", "ive", "ivi", "iv\u0103", "ism", "ist", "at", "ut",
+    "it", "ic", "os", "iv",
+)
+_RO_STEP3 = (
+    "seser\u0103\u0163i", "aser\u0103\u0163i", "iser\u0103\u0163i",
+    "\xe2ser\u0103\u0163i", "user\u0103\u0163i", "seser\u0103m",
+    "aser\u0103m", "iser\u0103m", "\xe2ser\u0103m", "user\u0103m",
+    "ser\u0103\u0163i", "sese\u015fi", "seser\u0103", "easc\u0103",
+    "ar\u0103\u0163i", "ur\u0103\u0163i", "ir\u0103\u0163i",
+    "\xe2r\u0103\u0163i", "ase\u015fi", "aser\u0103", "ise\u015fi",
+    "iser\u0103", "\xe2se\u015fi", "\xe2ser\u0103", "use\u015fi",
+    "user\u0103", "ser\u0103m", "sesem", "indu", "\xe2ndu",
+    "eaz\u0103", "e\u015fti", "e\u015fte", "\u0103\u015fti",
+    "\u0103\u015fte", "ea\u0163i", "ia\u0163i", "ar\u0103m",
+    "ur\u0103m", "ir\u0103m", "\xe2r\u0103m", "asem", "isem",
+    "\xe2sem", "usem", "se\u015fi", "ser\u0103", "sese", "are",
+    "ere", "ire", "\xe2re", "ind", "\xe2nd", "eze", "ezi", "esc",
+    "\u0103sc", "eam", "eai", "eau", "iam", "iai", "iau",
+    "a\u015fi", "ar\u0103", "u\u015fi", "ur\u0103", "i\u015fi",
+    "ir\u0103", "\xe2\u015fi", "\xe2r\u0103", "ase", "ise",
+    "\xe2se", "use", "a\u0163i", "e\u0163i", "i\u0163i",
+    "\xe2\u0163i", "sei", "ez", "am", "ai", "au", "ea", "ia", "ui",
+    "\xe2i", "\u0103m", "em", "im", "\xe2m", "se",
+)
+_RO_3_SIMPLE = (
+    "seser\u0103\u0163i", "seser\u0103m", "ser\u0103\u0163i",
+    "sese\u015fi", "seser\u0103", "ser\u0103m", "sesem",
+    "se\u015fi", "ser\u0103", "sese", "a\u0163i", "e\u0163i",
+    "i\u0163i", "\xe2\u0163i", "sei", "\u0103m", "em", "im",
+    "\xe2m", "se",
+)
+
+
+def stem_ro(word: str) -> str:
+    vowels = _RO_VOWELS
+    word = word.lower()
+    step1_success = False
+    step2_success = False
+
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in vowels and word[i + 1] in vowels:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, vowels)
+    rv = _rv_standard(word, vowels)
+
+    # STEP 0 — note the `suffix in r1`/`in rv` SUBSTRING tests (port quirk)
+    for suffix in _RO_STEP0:
+        if word.endswith(suffix):
+            if suffix in r1:
+                n = len(suffix)
+                if suffix in ("ul", "ului"):
+                    word = word[:-n]
+                    rv = rv[:-n] if suffix in rv else ""
+                elif (
+                    suffix == "aua"
+                    or suffix == "atei"
+                    or (suffix == "ile" and word[-5:-3] != "ab")
+                ):
+                    word = word[:-2]
+                elif suffix in ("ea", "ele", "elor"):
+                    word = word[:-n] + "e"
+                    rv = (rv[:-n] + "e") if suffix in rv else ""
+                elif suffix in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                    word = word[:-n] + "i"
+                    rv = (rv[:-n] + "i") if suffix in rv else ""
+                elif suffix in ("a\u0163ie", "a\u0163ia"):
+                    word = word[:-1]
+            break
+
+    # STEP 1: combining suffixes, reapplied until no replacement
+    while True:
+        replacement_done = False
+        for suffix in _RO_STEP1:
+            if word.endswith(suffix):
+                n = len(suffix)
+                if suffix in r1:
+                    step1_success = True
+                    replacement_done = True
+                    if suffix in ("abilitate", "abilitati", "abilit\u0103i",
+                                  "abilit\u0103\u0163i"):
+                        word = word[:-n] + "abil"
+                    elif suffix == "ibilitate":
+                        word = word[:-5]
+                    elif suffix in ("ivitate", "ivitati", "ivit\u0103i",
+                                    "ivit\u0103\u0163i"):
+                        word = word[:-n] + "iv"
+                    elif suffix in (
+                        "icitate", "icitati", "icit\u0103i",
+                        "icit\u0103\u0163i", "icator", "icatori", "iciv",
+                        "iciva", "icive", "icivi", "iciv\u0103", "ical",
+                        "icala", "icale", "icali", "ical\u0103",
+                    ):
+                        word = word[:-n] + "ic"
+                    elif suffix in (
+                        "ativ", "ativa", "ative", "ativi", "ativ\u0103",
+                        "a\u0163iune", "atoare", "ator", "atori",
+                        "\u0103toare", "\u0103tor", "\u0103tori",
+                    ):
+                        word = word[:-n] + "at"
+                        if suffix in r2:
+                            r2 = r2[:-n] + "at"
+                    elif suffix in (
+                        "itiv", "itiva", "itive", "itivi", "itiv\u0103",
+                        "i\u0163iune", "itoare", "itor", "itori",
+                    ):
+                        word = word[:-n] + "it"
+                        if suffix in r2:
+                            r2 = r2[:-n] + "it"
+                else:
+                    step1_success = False
+                break
+        if not replacement_done:
+            break
+
+    # STEP 2: standard suffixes
+    for suffix in _RO_STEP2:
+        if word.endswith(suffix):
+            if suffix in r2:
+                step2_success = True
+                if suffix in ("iune", "iuni"):
+                    if word[-5] == "\u0163":
+                        word = word[:-5] + "t"
+                elif suffix in ("ism", "isme", "ist", "ista", "iste",
+                                "isti", "ist\u0103", "i\u015fti"):
+                    word = word[: -len(suffix)] + "ist"
+                else:
+                    word = word[: -len(suffix)]
+            break
+
+    # STEP 3: verb suffixes — rv.index (FIRST occurrence), port quirk
+    if not step1_success and not step2_success:
+        for suffix in _RO_STEP3:
+            if word.endswith(suffix):
+                if suffix in rv:
+                    if suffix in _RO_3_SIMPLE:
+                        word = word[: -len(suffix)]
+                        rv = rv[: -len(suffix)]
+                    else:
+                        if (
+                            not rv.startswith(suffix)
+                            and rv[rv.index(suffix) - 1]
+                            not in "aeio\u0103\xe2\xee"
+                        ):
+                            word = word[: -len(suffix)]
+                    break
+
+    # STEP 4: final vowel
+    for suffix in ("ie", "a", "e", "i", "\u0103"):
+        if word.endswith(suffix):
+            if suffix in rv:
+                word = word[: -len(suffix)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+
 STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr, "it": stem_it,
             "pt": stem_pt, "ru": stem_ru, "da": stem_da, "no": stem_no,
-            "sv": stem_sv, "nl": stem_nl}
+            "sv": stem_sv, "nl": stem_nl, "fi": stem_fi, "hu": stem_hu,
+            "ro": stem_ro}
 
 
 def stemmer_for(lang: str):

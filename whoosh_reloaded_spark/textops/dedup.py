@@ -87,15 +87,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3, n_hashes: int = 16,
-                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 4, threshold: float = 0.5,
+                      max_bucket: int = 0) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, verified by exact
     shingle Jaccard: (doc_a, doc_b, jaccard).
 
     rows-per-band = n_hashes/bands; a pair collides if ANY band's hashes are
     all equal.  Verification joins shingle sets only for colliding pairs, so
-    the quadratic blow-up is bounded by bucket sizes (at scale, skewed
-    buckets would be capped/salted — empty-text docs are dropped here since
-    their empty signature would form one giant bucket).
+    the quadratic blow-up is bounded by bucket sizes.
+
+    ``max_bucket`` (0 = uncapped) drops band buckets with more members than
+    the cap BEFORE the self-join — the web-scale guard against quadratic
+    blow-up on boilerplate-heavy buckets (a 10^6-doc bucket alone is 10^12
+    candidate pairs).  Documented recall trade: docs colliding ONLY inside
+    a mega-bucket are missed; near-identical boilerplate families that
+    large are better handled by exact_dup_groups first.  Empty-text docs
+    are always dropped (their empty signature forms one giant bucket).
     """
     r = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes)
@@ -115,6 +122,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+    if max_bucket > 0:
+        # one map-side-combinable count per bucket; oversized buckets are
+        # dropped relationally (anti-join keeps the pipeline shuffle-only)
+        big = (
+            band_rows.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        band_rows = band_rows.join(big, ["band_id", "band_hash"], "left_anti")
 
     # self-join with explicitly renamed sides (alias-based resolution on a
     # shared-lineage frame silently mis-binds columns)

@@ -21,9 +21,17 @@ Correctness: any doc all of whose blocks are pruned has exact score
 the seed top-k; candidates are rescored exactly, so returned scores are
 identical to the exhaustive plan (FIXTURES.md §5 'WAND on/off parity').
 
-At 100 TB the win is phase 2's pushed-down (term, block_no) filter over the
-term-sorted parquet: head-term posting lists are mostly skipped, like the
-reference skipping blocks in the .pst file.
+MEASURED VERDICT (round 2, wand_bench_10m.json): at 10M docs / head-term
+df=3.7M on local[32], WAND never beats the exhaustive fused-Or plan —
+speedup 0.27x (mid terms) to 0.92x (two head terms).  The three sequential
+jobs (block bounds -> seed theta -> prune+rescore) cost more than the I/O
+they save; the exhaustive plan's pushed `term IN` scan over term-sorted
+parquet + TakeOrderedAndProject is already near-optimal at these scales.
+The speedup RISES with df (0.27 -> 0.45 -> 0.49 -> 0.92), so a crossover
+beyond ~10^8-docs head terms is plausible but UNPROVEN here.  Status:
+correctness-proven alternative plan (exact parity incl. boosts and ties),
+NOT the default — Searcher uses the exhaustive plan; call wand_topk
+explicitly for posting lists large enough that scan I/O dominates.
 """
 
 from __future__ import annotations
