@@ -177,3 +177,56 @@ def test_plugin_ast_transform():
     p2 = QueryParser("a", schema={"a": "text", "rx": "text"}, plugins=[rx])
     q2 = p2.parse("alfa rx:bravo")
     assert q2 == Q.And((Q.Term("alfa", "a"), Q.Regex("bravo", "a")))
+
+
+def test_sequence_plugin_golden(spark):
+    """SequencePlugin (plugins.py:758-833): quoted groups hold arbitrary
+    subqueries matched in sequence.  Golden vs the reference parser+engine
+    with PhrasePlugin swapped for SequencePlugin."""
+    import pytest as _pt
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        _pt.skip("reference not importable")
+    from whoosh import fields, index, qparser
+
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher
+
+    rows = list(generate_rows(250))
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True), text=fields.TEXT
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    wix = index.create_in(d, schema)
+    w = wix.writer()
+    for url, ts, html, text, lang in rows:
+        w.add_document(url=url, text=text)
+    w.commit()
+
+    qp_theirs = qparser.QueryParser("text", schema)
+    qp_theirs.remove_plugin_class(qparser.PhrasePlugin)
+    qp_theirs.add_plugin(qparser.SequencePlugin())
+
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    s = Searcher(build_index(df).persist())
+    qp_ours = QueryParser("text", sequence_plugin=True)
+
+    for qs in ['"(quick OR fast) went"', '"mary had little"',
+               '"qui* went"']:
+        wq = qp_theirs.parse(qs)
+        with wix.searcher() as ws:
+            try:
+                res = ws.search(wq, limit=10)
+            except Exception:
+                res = ws.search(wq, limit=10, optimize=False)
+            theirs = [(h["url"], h.score) for h in res]
+        ours_q = qp_ours.parse(qs)
+        ours = [(u, sc) for _, u, sc in s.search_list(ours_q, 10)]
+        assert [u for u, _ in ours] == [u for u, _ in theirs], (qs, ours, theirs)
+        for (u1, s1), (u2, s2) in zip(ours, theirs):
+            assert s1 == _pt.approx(s2, rel=1e-9), (qs, u1)

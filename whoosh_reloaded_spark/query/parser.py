@@ -133,7 +133,7 @@ class QueryParser:
                  group: str = "and", known_fields=None,
                  schema: Optional[Dict[str, str]] = None,
                  copy_fields: Optional[Dict[str, str]] = None,
-                 plugins=None):
+                 plugins=None, sequence_plugin: bool = False):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
@@ -151,6 +151,10 @@ class QueryParser:
         self.schema.setdefault(fieldname, TEXT)
         # CopyFieldPlugin map (from-field -> to-field)
         self.copy_fields = dict(copy_fields or {})
+        # SequencePlugin (plugins.py:758-833): quoted groups hold ARBITRARY
+        # subqueries matched in sequence instead of plain phrases — the
+        # reference's replace-PhrasePlugin-with-SequencePlugin mode
+        self.sequence_plugin = sequence_plugin
 
     def _kind(self, fieldname: str) -> str:
         return self.schema.get(fieldname, TEXT)
@@ -252,6 +256,8 @@ class QueryParser:
                     pass
             return q
         if t.kind == "phrase":
+            if self.sequence_plugin:
+                return self._parse_sequence_body(t.value, t.slop)
             words = self.analyzer.query_terms(t.value)
             if not words:
                 return Q.NullQuery()
@@ -273,6 +279,31 @@ class QueryParser:
                 explicit_field=t.field if t.field in self.schema else None,
             )
         return self._word(t.value)
+
+    def _parse_sequence_body(self, body: str, slop: int) -> Q.Query:
+        """SequencePlugin body: parse the quoted text with the full grammar
+        and match the resulting subqueries in sequence — e.g.
+        '"(jon OR john OR jonathan~1) smith*"' matches any of the names
+        directly before a smith* expansion.  Evaluates as SpanNear2
+        (ordered, the given slop), the span algebra's sequence matcher."""
+        from whoosh_reloaded_spark.query.spans import SpanNear2
+
+        saved_toks, saved_i = self._toks, self._i
+        try:
+            self._toks = _lex(body)
+            self._i = 0
+            parts = []
+            while self._peek() is not None:
+                parts.append(self._not_expr())
+            parts = [p for p in (c.normalize() for c in parts)
+                     if not isinstance(p, Q.NullQuery)]
+        finally:
+            self._toks, self._i = saved_toks, saved_i
+        if not parts:
+            return Q.NullQuery()
+        if len(parts) == 1:
+            return parts[0]
+        return SpanNear2(tuple(parts), slop=slop, ordered=True)
 
     @staticmethod
     def _boosted(q: Q.Query, boost: float) -> Q.Query:

@@ -203,6 +203,20 @@ class SpanEvaluator:
                 (F.col("score") * F.lit(q.boost)).alias("score"),
                 _pos_to_spans(F.col("positions")).alias("spans"),
             )
+        if isinstance(q, Q._MultiTerm):
+            # lexicon-expanding leaves (Prefix/Wildcard/Fuzzy/Variations...)
+            # become a union of their expansion's term spans — the
+            # reference's multiterm matcher is a UnionMatcher over the same
+            # expansion (terms.py:150-520)
+            terms = self.s.expand_terms(q)
+            spark = self.s.ix.postings.sparkSession
+            if not terms:
+                return spark.createDataFrame(
+                    [], f"docid long, score double, spans {SPANS_TYPE}"
+                )
+            return self.frame(
+                Q.Or(tuple(Q.Term(t, q.fieldname, q.boost) for t in terms))
+            )
         if isinstance(q, Q.Or) and all(
             isinstance(c, Q.Term) for c in q.children
         ):
