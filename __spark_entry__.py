@@ -414,6 +414,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def dedup_corpus_keep(spark, sf):
+        """End-to-end near-dup corpus dedup: LSH pairs -> distributed
+        min-label clustering -> drop non-canonical docs; returns kept ids."""
+        from whoosh_reloaded_spark.textops import minhash_lsh_pairs
+        from whoosh_reloaded_spark.textops.dedup import dedup_corpus
+
+        docs = _docs(spark, sf)
+        pairs = minhash_lsh_pairs(docs, k=3, n_hashes=16, bands=4,
+                                  threshold=0.2)
+        return dedup_corpus(docs, pairs).select("doc_id")
+
+    q["dedup_corpus_keep"] = dedup_corpus_keep
+
     def text_quality(spark, sf):
         from whoosh_reloaded_spark.textops import quality_scores
 
@@ -814,6 +827,34 @@ j AS (
 )
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
 """
+    )
+
+    # end-to-end corpus dedup: reuse the LSH-pair pipeline, then transitive
+    # closure over the (symmetric) pair graph via WITH RECURSIVE, keep each
+    # cluster's min doc_id plus all unclustered docs
+    o["dedup_corpus_keep"] = (
+        o["dedup_minhash_lsh"]
+        .replace("WITH t AS (", "WITH RECURSIVE t AS (", 1)
+        .replace(
+            "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2",
+            """, sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.2
+  UNION
+  SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.2
+),
+reach(x, y) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+),
+lab AS (
+  SELECT x AS node, least(x, min(y)) AS keep FROM reach GROUP BY x
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN lab ON d.doc_id = lab.node
+WHERE lab.node IS NULL OR lab.keep = d.doc_id
+""",
+        )
     )
 
     o["dedup_simhash"] = (
