@@ -129,3 +129,47 @@ def test_minhash_bucket_cap(spark):
 
     uncapped = minhash_lsh_pairs(docs, threshold=0.2).collect()
     assert len(uncapped) > len(capped)
+
+
+def test_ann_saved_index_partition_pruning(spark, tmp_path):
+    """save_ann_index materializes the bucket-partitioned layout; a probe
+    reads ONLY matching bucket directories and its results are a subset of
+    the exact ranking with identical scores."""
+    import math
+
+    from whoosh_reloaded_spark.textops.similarity import (
+        ann_query,
+        cosine_topk,
+        save_ann_index,
+    )
+
+    rows = []
+    for i in range(400):
+        ang = i * 0.05
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.3, -0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann")
+    meta = save_ann_index(emb, path, n_planes=4)
+    assert meta["dims"] == 4
+
+    q = rows[7][1]
+    probe = ann_query(spark, path, q, k=5, exclude_id=7)
+    # partition pruning: the bucket predicate must be a PartitionFilter on
+    # the scan (pruned at the source, not post-read)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, plan[:800]
+
+    exact = {r["vec_id"]: r["cosine"]
+             for r in cosine_topk(emb, q, k=400, exclude_id=7).collect()}
+    got = probe.collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["cosine"] == exact[r["vec_id"]]
+    # multiprobe widens the scan (more buckets -> at least as many rows
+    # pass the bucket filter)
+    wide = ann_query(spark, path, q, k=400, n_probe_bits=1, exclude_id=7)
+    narrow = ann_query(spark, path, q, k=400, exclude_id=7)
+    assert wide.count() >= narrow.count()

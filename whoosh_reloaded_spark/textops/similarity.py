@@ -99,3 +99,60 @@ def cosine_topk_lsh(emb: DataFrame, query_vec: Sequence[float],
         qbits += (1 if dot > 0 else 0) << i
     df = emb.where(lsh_bucket_col(F.col(vec_col), planes) == qbits)
     return cosine_topk(df, query_vec, id_col, vec_col, k, exclude_id)
+
+
+def save_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+    """Materialize the LSH-bucketed ANN layout: embeddings written
+    partitioned by their sign-LSH bucket, so a probe scans ONLY the
+    matching bucket directories (source-level partition pruning — the
+    `partitionBy` analogue of an IVF inverted list).
+
+    Returns the saved metadata (dims, n_planes)."""
+    import json
+    import os
+
+    dims = len(emb.select(vec_col).first()[0])
+    planes = simhash_planes(dims, n_planes)
+    (
+        emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    meta = {"dims": dims, "n_planes": n_planes}
+    with open(os.path.join(path, "ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_query(spark, path: str, query_vec: Sequence[float], k: int = 10,
+              n_probe_bits: int = 0, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              exclude_id: Optional[int] = None) -> DataFrame:
+    """Probe a saved ANN index: exact cosine top-k over the query's bucket
+    partition, optionally multiprobing buckets within `n_probe_bits` bit
+    flips (recall knob: each extra bit roughly doubles scanned buckets).
+    The `bucket IN (...)` predicate prunes partitions at the source."""
+    import itertools
+    import json
+    import os
+
+    with open(os.path.join(path, "ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = simhash_planes(meta["dims"], meta["n_planes"])
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        qbits += (1 if dot > 0 else 0) << i
+    buckets = {qbits}
+    for r in range(1, n_probe_bits + 1):
+        for flips in itertools.combinations(range(meta["n_planes"]), r):
+            b = qbits
+            for f_ in flips:
+                b ^= 1 << f_
+            buckets.add(b)
+    df = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("bucket").isin(sorted(buckets))
+    )
+    return cosine_topk(df, query_vec, id_col, vec_col, k, exclude_id)
