@@ -351,3 +351,42 @@ def test_function_translate_storedfield_facets(spark):
         ).collect()
     }
     assert sf == {"red": 3, "blue": 2, "green": 2}
+
+
+def test_posting_formats(spark, tmp_path):
+    """Posting formats (formats.py:109-330): frequency drops positions with
+    identical BM25 scores; existence forces constant weight; positional
+    queries on position-less indexes raise a clear error."""
+    from whoosh_reloaded_spark.index import load_index, save_index
+    from whoosh_reloaded_spark.query import Phrase
+
+    rows = list(generate_rows(120))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    full = build_index(df)
+    freq = build_index(df, format="frequency")
+    exist = build_index(df, format="existence")
+
+    assert "positions" not in freq.postings.columns
+    assert "positions" not in exist.postings.columns
+
+    q = Or([Term("render"), Term("yellow")])
+    want = [(r["docid"], round(r["score"], 9))
+            for r in Searcher(full).search(q, 10, with_uid=False).collect()]
+    got = [(r["docid"], round(r["score"], 9))
+           for r in Searcher(freq).search(q, 10, with_uid=False).collect()]
+    assert got == want  # BM25 identical without the position payload
+
+    ew = {r["weight"] for r in exist.postings.select("weight").distinct().collect()}
+    assert ew == {1.0}
+
+    with pytest.raises(ValueError, match="positions"):
+        Searcher(freq).search(Phrase(["quick", "went"]), 5).collect()
+
+    # save/load round-trip without positions
+    save_index(freq, str(tmp_path / "freqix"))
+    lx = load_index(spark, str(tmp_path / "freqix"))
+    assert "positions" not in lx.postings.columns
+    got2 = [(r["docid"], round(r["score"], 9))
+            for r in Searcher(lx).search(q, 10, with_uid=False).collect()]
+    assert got2 == want

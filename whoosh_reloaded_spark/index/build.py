@@ -147,12 +147,21 @@ def build_index(
     num_partitions: int = 0,
     with_docids: bool = False,
     cache_intermediate: bool = True,
+    format: str = "positions",
 ) -> InvertedIndex:
     """Run the index-build job. Everything is lazy until persisted/written.
 
     Posting weight = sum(token boosts) * field_boost (the reference's
     Frequency/Positions formats sum per-token boosts, formats.py:190-236;
     boost-emitting analyzers like DelimitedBoostAnalyzer feed the sum).
+
+    ``format`` mirrors the reference's posting formats (formats.py:109-330):
+    - "positions" (default, TEXT fields): per-occurrence position arrays —
+      required by Phrase/Ordered/Span queries;
+    - "frequency" (KEYWORD-style): drops the position payload (the bulk of
+      posting bytes at scale); BM25 scores are unchanged;
+    - "existence" (ID-style): one constant-weight posting per (term, doc),
+      tf forced to 1 — the docs-only membership format.
     """
     from whoosh_reloaded_spark.analysis import (
         INVERT_ROWS_SCHEMA,
@@ -184,6 +193,14 @@ def build_index(
         "length",
         "len_byte",  # quantized in the UDF (bisect per doc, not per row)
     )
+    if format == "frequency":
+        postings = postings.drop("positions")
+    elif format == "existence":
+        postings = postings.drop("positions").withColumn(
+            "weight", F.lit(float(field_boost))
+        ).withColumn("tf", F.lit(1))
+    elif format != "positions":
+        raise ValueError(f"unknown posting format: {format!r}")
     meta_cols = [c for c in keep_cols if c != text_col and c != uid_col]
     docs_raw_inner = docs.select(
         "docid", F.col(uid_col).alias("uid"), *meta_cols

@@ -218,6 +218,12 @@ class Searcher:
             score = score * F.element_at(F.create_map(*bpairs), F.col("term"))
         cols = ["term", "docid", score.alias("score")]
         if with_positions:
+            if "positions" not in p.columns:
+                raise ValueError(
+                    "this index was built without positions "
+                    "(format='frequency'/'existence'); positional queries "
+                    "(Phrase/Ordered/Span) need format='positions'"
+                )
             cols.append("positions")
         return p.select(*cols)
 
