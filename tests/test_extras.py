@@ -390,3 +390,21 @@ def test_posting_formats(spark, tmp_path):
     got2 = [(r["docid"], round(r["score"], 9))
             for r in Searcher(lx).search(q, 10, with_uid=False).collect()]
     assert got2 == want
+
+
+def test_term_vectors_column(spark):
+    """store_vector=True: docmeta carries the forward doc->{term: weight}
+    map, consistent with the posting rows (fields.py:93-96 vectors)."""
+    rows = list(generate_rows(50))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    ix = build_index(df, store_vector=True)
+    assert "vector" in ix.docmeta.columns
+    sample = ix.docmeta.where("length > 0").select("docid", "vector").limit(5).collect()
+    assert sample
+    for r in sample:
+        posts = {
+            p["term"]: p["weight"]
+            for p in ix.postings.where(f"docid = {r['docid']}")
+            .select("term", "weight").collect()
+        }
+        assert dict(r["vector"]) == posts

@@ -148,6 +148,7 @@ def build_index(
     with_docids: bool = False,
     cache_intermediate: bool = True,
     format: str = "positions",
+    store_vector: bool = False,
 ) -> InvertedIndex:
     """Run the index-build job. Everything is lazy until persisted/written.
 
@@ -212,6 +213,16 @@ def build_index(
         docs_raw_inner.join(doclen, "docid", "left")
         .na.fill({"length": 0, "len_byte": 0})
     )
+    if store_vector:
+        # term vectors: the forward index doc -> {term: weight}
+        # (FieldType.vector, fields.py:93-96; written whoosh3.py:245-267) —
+        # a docmeta map column, derived from the same posting rows
+        vec = postings.groupBy("docid").agg(
+            F.map_from_arrays(
+                F.collect_list("term"), F.collect_list("weight")
+            ).alias("vector")
+        )
+        docmeta = docmeta.join(vec, "docid", "left")
 
     term_stats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"),
