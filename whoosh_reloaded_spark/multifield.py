@@ -32,11 +32,14 @@ from whoosh_reloaded_spark.query.planner import Searcher
 
 @dataclass
 class FieldSpec:
-    """Per-field config (≙ the reference's FieldType essentials)."""
+    """Per-field config (≙ the reference's FieldType essentials:
+    analyzer, field boost, posting format, vectors — fields.py:60-373)."""
 
     text_col: str
     analyzer: Optional[object] = None
     boost: float = 1.0
+    format: str = "positions"   # "positions" | "frequency" | "existence"
+    store_vector: bool = False
 
 
 def build_multi_index(
@@ -61,6 +64,8 @@ def build_multi_index(
             analyzer=fs.analyzer,
             field_boost=fs.boost,
             with_docids=True,
+            format=fs.format,
+            store_vector=fs.store_vector,
         )
     return out
 
