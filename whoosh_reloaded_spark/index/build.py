@@ -179,9 +179,15 @@ def build_index(
     # analyze + invert per doc in ONE mapInArrow pass emitting FLAT posting
     # rows — no engine-level groupBy shuffle, no nested Arrow structs;
     # positions are grouped and ordered during analysis
-    raw = docs.select("docid", F.col(text_col).alias("text")).mapInArrow(
-        run, INVERT_ROWS_SCHEMA
-    )
+    src = docs.select("docid", F.col(text_col).alias("text"))
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        # AQE coalesces the docid-assignment shuffle to very few partitions
+        # on small inputs, which would starve the (CPU-bound) analysis pass
+        # of cores; respread first.  At scale the input already has >=
+        # parallelism partitions, so this branch never fires there.
+        src = src.repartition(parallelism)
+    raw = src.mapInArrow(run, INVERT_ROWS_SCHEMA)
     postings = raw.select(
         F.lit(fieldname).alias("field"),
         "term",
