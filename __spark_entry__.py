@@ -468,6 +468,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_near"] = span_near
 
+    def span_first(spark, sf):
+        """SpanFirst (spans.py:309-352): 'spark' within the first 6 token
+        positions (post-stop renumbering)."""
+        from whoosh_reloaded_spark.query import SpanFirst
+
+        return _topk(spark, sf, SpanFirst(Term("spark"), limit=6))
+
+    q["span_first"] = span_first
+
     def parsed_gtlt(spark, sf):
         """GtLtPlugin surface (qparser/plugins.py:1081): the query STRING
         'spark n_chars:>=200 n_chars:<400' parses to And[Term, NumericRange,
@@ -976,6 +985,29 @@ FROM t
         + f"""
 SELECT doc_id, round(sum(s), 6) AS score
 FROM scored WHERE term IN ({_var_terms})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    # SpanFirst(spark, limit=6): doc matches iff some renumbered position of
+    # the term is <= 6; score = the term's BM25 score
+    o["span_first"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+),
+fm AS (
+  SELECT DISTINCT doc_id FROM rp WHERE term = 'spark' AND pos <= 6
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term = 'spark' AND doc_id IN (SELECT doc_id FROM fm)
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
