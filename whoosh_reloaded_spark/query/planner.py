@@ -449,6 +449,9 @@ class Searcher:
                 )
             return out
         if isinstance(q, Q.And):
+            fused = self._try_fused_and(q)
+            if fused is not None:
+                return fused
             pos = [c for c in q.children if not isinstance(c, Q.Not)]
             neg = [c for c in q.children if isinstance(c, Q.Not)]
             n = len(pos)
@@ -547,6 +550,58 @@ class Searcher:
                 "docid", (F.col("score") * F.lit(q.boost)).alias("score")
             )
         raise TypeError(f"unsupported query node: {q!r}")
+
+    def _try_fused_and(self, q: Q.And) -> Optional[DataFrame]:
+        """Single-scan plan for And whose children are each a plain Term or
+        an unscaled Or of plain Terms (the 'nested boolean' hot shape,
+        e.g. And([Or([a, b]), c])): ONE pushed `term IN (...)` scan + ONE
+        aggregation computing a matched flag per child — replaces one scan
+        per child plus an N-way join.  Bails (returns None) when children
+        overlap on a term (boost attribution would be ambiguous) or any
+        child needs its own machinery (scale, boosts on the Or node with
+        nested structure are folded; Not/Phrase/ranges fall through)."""
+        child_terms: List[List[Tuple[str, float]]] = []
+        for c in q.children:
+            if isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname:
+                child_terms.append([(c.text, c.boost)])
+            elif (
+                isinstance(c, Q.Or)
+                and not c.scale
+                and c.children
+                and all(
+                    isinstance(g, Q.Term) and g.fieldname == self.ix.fieldname
+                    for g in c.children
+                )
+            ):
+                child_terms.append(
+                    [(g.text, g.boost * c.boost) for g in c.children]
+                )
+            else:
+                return None
+        if len(child_terms) < 2:
+            return None
+        all_terms = [t for ct in child_terms for t, _ in ct]
+        if len(set(all_terms)) != len(all_terms):
+            return None  # overlapping terms across children
+        boosts = {t: b for ct in child_terms for t, b in ct}
+        df = self._scored_postings(all_terms, boosts=boosts)
+        aggs = [F.sum("score").alias("score")]
+        for i, ct in enumerate(child_terms):
+            terms_i = [t for t, _ in ct]
+            aggs.append(
+                F.max(
+                    F.when(F.col("term").isin(terms_i), 1).otherwise(0)
+                ).alias(f"_m{i}")
+            )
+        out = df.groupBy("docid").agg(*aggs)
+        for i in range(len(child_terms)):
+            out = out.where(F.col(f"_m{i}") == 1)
+        out = out.drop(*[f"_m{i}" for i in range(len(child_terms))])
+        if q.boost != 1.0:
+            out = out.select(
+                "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+            )
+        return out
 
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
         """Positional adjacency via higher-order functions (JVM-side).
