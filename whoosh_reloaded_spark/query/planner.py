@@ -496,6 +496,18 @@ class Searcher:
             # NOTE: the reference's DisjunctionMaxMatcher.score() is a pure
             # max — its `tiebreak` argument is stored but never used in
             # scoring (matching/binary.py:367-374).  We mirror that exactly.
+            sets = self._term_sets(q.children, single_terms_only=True)
+            if sets is not None:
+                # fused: one scan; children are single terms so the max over
+                # term scores IS the max over child scores
+                boosts = {t: b for ct in sets for t, b in ct}
+                df = self._scored_postings(
+                    [t for ct in sets for t, _ in ct], boosts=boosts
+                )
+                agg = df.groupBy("docid").agg(F.max("score").alias("_mx"))
+                return agg.select(
+                    "docid", (F.col("_mx") * F.lit(q.boost)).alias("score")
+                )
             frames = [self._eval(c) for c in q.children]
             u = frames[0]
             for f2 in frames[1:]:
@@ -504,6 +516,10 @@ class Searcher:
             return agg.select(
                 "docid", (F.col("_mx") * F.lit(q.boost)).alias("score")
             )
+        if isinstance(q, (Q.AndNot, Q.Require, Q.AndMaybe)):
+            fused = self._try_fused_binary(q)
+            if fused is not None:
+                return fused
         if isinstance(q, Q.AndNot):
             return self._eval(q.a).join(self._eval(q.b), "docid", "left_anti")
         if isinstance(q, Q.Require):
@@ -551,6 +567,68 @@ class Searcher:
             )
         raise TypeError(f"unsupported query node: {q!r}")
 
+    def _term_sets(
+        self, children, single_terms_only: bool = True
+    ) -> Optional[List[List[Tuple[str, float]]]]:
+        """Per-child (term, effective boost) lists when every child is a
+        plain Term (or, with single_terms_only=False, an unscaled Or of
+        plain Terms) on this index's field and no term repeats across
+        children; None otherwise."""
+        out: List[List[Tuple[str, float]]] = []
+        for c in children:
+            if isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname:
+                out.append([(c.text, c.boost)])
+            elif (
+                not single_terms_only
+                and isinstance(c, Q.Or)
+                and not c.scale
+                and c.children
+                and all(
+                    isinstance(g, Q.Term) and g.fieldname == self.ix.fieldname
+                    for g in c.children
+                )
+            ):
+                out.append([(g.text, g.boost * c.boost) for g in c.children])
+            else:
+                return None
+        all_terms = [t for ct in out for t, _ in ct]
+        if len(set(all_terms)) != len(all_terms):
+            return None
+        return out
+
+    def _try_fused_binary(self, q) -> Optional[DataFrame]:
+        """Single-scan plans for AndNot / Require / AndMaybe whose sides are
+        each a Term or an unscaled Or of Terms: one pushed term-IN scan +
+        one aggregation with side-membership flags, replacing two scans and
+        a join.  Side-a score = sum of a-side matched terms (the reference
+        scores these ops by `a` only — AndMaybe additionally adds b)."""
+        sets = self._term_sets([q.a, q.b], single_terms_only=False)
+        if sets is None:
+            return None
+        (a_set, b_set) = sets
+        a_terms = [t for t, _ in a_set]
+        b_terms = [t for t, _ in b_set]
+        boosts = {t: b for ct in sets for t, b in ct}
+        df = self._scored_postings(a_terms + b_terms, boosts=boosts)
+        in_a = F.col("term").isin(a_terms)
+        in_b = F.col("term").isin(b_terms)
+        agg = df.groupBy("docid").agg(
+            F.coalesce(F.sum(F.when(in_a, F.col("score"))), F.lit(0.0)).alias("_sa"),
+            F.coalesce(F.sum(F.when(in_b, F.col("score"))), F.lit(0.0)).alias("_sb"),
+            F.max(F.when(in_a, 1).otherwise(0)).alias("_ma"),
+            F.max(F.when(in_b, 1).otherwise(0)).alias("_mb"),
+        )
+        if isinstance(q, Q.AndNot):
+            out = agg.where((F.col("_ma") == 1) & (F.col("_mb") == 0))
+            score = F.col("_sa")
+        elif isinstance(q, Q.Require):
+            out = agg.where((F.col("_ma") == 1) & (F.col("_mb") == 1))
+            score = F.col("_sa")
+        else:  # AndMaybe
+            out = agg.where(F.col("_ma") == 1)
+            score = F.col("_sa") + F.col("_sb")
+        return out.select("docid", score.alias("score"))
+
     def _try_fused_and(self, q: Q.And) -> Optional[DataFrame]:
         """Single-scan plan for And whose children are each a plain Term or
         an unscaled Or of plain Terms (the 'nested boolean' hot shape,
@@ -560,29 +638,10 @@ class Searcher:
         overlap on a term (boost attribution would be ambiguous) or any
         child needs its own machinery (scale, boosts on the Or node with
         nested structure are folded; Not/Phrase/ranges fall through)."""
-        child_terms: List[List[Tuple[str, float]]] = []
-        for c in q.children:
-            if isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname:
-                child_terms.append([(c.text, c.boost)])
-            elif (
-                isinstance(c, Q.Or)
-                and not c.scale
-                and c.children
-                and all(
-                    isinstance(g, Q.Term) and g.fieldname == self.ix.fieldname
-                    for g in c.children
-                )
-            ):
-                child_terms.append(
-                    [(g.text, g.boost * c.boost) for g in c.children]
-                )
-            else:
-                return None
-        if len(child_terms) < 2:
+        child_terms = self._term_sets(q.children, single_terms_only=False)
+        if child_terms is None or len(child_terms) < 2:
             return None
         all_terms = [t for ct in child_terms for t, _ in ct]
-        if len(set(all_terms)) != len(all_terms):
-            return None  # overlapping terms across children
         boosts = {t: b for ct in child_terms for t, b in ct}
         df = self._scored_postings(all_terms, boosts=boosts)
         aggs = [F.sum("score").alias("score")]
