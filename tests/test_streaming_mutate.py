@@ -93,3 +93,23 @@ def test_delete_and_update(spark, tmp_path):
         live2.docmeta.groupBy("uid").count().where(F.col("count") > 1).count()
     )
     assert dups == 0
+
+
+def test_append_batch_idempotent_on_redelivery(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch with the same
+    batch_id must NOT create a duplicate segment (ADVICE r1 fix)."""
+    rows = list(generate_rows(40))
+    out = str(tmp_path / "ix_redeliver")
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    r1 = append_batch(df, out, batch_id=7)
+    r2 = append_batch(df, out, batch_id=7)  # simulated re-delivery
+    assert r2["slice_id"] == r1["slice_id"]  # short-circuited, same row
+
+    ix = open_partitioned(spark, out)
+    assert ix.docmeta.count() == 40  # no duplicates
+
+    # a DIFFERENT batch id still appends
+    r3 = append_batch(df, out, batch_id=8)
+    assert r3["slice_id"] != r1["slice_id"]
+    assert open_partitioned(spark, out).docmeta.count() == 80
