@@ -251,6 +251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_counts"] = token_counts
 
+    def token_counts_bpe(spark, sf):
+        """BPE-ish pre-tokenizer match count — the LLM token-budget
+        estimator (lookahead-free pattern shared verbatim with the
+        oracle)."""
+        from whoosh_reloaded_spark.textops import token_count_bpe
+
+        return token_count_bpe(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    q["token_counts_bpe"] = token_counts_bpe
+
     q["bm25_require"] = lambda spark, sf: _topk(
         spark, sf, Require(Term("spark"), Term("vector"))
     )
@@ -625,6 +635,14 @@ GROUP BY doc_id
     o["token_counts"] = r"""
 SELECT doc_id,
        CAST(length(regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0)) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+    from whoosh_reloaded_spark.textops.quality import BPE_SPLIT_PATTERN
+
+    o["token_counts_bpe"] = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 

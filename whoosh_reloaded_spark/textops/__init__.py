@@ -10,5 +10,6 @@ from whoosh_reloaded_spark.textops.quality import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_scores,
+    token_count_bpe,
 )
 from whoosh_reloaded_spark.textops.similarity import cosine_topk  # noqa: F401

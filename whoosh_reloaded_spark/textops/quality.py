@@ -110,3 +110,25 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col), F.md5(canon).alias("fingerprint")
     )
+
+
+# GPT-2-style pre-tokenizer pattern, simplified to be lookahead-free so the
+# SAME regex runs in Spark (Java) and DuckDB (RE2): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs.  A cheap
+# LLM-token ESTIMATOR for budget planning — not a real BPE encoder (that
+# needs the merges table); counts correlate with tokenizer output because
+# BPE merges never cross these pre-token boundaries.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_bpe_tokens): pre-tokenizer match count per document —
+    the training-pipeline token-budget estimate, fully JVM-side."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
