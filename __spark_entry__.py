@@ -520,6 +520,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["parsed_daterange"] = parsed_daterange
 
+    def embedding_near_dup(spark, sf):
+        """Embedding-cosine near-dup pairs: sign-LSH bucket self-join +
+        exact cosine >= 0.45 (same md5 planes replicated in the oracle)."""
+        from whoosh_reloaded_spark.textops.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_near_dup_pairs(emb, threshold=0.45, n_planes=2)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
     def ann_cosine(spark, sf):
         from whoosh_reloaded_spark.textops import cosine_topk
 
@@ -1114,6 +1126,52 @@ SELECT event_id, CAST(user_id AS BIGINT) AS user_id
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
   AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+"""
+
+    # embedding near-dup: replicate the engine's deterministic md5
+    # hyperplanes as literals so both sides block on IDENTICAL buckets
+    from whoosh_reloaded_spark.textops.similarity import simhash_planes
+
+    _planes = simhash_planes(64, 2)
+    _plane_rows = ", ".join(
+        f"({p}, {i + 1}, {v!r})"
+        for p, row in enumerate(_planes)
+        for i, v in enumerate(row)
+    )
+    o["embedding_near_dup"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+p(pid, i, w) AS (SELECT * FROM (VALUES {_plane_rows})),
+d AS (
+  SELECT e.vec_id, p.pid, sum(e.v * p.w) AS dot
+  FROM e JOIN p USING (i) GROUP BY 1, 2
+),
+b AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1 << pid) ELSE 0 END) AS bucket
+  FROM d GROUP BY 1
+),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+cand AS (
+  SELECT a.vec_id AS ida, b2.vec_id AS idb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+dots AS (
+  SELECT c.ida, c.idb, sum(ea.v * eb.v) AS dp
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.ida
+  JOIN e eb ON eb.vec_id = c.idb AND ea.i = eb.i
+  GROUP BY 1, 2
+)
+SELECT ida AS id_a, idb AS id_b,
+       round(dp / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN n na ON na.vec_id = ida
+JOIN n nb ON nb.vec_id = idb
+WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.45
 """
 
     o["ann_cosine"] = """

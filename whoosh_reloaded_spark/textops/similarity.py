@@ -156,3 +156,44 @@ def ann_query(spark, path: str, query_vec: Sequence[float], k: int = 10,
         F.col("bucket").isin(sorted(buckets))
     )
     return cosine_topk(df, query_vec, id_col, vec_col, k, exclude_id)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
+                             n_planes: int = 2, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sub-quadratic:
+    (id_a, id_b, cosine) for same-LSH-bucket pairs with cosine >= threshold.
+
+    Candidate generation is a self-join on the deterministic sign-LSH
+    bucket (md5 hyperplanes — reproducible in any engine), then exact
+    cosine verification.  The standard recall trade: cross-bucket pairs are
+    missed; lower n_planes (fewer, larger buckets) raises recall at
+    quadratic-per-bucket cost.  At web scale the bucket column comes
+    pre-materialized from save_ann_index's partitioned layout."""
+    dims = len(emb.select(vec_col).first()[0])
+    planes = simhash_planes(dims, n_planes)
+    with_b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a = with_b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_bucket").alias("_ba"),
+    )
+    b = with_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_bucket").alias("_bb"),
+    )
+    pairs = a.join(
+        b, (F.col("_ba") == F.col("_bb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
