@@ -673,32 +673,44 @@ class Searcher:
         """
         words = list(q.words)
         slop = q.slop
-        df = self._scored_postings(words, with_positions=True)
-        parts = []
-        for i, w in enumerate(words):
-            parts.append(
-                df.where(F.col("term") == w).select(
-                    "docid",
-                    F.col("score").alias(f"_s{i}"),
-                    F.col("positions").alias(f"_p{i}"),
-                )
-            )
-        j = parts[0]
-        for i in range(1, len(parts)):
-            j = j.join(parts[i], "docid")
+        j = self._word_maps(words)
+
         def _adjacent(prev_col):
             def pred(p):
                 return F.exists(prev_col, lambda x: (p - x > 0) & (p - x <= F.lit(slop)))
 
             return pred
 
-        matched = F.col("_p0")
-        for i in range(1, len(words)):
-            matched = F.filter(F.col(f"_p{i}"), _adjacent(matched))
-        score = sum([F.col(f"_s{i}") for i in range(len(words))], F.lit(0.0))
+        matched = F.element_at(F.col("_pm"), words[0])
+        for w in words[1:]:
+            matched = F.filter(F.element_at(F.col("_pm"), w), _adjacent(matched))
+        score = sum(
+            [F.element_at(F.col("_sm"), w) for w in words], F.lit(0.0)
+        )
         return (
             j.where(F.size(matched) > 0)
             .select("docid", (score * F.lit(q.boost)).alias("score"))
+        )
+
+    def _word_maps(self, words: List[str]) -> DataFrame:
+        """ONE pushed scan + ONE aggregation for positional word queries:
+        per-doc maps term -> positions / term -> score, restricted to docs
+        containing every distinct word.  Replaces the per-word scan +
+        N-way docid join plan (N scans, N-1 joins -> 1 scan, 0 joins)."""
+        df = self._scored_postings(words, with_positions=True)
+        n = len(set(words))
+        return (
+            df.groupBy("docid")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("_pm"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "score"))
+                ).alias("_sm"),
+                F.count_distinct("term").alias("_n"),
+            )
+            .where(F.col("_n") == n)
         )
 
     def _eval_ordered(self, q: Q.Ordered) -> DataFrame:
@@ -706,19 +718,7 @@ class Searcher:
         word i having SOME earlier match before them; doc matches iff the
         last word has a qualifying position.  Score = sum of term scores."""
         words = list(q.words)
-        df = self._scored_postings(words, with_positions=True)
-        parts = []
-        for i, w in enumerate(words):
-            parts.append(
-                df.where(F.col("term") == w).select(
-                    "docid",
-                    F.col("score").alias(f"_s{i}"),
-                    F.col("positions").alias(f"_p{i}"),
-                )
-            )
-        j = parts[0]
-        for i in range(1, len(parts)):
-            j = j.join(parts[i], "docid")
+        j = self._word_maps(words)
 
         def _after(prev_col):
             def pred(p):
@@ -726,10 +726,12 @@ class Searcher:
 
             return pred
 
-        matched = F.col("_p0")
-        for i in range(1, len(words)):
-            matched = F.filter(F.col(f"_p{i}"), _after(matched))
-        score = sum([F.col(f"_s{i}") for i in range(len(words))], F.lit(0.0))
+        matched = F.element_at(F.col("_pm"), words[0])
+        for w in words[1:]:
+            matched = F.filter(F.element_at(F.col("_pm"), w), _after(matched))
+        score = sum(
+            [F.element_at(F.col("_sm"), w) for w in words], F.lit(0.0)
+        )
         return j.where(F.size(matched) > 0).select(
             "docid", (score * F.lit(q.boost)).alias("score")
         )
