@@ -240,6 +240,32 @@ class SpanEvaluator:
                 F.filter(F.col("spans"), _first_pred(q.limit)).alias("spans"),
             )
             return out.where(F.size("spans") > 0)
+        if isinstance(q, SpanNear2) and all(
+            isinstance(sq, Q.Term) for sq in q.qs
+        ):
+            # fused all-Terms path: ONE pushed scan + ONE aggregation of
+            # per-doc term->positions/score maps (Searcher._word_maps),
+            # then the same near-window fold over the map entries
+            words = [sq.text for sq in q.qs]
+            j = self.s._word_maps(words)
+            spans = _pos_to_spans(F.element_at(F.col("_pm"), words[0]))
+            for w in words[1:]:
+                spans = _near_combine(
+                    spans,
+                    _pos_to_spans(F.element_at(F.col("_pm"), w)),
+                    q.slop, q.ordered, q.mindist,
+                )
+            score = sum(
+                [
+                    F.element_at(F.col("_sm"), sq.text) * F.lit(sq.boost)
+                    for sq in q.qs
+                ],
+                F.lit(0.0),
+            )
+            return (
+                j.select("docid", score.alias("score"), spans.alias("spans"))
+                .where(F.size("spans") > 0)
+            )
         if isinstance(q, SpanNear2):
             frames = [self.frame(sq) for sq in q.qs]
             j = frames[0].select(
