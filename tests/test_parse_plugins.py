@@ -230,3 +230,38 @@ def test_sequence_plugin_golden(spark):
         assert [u for u, _ in ours] == [u for u, _ in theirs], (qs, ours, theirs)
         for (u1, s1), (u2, s2) in zip(ours, theirs):
             assert s1 == _pt.approx(s2, rel=1e-9), (qs, u1)
+
+
+def test_relative_dates_golden():
+    """Relative dates (today/yesterday/tomorrow/now) vs the reference's
+    DateParserPlugin with the SAME basedate."""
+    import pytest as _pt
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        _pt.skip("reference not importable")
+    from whoosh import fields
+    from whoosh.qparser import QueryParser as WQP
+    from whoosh.qparser.dateparse import DateParserPlugin
+
+    base = datetime(2010, 9, 20, 15, 16, 6, 454000)
+    wschema = fields.Schema(text=fields.TEXT, date=fields.DATETIME)
+    wqp = WQP("text", wschema)
+    wqp.add_plugin(DateParserPlugin(basedate=base))
+
+    p = QueryParser("text", schema={"text": "text", "date": "date"},
+                    basedate=base)
+
+    for text in ("today", "yesterday", "tomorrow"):
+        wq = wqp.parse(f"date:{text}")
+        ours = p.parse(f"date:{text}")
+        assert isinstance(ours, Q.DateRange), text
+        # the reference attaches UTC tzinfo to its endpoints; values match
+        assert ours.start == wq.startdate.replace(tzinfo=None), (text, ours, wq)
+        assert ours.end == wq.enddate.replace(tzinfo=None), (text, ours, wq)
+
+    # 'now' -> exact instant (the reference emits an exact-term query;
+    # ours is the equivalent [now, now] range)
+    ours_now = p.parse("date:now")
+    assert ours_now.start == base and ours_now.end == base

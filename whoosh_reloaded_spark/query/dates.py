@@ -8,8 +8,9 @@ their lowest values, ceil() with their highest (times.py:202-260), so
 `date:2010` queries the whole year — exactly the reference's
 DateTimeNode -> DateRange(floor, ceil) behavior (dateparse.py:916-960).
 
-Relative/NL forms ('yesterday', 'next friday') are out of scope — they
-depend on a basedate and are documented as unsupported.
+The relative keyword subset (now/today/yesterday/tomorrow/'this month'/
+'this year') is in :func:`relative_span`; richer NL phrases ('next
+friday', '3 days ago') remain out of scope.
 """
 
 from __future__ import annotations
@@ -91,4 +92,30 @@ def span(text: str) -> Optional[Tuple[datetime, datetime]]:
     p = parse_adate(text)
     if p is None:
         return None
+    return _floor(p), _ceil(p)
+
+
+def relative_span(text: str, basedate: datetime):
+    """Relative-date subset of the reference grammar (dateparse.py:700-736):
+    now / today / yesterday / tomorrow / 'this month' / 'this year' ->
+    (floor, ceil) span relative to `basedate` (the reference's basedate
+    parameter; adatetime semantics).  None when `text` is not one of them."""
+    t = text.strip().lower()
+    if t == "now":
+        return basedate, basedate
+    if t == "today":
+        d = basedate.date()
+    elif t == "yesterday":
+        d = basedate.date() - timedelta(days=1)
+    elif t == "tomorrow":
+        d = basedate.date() + timedelta(days=1)
+    elif t in ("this month", "this_month"):
+        p = (basedate.year, basedate.month, None, None, None, None)
+        return _floor(p), _ceil(p)
+    elif t in ("this year", "this_year"):
+        p = (basedate.year, None, None, None, None, None)
+        return _floor(p), _ceil(p)
+    else:
+        return None
+    p = (d.year, d.month, d.day, None, None, None)
     return _floor(p), _ceil(p)

@@ -20,11 +20,13 @@ Plugin parity beyond the default set:
 - MultifieldPlugin (plugins.py:1157-1203): :class:`MultifieldParser` —
   unfielded leaves become Or over the configured fields with per-field
   boosts.
-- DateParserPlugin, absolute subset (dateparse.py:786+): on fields declared
-  ``"date"`` in the schema, `date:2010-05`, `date:[2010 to 2012]`, and
-  `date:>2010-05-12` parse to DateRange with adatetime floor/ceil span
-  semantics (util/times.py:202-260).  Relative/NL forms ('yesterday') are
-  documented as unsupported.
+- DateParserPlugin (dateparse.py:786+): on fields declared ``"date"`` in
+  the schema, absolute dates (`date:2010-05`, `date:[2010 to 2012]`,
+  `date:>2010-05-12`) AND the relative subset (now / today / yesterday /
+  tomorrow / 'this month' / 'this year', anchored on the parser's
+  ``basedate``) parse to DateRange with adatetime floor/ceil span
+  semantics (util/times.py:202-260).  Richer NL phrases ('next friday',
+  '3 days ago') remain out of scope.
 - Numeric fields (schema kind ``"numeric"``): `n:250` -> exact NumericRange,
   `n:[100 to 200]`, `n:>=100` -> NumericRange — the reference's NUMERIC
   field parsing (fields.py:522-809) without the tiered-term machinery.
@@ -133,7 +135,8 @@ class QueryParser:
                  group: str = "and", known_fields=None,
                  schema: Optional[Dict[str, str]] = None,
                  copy_fields: Optional[Dict[str, str]] = None,
-                 plugins=None, sequence_plugin: bool = False):
+                 plugins=None, sequence_plugin: bool = False,
+                 basedate=None):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
@@ -155,9 +158,24 @@ class QueryParser:
         # subqueries matched in sequence instead of plain phrases — the
         # reference's replace-PhrasePlugin-with-SequencePlugin mode
         self.sequence_plugin = sequence_plugin
+        # basedate anchors relative dates (now/today/yesterday/tomorrow/
+        # 'this month'/'this year' — DateParserPlugin's basedate param,
+        # dateparse.py:795-805); defaults lazily to the current time
+        self.basedate = basedate
 
     def _kind(self, fieldname: str) -> str:
         return self.schema.get(fieldname, TEXT)
+
+    def _date_span(self, text):
+        """(floor, ceil) for an absolute OR relative date string."""
+        if self.basedate is None:
+            import datetime as _dt
+
+            self.basedate = _dt.datetime.now()
+        sp = D.relative_span(text, self.basedate)
+        if sp is not None:
+            return sp
+        return D.span(text)
 
     # -- recursive descent ---------------------------------------------------
 
@@ -327,9 +345,12 @@ class QueryParser:
                 pass  # non-numeric bound on a numeric field -> treat as text
         if kind == DATE:
             # [2010 to 2012] -> floor(lo) .. ceil(hi) (dateparse range
-            # semantics: each endpoint's span edge)
-            start = D.floor(lo) if lo is not None else None
-            end = D.ceil(hi) if hi is not None else None
+            # semantics: each endpoint's span edge); endpoints may be
+            # relative (today/yesterday/...)
+            lo_sp = self._date_span(lo) if lo is not None else None
+            hi_sp = self._date_span(hi) if hi is not None else None
+            start = lo_sp[0] if lo_sp is not None else None
+            end = hi_sp[1] if hi_sp is not None else None
             if (lo is None or start is not None) and (hi is None or end is not None):
                 return Q.DateRange(fieldname, start, end, loexcl, hiexcl, boost)
         lo_t = lo.lower() if lo is not None else None
@@ -343,14 +364,16 @@ class QueryParser:
         fields the endpoint uses the span edge facing AWAY from the range so
         `date:>2010` means strictly after 2010 ends."""
         kind = self._kind(fieldname)
-        if kind == DATE and D.parse_adate(text) is not None:
+        sp = self._date_span(text) if kind == DATE else None
+        if sp is not None:
+            lo_d, hi_d = sp
             if rel == "<":
-                return Q.DateRange(fieldname, None, D.floor(text), False, True, boost)
+                return Q.DateRange(fieldname, None, lo_d, False, True, boost)
             if rel == ">":
-                return Q.DateRange(fieldname, D.ceil(text), None, True, False, boost)
+                return Q.DateRange(fieldname, hi_d, None, True, False, boost)
             if rel in ("<=", "=<"):
-                return Q.DateRange(fieldname, None, D.ceil(text), False, False, boost)
-            return Q.DateRange(fieldname, D.floor(text), None, False, False, boost)
+                return Q.DateRange(fieldname, None, hi_d, False, False, boost)
+            return Q.DateRange(fieldname, lo_d, None, False, False, boost)
         if rel == "<":
             return self._make_range(fieldname, None, text, False, True, boost)
         if rel == ">":
@@ -414,7 +437,7 @@ class QueryParser:
             except ValueError:
                 pass
         if explicit_field is not None and kind == DATE:
-            sp = D.span(raw)
+            sp = self._date_span(raw)
             if sp is not None:
                 return self._leaf_hooks(
                     Q.DateRange(fieldname, sp[0], sp[1], False, False, boost),
