@@ -408,3 +408,16 @@ def test_term_vectors_column(spark):
             .select("term", "weight").collect()
         }
         assert dict(r["vector"]) == posts
+
+
+def test_document_lookup(spark):
+    """Searcher.document/documents (searching.py): stored-field equality
+    lookup over docmeta, filter pushed to the scan."""
+    rows = list(generate_rows(60))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    s = Searcher(build_index(df))
+    uid = rows[3][0]
+    d = s.document(uid=uid)
+    assert d is not None and d["uid"] == uid and d["docid"] == 3
+    assert s.document(uid="https://nope.test/") is None
+    assert s.documents(docid=5).count() == 1

@@ -814,3 +814,16 @@ class Searcher:
     def search_list(self, q: Q.Query, limit: Optional[int] = 10) -> List[Tuple]:
         rows = self.search(q, limit).collect()
         return [(r["docid"], r["uid"], r["score"]) for r in rows]
+
+    def documents(self, **kw) -> DataFrame:
+        """Stored-field lookup frame (searching.py Searcher.documents):
+        equality filters over docmeta columns — pushed to the scan."""
+        df = self.ix.docmeta
+        for k, v in kw.items():
+            df = df.where(F.col(k) == v)
+        return df
+
+    def document(self, **kw) -> Optional[dict]:
+        """First matching stored-field dict or None (Searcher.document)."""
+        rows = self.documents(**kw).limit(1).collect()
+        return rows[0].asDict() if rows else None
