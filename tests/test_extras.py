@@ -421,3 +421,23 @@ def test_document_lookup(spark):
     assert d is not None and d["uid"] == uid and d["docid"] == 3
     assert s.document(uid="https://nope.test/") is None
     assert s.documents(docid=5).count() == 1
+
+
+def test_reader_conveniences(spark):
+    """IndexReader-surface wrappers: lexicon / doc_frequency / frequency /
+    doc_count / suggest / key_terms / more_like on the Searcher."""
+    rows = list(generate_rows(80))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    s = Searcher(build_index(df).persist())
+    lex = [r["term"] for r in s.lexicon(prefix="re").limit(5).collect()]
+    assert lex == sorted(lex) and all(t.startswith("re") for t in lex)
+    assert s.doc_frequency("render") > 0
+    assert s.doc_frequency("zzznope") == 0
+    assert s.frequency("render") >= s.doc_frequency("render")
+    assert s.doc_count() == 80
+    sug = s.suggest("rendar")
+    assert sug and sug[0] == "render"
+    kt = s.key_terms([0, 1], numterms=3)
+    assert len(kt) == 3
+    ml = s.more_like(0, numterms=3, limit=5).collect()
+    assert len(ml) > 0

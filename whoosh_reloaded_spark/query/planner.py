@@ -815,6 +815,49 @@ class Searcher:
         rows = self.search(q, limit).collect()
         return [(r["docid"], r["uid"], r["score"]) for r in rows]
 
+    # -- reader-style conveniences (reading.py IndexReader surface) ----------
+
+    def lexicon(self, prefix: Optional[str] = None) -> DataFrame:
+        """Sorted term dictionary frame (IndexReader.lexicon,
+        reading.py:256-280); optional prefix pushed to the scan."""
+        ts = self.ix.term_stats.select("term")
+        if prefix:
+            ts = ts.where(F.col("term").startswith(prefix))
+        return ts.orderBy("term")
+
+    def doc_frequency(self, term: str) -> int:
+        """df of a term, 0 when absent (IndexReader.doc_frequency)."""
+        self._lookup_stats([term])
+        return self._df_cache[term]
+
+    def frequency(self, term: str) -> float:
+        """Total collection weight of a term (IndexReader.frequency)."""
+        self._lookup_stats([term])
+        return self._cf_cache[term]
+
+    def doc_count(self) -> int:
+        return self.N
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2):
+        """Spelling corrections for `text` (Searcher.suggest,
+        searching.py / spelling.py)."""
+        from whoosh_reloaded_spark.spelling import suggest as _suggest
+
+        return _suggest(self, text, limit=limit, maxdist=maxdist)
+
+    def key_terms(self, docids, numterms: int = 5, model=None):
+        from whoosh_reloaded_spark.classify import Bo1Model, key_terms as _kt
+
+        return _kt(self, list(docids), numterms=numterms,
+                   model=model or Bo1Model)
+
+    def more_like(self, docid: int, numterms: int = 5, model=None,
+                  limit: int = 10) -> DataFrame:
+        from whoosh_reloaded_spark.classify import Bo1Model, more_like as _ml
+
+        return _ml(self, docid, numterms=numterms, model=model or Bo1Model,
+                   limit=limit)
+
     def documents(self, **kw) -> DataFrame:
         """Stored-field lookup frame (searching.py Searcher.documents):
         equality filters over docmeta columns — pushed to the scan."""
