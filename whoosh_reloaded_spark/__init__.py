@@ -32,4 +32,7 @@ from whoosh_reloaded_spark.index import (  # noqa: F401
     save_index,
 )
 from whoosh_reloaded_spark.query import Searcher  # noqa: F401
-from whoosh_reloaded_spark.query.parser import QueryParser  # noqa: F401
+from whoosh_reloaded_spark.query.parser import (  # noqa: F401
+    MultifieldParser,
+    QueryParser,
+)
