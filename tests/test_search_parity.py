@@ -326,6 +326,48 @@ def _q18b():
     return Variations("data"), WVariations("text", "data")
 
 
+@case("q19_termrange_excl")
+def _q19():
+    from whoosh.query import TermRange as WTermRange
+
+    return (
+        TermRange("re", "rf", startexcl=True, endexcl=True),
+        WTermRange("text", "re", "rf", startexcl=True, endexcl=True),
+    )
+
+
+@case("q20_phrase_slop2")
+def _q20():
+    from whoosh.query import Phrase as WPhrase
+
+    return (
+        Phrase(["mary", "little"], slop=2),
+        WPhrase("text", ["mary", "little"], slop=2),
+    )
+
+
+@case("q21_or_with_not")
+def _q21():
+    from whoosh.query import Not as WNot
+    from whoosh.query import Or as WOr
+
+    return (
+        Or([Term("render"), Not(Term("yellow"))]),
+        WOr([_wt("render"), WNot(_wt("yellow"))]),
+    )
+
+
+@case("q22_require_nested")
+def _q22():
+    from whoosh.query import Or as WOr
+    from whoosh.query import Require as WRequire
+
+    return (
+        Require(Or([Term("render"), Term("yellow")]), Term("red")),
+        WRequire(WOr([_wt("render"), _wt("yellow")]), _wt("red")),
+    )
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_rank_identical(name, whoosh_ix, our_searcher):
     ours_q, whoosh_q = CASES[name]()
