@@ -265,3 +265,62 @@ def test_relative_dates_golden():
     # ours is the equivalent [now, now] range)
     ours_now = p.parse("date:now")
     assert ours_now.start == base and ours_now.end == base
+
+
+def test_regex_plugin_syntax():
+    # reference test_parse_plugins.py::test_regex shapes
+    p = QueryParser("a", schema={"a": "text", "b": "text"})
+    q = p.parse('a:r"foo-bar" hello')
+    assert isinstance(q, Q.And)
+    assert q.children[0] == Q.Regex("foo-bar", "a")
+    assert q.children[1] == Q.Term("hello", "a")
+
+
+def test_simple_parser_golden(spark):
+    """SimpleParser (+/-/phrase grammar) — rank+score parity vs the
+    reference SimpleParser over the shared corpus."""
+    import pytest as _pt
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        _pt.skip("reference not importable")
+    from whoosh import fields, index
+    from whoosh.qparser import SimpleParser as WSimple
+
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher
+    from whoosh_reloaded_spark.query.parser import SimpleParser
+
+    rows = list(generate_rows(200))
+    wschema = fields.Schema(
+        url=fields.ID(stored=True, unique=True), text=fields.TEXT
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    wix = index.create_in(d, wschema)
+    w = wix.writer()
+    for url, ts, html, text, lang in rows:
+        w.add_document(url=url, text=text)
+    w.commit()
+    wqp = WSimple("text", wschema)
+
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    s = Searcher(build_index(df).persist())
+    p = SimpleParser("text")
+
+    for qs in ["render yellow", "+render yellow", "render -yellow",
+               "+render -yellow red", '"quick went" +render']:
+        wq = wqp.parse(qs)
+        with wix.searcher() as ws:
+            try:
+                res = ws.search(wq, limit=10)
+            except Exception:
+                res = ws.search(wq, limit=10, optimize=False)
+            theirs = [(h["url"], h.score) for h in res]
+        ours = [(u, sc) for _, u, sc in s.search_list(p.parse(qs), 10)]
+        assert [u for u, _ in ours] == [u for u, _ in theirs], (qs, ours, theirs)
+        for (u1, s1), (u2, s2) in zip(ours, theirs):
+            assert s1 == _pt.approx(s2, rel=1e-9), (qs, u1)

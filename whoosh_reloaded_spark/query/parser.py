@@ -27,6 +27,11 @@ Plugin parity beyond the default set:
   ``basedate``) parse to DateRange with adatetime floor/ceil span
   semantics (util/times.py:202-260).  Richer NL phrases ('next friday',
   '3 days ago') remain out of scope.
+- RegexPlugin (plugins.py:554-580): ``r"pattern"`` (optionally fielded)
+  parses to a Regex query.
+- PlusMinusPlugin / SimpleParser (plugins.py:1016-1078,
+  default.py:415-424): :class:`SimpleParser` supports only
+  +required / -prohibited / phrase syntax with Or-grouped optional terms.
 - Numeric fields (schema kind ``"numeric"``): `n:250` -> exact NumericRange,
   `n:[100 to 200]`, `n:>=100` -> NumericRange — the reference's NUMERIC
   field parsing (fields.py:522-809) without the tiered-term machinery.
@@ -443,6 +448,15 @@ class QueryParser:
                     Q.DateRange(fieldname, sp[0], sp[1], False, False, boost),
                     explicit_field,
                 )
+        # RegexPlugin (plugins.py:554-580): r"pattern" -> Regex query
+        rm = re.match(r'^r"(.*)"$', raw)
+        if rm:
+            leaf = Q.Regex(rm.group(1), fieldname, boost)
+            return (
+                self._leaf_hooks(leaf, explicit_field)
+                if explicit_field is not None
+                else self._unfielded_leaf(leaf)
+            )
         maxdist = None
         m = _FUZZY_RE.search(raw)
         if m and not raw.endswith('~"'):
@@ -503,3 +517,52 @@ class MultifieldParser(QueryParser):
                 c = replace(c, boost=c.boost * fb)
             copies.append(self._leaf_hooks(c, f))
         return Q.Or(tuple(copies))
+
+
+class SimpleParser(QueryParser):
+    """The reference's SimpleParser (qparser/default.py:415-424): only
+    +required / -prohibited / phrase syntax, optional terms Or-grouped.
+
+    PlusMinusPlugin semantics (plugins.py:1016-1078): nodes sort into
+    required / optional / banned; result =
+    AndNot(AndMaybe(And(required), Or(optional)), Or(banned)) with empty
+    groups collapsing away in normalize().
+    """
+
+    def parse(self, s: str) -> Q.Query:
+        toks = _lex(s)
+        required: List[Q.Query] = []
+        optional: List[Q.Query] = []
+        banned: List[Q.Query] = []
+        target = optional
+        for t in toks:
+            if t.kind == "word" and t.value in ("+", "-"):
+                target = required if t.value == "+" else banned
+                continue
+            if t.kind == "phrase":
+                words = self.analyzer.query_terms(t.value)
+                node = (
+                    Q.Phrase(tuple(words), self.fieldname, slop=t.slop)
+                    if words
+                    else Q.NullQuery()
+                )
+            elif t.kind == "word":
+                raw = t.value
+                if raw.startswith("+") and len(raw) > 1:
+                    target = required
+                    raw = raw[1:]
+                elif raw.startswith("-") and len(raw) > 1:
+                    target = banned
+                    raw = raw[1:]
+                node = self._word(raw)
+            else:
+                continue  # no grouping syntax in the simple grammar
+            if not isinstance(node, Q.NullQuery):
+                target.append(node)
+            target = optional
+        group: Q.Query = Q.Or(tuple(optional))
+        if required:
+            group = Q.AndMaybe(Q.And(tuple(required)), group)
+        if banned:
+            group = Q.AndNot(group, Q.Or(tuple(banned)))
+        return group.normalize()
