@@ -324,3 +324,16 @@ def test_simple_parser_golden(spark):
         assert [u for u, _ in ours] == [u for u, _ in theirs], (qs, ours, theirs)
         for (u1, s1), (u2, s2) in zip(ours, theirs):
             assert s1 == _pt.approx(s2, rel=1e-9), (qs, u1)
+
+
+def test_field_alias_and_copy_mirror():
+    # FieldAliasPlugin (plugins.py:1206-1238) + CopyFieldPlugin mirror=True
+    p = QueryParser("content", schema={"content": "text"},
+                    field_aliases={"content": ["body", "text"]})
+    assert p.parse("body:hello") == Q.Term("hello", "content")
+    assert p.parse("text:hello") == Q.Term("hello", "content")
+
+    p2 = QueryParser("a", schema={"a": "text", "b": "text", "c": "text"},
+                     copy_fields={"b": "c"}, copy_fields_mirror=True)
+    q = p2.parse("c:matt")
+    assert q == Q.Or((Q.Term("matt", "c"), Q.Term("matt", "b")))

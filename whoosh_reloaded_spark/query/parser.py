@@ -141,7 +141,8 @@ class QueryParser:
                  schema: Optional[Dict[str, str]] = None,
                  copy_fields: Optional[Dict[str, str]] = None,
                  plugins=None, sequence_plugin: bool = False,
-                 basedate=None):
+                 basedate=None, field_aliases=None,
+                 copy_fields_mirror: bool = False):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
@@ -157,8 +158,18 @@ class QueryParser:
         for f in known_fields or ():
             self.schema.setdefault(f, TEXT)
         self.schema.setdefault(fieldname, TEXT)
-        # CopyFieldPlugin map (from-field -> to-field)
+        # CopyFieldPlugin map (from-field -> to-field); mirror adds the
+        # reversed mappings (plugins.py:1279-1281)
         self.copy_fields = dict(copy_fields or {})
+        if copy_fields_mirror:
+            self.copy_fields.update(
+                {v: k for k, v in list(self.copy_fields.items())}
+            )
+        # FieldAliasPlugin (plugins.py:1206-1238): alias -> real field
+        self.field_aliases: Dict[str, str] = {}
+        for real, aliases in (field_aliases or {}).items():
+            for a in aliases:
+                self.field_aliases[a] = real
         # SequencePlugin (plugins.py:758-833): quoted groups hold ARBITRARY
         # subqueries matched in sequence instead of plain phrases — the
         # reference's replace-PhrasePlugin-with-SequencePlugin mode
@@ -170,6 +181,11 @@ class QueryParser:
 
     def _kind(self, fieldname: str) -> str:
         return self.schema.get(fieldname, TEXT)
+
+    def _resolve_field(self, name):
+        """Apply FieldAliasPlugin mapping; None when still unknown."""
+        name = self.field_aliases.get(name, name)
+        return name if name in self.schema else None
 
     def _date_span(self, text):
         """(floor, ceil) for an absolute OR relative date string."""
@@ -284,22 +300,20 @@ class QueryParser:
             words = self.analyzer.query_terms(t.value)
             if not words:
                 return Q.NullQuery()
-            if t.field is not None and t.field in self.schema:
+            pf = self._resolve_field(t.field) if t.field is not None else None
+            if pf is not None:
                 return self._leaf_hooks(
-                    Q.Phrase(tuple(words), t.field, slop=t.slop), t.field
+                    Q.Phrase(tuple(words), pf, slop=t.slop), pf
                 )
             return self._unfielded_leaf(
                 Q.Phrase(tuple(words), self.fieldname, slop=t.slop)
             )
         if t.kind == "range":
-            fieldname = (
-                t.field
-                if t.field is not None and t.field in self.schema
-                else self.fieldname
-            )
+            rf = self._resolve_field(t.field) if t.field is not None else None
+            fieldname = rf if rf is not None else self.fieldname
             return self._leaf_hooks(
                 self._make_range(fieldname, t.lo, t.hi, t.loexcl, t.hiexcl),
-                explicit_field=t.field if t.field in self.schema else None,
+                explicit_field=rf,
             )
         return self._word(t.value)
 
@@ -416,9 +430,10 @@ class QueryParser:
             return Q.Every(boost)
         if ":" in raw:
             field, rest = raw.split(":", 1)
-            if field in self.schema:
-                fieldname = field
-                explicit_field = field
+            rf = self._resolve_field(field)
+            if rf is not None:
+                fieldname = rf
+                explicit_field = rf
                 raw = rest
             elif field == "*" and rest == "*":
                 return Q.Every(boost)
