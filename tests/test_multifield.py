@@ -136,3 +136,33 @@ def test_fielded_phrase(ours, whoosh_ix):
         WPhrase("name", ["quick", "went"]),
         'name:"quick went"',
     )
+
+
+def test_glob_dynamic_fields(spark):
+    """Dynamic glob fields (fields.py:1447-1452 / tests/test_flexible.py):
+    '*_text' expands to every matching corpus column, each searchable as
+    its own field."""
+    from whoosh_reloaded_spark.multifield import (
+        FieldSpec,
+        MultiFieldSearcher,
+        build_multi_index_glob,
+    )
+    from whoosh_reloaded_spark.query import Term
+
+    rows = [
+        ("u0", "alpha body words", "title alpha here", "ignored"),
+        ("u1", "bravo body words", "charlie title words", "ignored"),
+        ("u2", "alpha charlie body", "bravo in title", "ignored"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, body_text string, title_text string, other string"
+    )
+    idxs = build_multi_index_glob(
+        df, {"*_text": FieldSpec(text_col="")}, uid_col="url"
+    )
+    assert set(idxs) == {"body_text", "title_text"}
+    s = MultiFieldSearcher(idxs, default_field="body_text")
+    got = {u for _, u, _ in s.search_list(Term("alpha", "title_text"), 10)}
+    assert got == {"u0"}
+    got2 = {u for _, u, _ in s.search_list(Term("alpha", "body_text"), 10)}
+    assert got2 == {"u0", "u2"}

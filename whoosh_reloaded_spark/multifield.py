@@ -115,3 +115,39 @@ class MultiFieldSearcher(Searcher):
         return u.distinct().select(
             "docid", F.lit(float(score)).alias("score")
         )
+
+
+def expand_glob_fields(corpus: DataFrame, glob_specs: Dict[str, FieldSpec],
+                       exclude: Optional[list] = None) -> Dict[str, FieldSpec]:
+    """Dynamic glob-named fields (fields.py:1447-1452, tests/test_flexible.py):
+    expand patterns like ``*_text`` against the corpus columns, each match
+    becoming a concrete field with the template's config (analyzer/boost/
+    format), field name == column name."""
+    import fnmatch
+
+    out: Dict[str, FieldSpec] = {}
+    skip = set(exclude or ())
+    for pattern, template in glob_specs.items():
+        for col in corpus.columns:
+            if col in skip or col in out:
+                continue
+            if fnmatch.fnmatchcase(col, pattern):
+                out[col] = FieldSpec(
+                    text_col=col,
+                    analyzer=template.analyzer,
+                    boost=template.boost,
+                    format=template.format,
+                    store_vector=template.store_vector,
+                )
+    return out
+
+
+def build_multi_index_glob(corpus: DataFrame,
+                           glob_specs: Dict[str, FieldSpec],
+                           uid_col: str = "url",
+                           num_partitions: int = 0) -> Dict[str, InvertedIndex]:
+    """build_multi_index over glob-expanded dynamic fields."""
+    fields = expand_glob_fields(corpus, glob_specs, exclude=[uid_col])
+    if not fields:
+        raise ValueError("no corpus columns match the glob patterns")
+    return build_multi_index(corpus, fields, uid_col, num_partitions)
