@@ -441,3 +441,20 @@ def test_reader_conveniences(spark):
     assert len(kt) == 3
     ml = s.more_like(0, numterms=3, limit=5).collect()
     assert len(ml) > 0
+
+
+def test_results_wrapper(spark):
+    """Results/Hit access surface (searching.py): len, indexing, score(n),
+    docnum(n), fields(n)."""
+    rows = list(generate_rows(60))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    s = Searcher(build_index(df, stored_cols=["lang"]))
+    res = s.search_results(Or([Term("render"), Term("yellow")]), limit=5,
+                           stored_cols=["lang"])
+    assert len(res) == 5
+    assert res.score(0) >= res.score(1)
+    assert res.docnum(0) == res[0].docnum
+    f = res.fields(0)
+    assert "uid" in f and "lang" in f
+    assert "uid" in res[0] and res[0]["lang"] == f["lang"]
+    assert [h.rank for h in res] == [0, 1, 2, 3, 4]

@@ -870,3 +870,79 @@ class Searcher:
         """First matching stored-field dict or None (Searcher.document)."""
         rows = self.documents(**kw).limit(1).collect()
         return rows[0].asDict() if rows else None
+
+
+class Hit:
+    """One search hit (searching.py Hit): stored fields by key, plus rank /
+    score / docnum attributes."""
+
+    __slots__ = ("rank", "docnum", "score", "_fields")
+
+    def __init__(self, rank, docnum, score, fields):
+        self.rank = rank
+        self.docnum = docnum
+        self.score = score
+        self._fields = fields
+
+    def fields(self):
+        return dict(self._fields)
+
+    def __getitem__(self, key):
+        return self._fields[key]
+
+    def __contains__(self, key):
+        return key in self._fields
+
+    def __repr__(self):
+        return f"<Hit {self.docnum} {self.score:.4f} {self._fields!r}>"
+
+
+class Results:
+    """Materialized top-k results (searching.py Results): iterable of Hit
+    with the reference's access surface — len(), results[n], score(n),
+    docnum(n), fields(n)."""
+
+    def __init__(self, hits):
+        self._hits = hits
+
+    def __len__(self):
+        return len(self._hits)
+
+    def __iter__(self):
+        return iter(self._hits)
+
+    def __getitem__(self, n):
+        return self._hits[n]
+
+    def score(self, n):
+        return self._hits[n].score
+
+    def docnum(self, n):
+        return self._hits[n].docnum
+
+    def fields(self, n):
+        return self._hits[n].fields()
+
+    def docs(self):
+        return [h.docnum for h in self._hits]
+
+
+def _search_results(self, q, limit=10, stored_cols=None):
+    """Results-object search: top-k joined with docmeta stored columns,
+    materialized as Hit objects (k rows only — display-side)."""
+    hits = self.search(q, limit=limit, with_uid=False)
+    meta_cols = ["uid"] + [c for c in (stored_cols or [])
+                           if c in self.ix.docmeta.columns]
+    out = (
+        hits.join(self.ix.docmeta.select("docid", *meta_cols), "docid")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .collect()
+    )
+    return Results([
+        Hit(i, r["docid"], r["score"],
+            {c: r[c] for c in meta_cols})
+        for i, r in enumerate(out)
+    ])
+
+
+Searcher.search_results = _search_results
