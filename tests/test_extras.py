@@ -123,6 +123,22 @@ def test_spelling_suggest_parity(whoosh_ix, our_ix):
             assert ours == theirs, word
 
 
+def test_spelling_suggest_distributed_path(whoosh_ix, our_ix, monkeypatch):
+    """Force the Arrow-UDF path (as if the length-windowed lexicon slice
+    exceeded the driver probe limit) and assert results are identical to the
+    reference — no unbounded lexicon collect on either path."""
+    import whoosh_reloaded_spark.spelling as sp
+
+    monkeypatch.setattr(sp, "FUZZY_DRIVER_LIMIT", 2)
+    s = Searcher(our_ix)
+    with whoosh_ix.searcher() as ws_:
+        corrector = ws_.corrector("text")
+        for word, prefix in [("rendar", 1), ("alpah", 0)]:
+            theirs = corrector.suggest(word, limit=5, maxdist=2, prefix=prefix)
+            ours = sp.suggest(s, word, limit=5, maxdist=2, prefix=prefix)
+            assert ours == theirs, word
+
+
 def test_key_terms_parity(rows, our_ix, tmp_path_factory):
     from whoosh import fields, index
 
@@ -408,6 +424,28 @@ def test_term_vectors_column(spark):
             .select("term", "weight").collect()
         }
         assert dict(r["vector"]) == posts
+
+
+def test_scaled_or_zero_term_matchers_yields_docs(spark):
+    """Or(scale) whose children contribute ZERO term matchers (e.g. only
+    Nots) has a degenerate SQR denominator; the reference CoordMatcher still
+    yields the matching docs at score 0 — not an empty result."""
+    import datetime
+
+    from whoosh_reloaded_spark.query import DateRange
+
+    rows = list(generate_rows(40))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    s = Searcher(build_index(df, stored_cols=["warc_ts"]))
+    lo = datetime.datetime(1990, 1, 1)
+    hi = datetime.datetime(2100, 1, 1)
+    q = Or(
+        (DateRange("warc_ts", lo, hi), DateRange("warc_ts", lo, None)),
+        scale=0.5,
+    )
+    hits = s.search(q, limit=None).collect()
+    assert len(hits) == 40  # every doc matches — NOT silently dropped
+    assert all(h["score"] == 0.0 for h in hits)
 
 
 def test_document_lookup(spark):

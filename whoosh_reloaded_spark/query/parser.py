@@ -310,9 +310,18 @@ class QueryParser:
             )
         if t.kind == "range":
             rf = self._resolve_field(t.field) if t.field is not None else None
-            fieldname = rf if rf is not None else self.fieldname
+            if rf is None:
+                # unfielded range: route through _unfielded_leaf so
+                # MultifieldParser expands '[a TO b]' across its fields —
+                # the reference MultifieldPlugin applies to every unfielded
+                # fieldable node including ranges (plugins.py:1139-1160)
+                return self._unfielded_leaf(
+                    self._make_range(
+                        self.fieldname, t.lo, t.hi, t.loexcl, t.hiexcl
+                    )
+                )
             return self._leaf_hooks(
-                self._make_range(fieldname, t.lo, t.hi, t.loexcl, t.hiexcl),
+                self._make_range(rf, t.lo, t.hi, t.loexcl, t.hiexcl),
                 explicit_field=rf,
             )
         return self._word(t.value)

@@ -43,6 +43,8 @@ from whoosh_reloaded_spark.scoring import (
 
 TOO_MANY_CLAUSES = 1024  # compound.py:282 heuristic bound for expansions
 FUZZY_DRIVER_LIMIT = 20_000  # fuzzy slices below this run the DP driver-side
+PHRASE_BROADCAST_DF = 2_000_000  # rare-word docid frames below this df are
+# broadcast for the phrase pre-prune semi-join (~16 MB of longs)
 
 
 def osa_distance(a: str, b: str, limit: Optional[int] = None) -> int:
@@ -234,69 +236,162 @@ class Searcher:
 
     # -- lexicon expansion for multi-term queries ----------------------------
 
-    def expand_terms(self, q: Q.Query) -> List[str]:
-        ts = self.ix.term_stats
+    def _pattern_predicate(self, q: Q.Query):
+        """Pushdown predicate builder for a multiterm query: a function
+        mapping a term Column to a boolean Column.  EXACT for Prefix/
+        Wildcard/Regex/TermRange/Variations; a SUPERSET (prefix slice +
+        length window) for FuzzyTerm, whose exact filter is the OSA DP.
+        Applicable to term_stats AND postings — both carry `term`, so the
+        same predicate reaches both parquet scans as a pushed filter."""
         if isinstance(q, Q.Prefix):
-            c = ts.where(F.col("term").startswith(q.text))
-        elif isinstance(q, Q.Wildcard):
+            return lambda c: c.startswith(q.text)
+        if isinstance(q, Q.Wildcard):
             pre = glob_literal_prefix(q.text)
-            c = ts.where(F.col("term").rlike(glob_to_java_regex(q.text)))
+            rx = glob_to_java_regex(q.text)
             if pre:
-                c = c.where(F.col("term").startswith(pre))
-        elif isinstance(q, Q.Regex):
-            c = ts.where(F.col("term").rlike(q.text))
-        elif isinstance(q, Q.TermRange):
-            c = ts
-            if q.start is not None:
-                c = c.where(
-                    F.col("term") > q.start if q.startexcl else F.col("term") >= q.start
-                )
-            if q.end is not None:
-                c = c.where(
-                    F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
-                )
-        elif isinstance(q, Q.Variations):
-            # expand driver-side (a few dozen candidates), then one pushed
-            # IN-filter scan keeps only lexicon members (terms.py:551-561)
+                return lambda c: c.startswith(pre) & c.rlike(rx)
+            return lambda c: c.rlike(rx)
+        if isinstance(q, Q.Regex):
+            return lambda c: c.rlike(q.text)
+        if isinstance(q, Q.TermRange):
+            def _range(c):
+                cond = F.lit(True)
+                if q.start is not None:
+                    cond = cond & (
+                        (c > q.start) if q.startexcl else (c >= q.start)
+                    )
+                if q.end is not None:
+                    cond = cond & ((c < q.end) if q.endexcl else (c <= q.end))
+                return cond
+
+            return _range
+        if isinstance(q, Q.Variations):
             from whoosh_reloaded_spark.variations import variations
 
             cand = sorted(set(variations(q.text)))
-            rows = ts.where(F.col("term").isin(cand)).select("term").collect()
-            return sorted(r["term"] for r in rows)
-        elif isinstance(q, Q.FuzzyTerm):
-            # prefix-slice + length-window pushdown (|len(t)-len(q)| <=
-            # maxdist — any farther term has distance > maxdist), then the
-            # exact OSA DP runs DISTRIBUTED over the windowed slice in an
-            # Arrow-batched pandas UDF; only the matching terms reach the
-            # driver.  The reference avoids full enumeration with a
-            # Levenshtein DFA (automata/lev.py); the pushed filters play the
-            # same role over the term-sorted parquet.
+            return lambda c: c.isin(cand)
+        if isinstance(q, Q.FuzzyTerm):
             pre = q.text[: q.prefixlength]
-            c = ts.where(F.col("term").startswith(pre)) if pre else ts
-            c = c.where(
-                F.abs(F.length("term") - F.lit(len(q.text))) <= q.maxdist
+            n = len(q.text)
+
+            def _window(c):
+                cond = F.abs(F.length(c) - F.lit(n)) <= q.maxdist
+                if pre:
+                    cond = c.startswith(pre) & cond
+                return cond
+
+            return _window
+        raise TypeError(f"not a multiterm query: {q!r}")
+
+    def _multiterm_frame(self, q: Q.Query) -> DataFrame:
+        """EXACT matching lexicon slice as a DataFrame (term, df,
+        total_weight) — the relational counterpart of the reference's full
+        expansion (terms.py:293-307), with no driver round-trip.  Fuzzy
+        adds the distributed OSA Arrow-UDF filter on top of the pushed
+        superset window."""
+        pred = self._pattern_predicate(q)
+        c = self.ix.term_stats.where(pred(F.col("term")))
+        if isinstance(q, Q.FuzzyTerm):
+            within = _make_osa_match_udf(q.text, q.maxdist)
+            c = c.where(within(F.col("term")))
+        return c.select("term", "df", "total_weight")
+
+    def expand_terms(self, q: Q.Query) -> Optional[List[str]]:
+        """Driver-side expansion when it is SMALL: the matching terms
+        (<= TOO_MANY_CLAUSES of them) as a sorted list, for the pushed
+        `term IN (...)` scan plan.  Returns **None** when the expansion
+        overflows TOO_MANY_CLAUSES — callers then switch to the relational
+        postings<->lexicon-frame join plan (`_scored_postings_rel`), which
+        expands FULLY with zero driver round-trip.  The reference expands
+        fully too (terms.py:293-307); its TOO_MANY_CLAUSES is an Or
+        *strategy* threshold (compound.py:282), not a result cap — so no
+        path here truncates results."""
+        if isinstance(q, Q.Variations):
+            # driver-side candidate generation (a few dozen), then one
+            # pushed IN-filter scan keeps lexicon members (terms.py:551-561)
+            from whoosh_reloaded_spark.variations import variations
+
+            cand = sorted(set(variations(q.text)))
+            rows = (
+                self.ix.term_stats.where(F.col("term").isin(cand))
+                .select("term")
+                .collect()
             )
+            return sorted(r["term"] for r in rows)
+        pred = self._pattern_predicate(q)
+        c = self.ix.term_stats.where(pred(F.col("term")))
+        if isinstance(q, Q.FuzzyTerm):
             # bounded probe: collect at most LIMIT+1 windowed terms; a small
             # slice (the common case — prefix + length window prune hard)
             # runs the DP on the driver with no extra Python-worker job.  A
-            # head-term slice falls back to the distributed Arrow UDF, so no
-            # path ever collects an unbounded term dictionary.
+            # head-term slice falls back to the distributed Arrow UDF with
+            # the TOO_MANY_CLAUSES cap applied BEFORE collect, so no path
+            # ever collects an unbounded term list (round-2 ADVICE fix).
             cand = [
                 r["term"]
                 for r in c.select("term").limit(FUZZY_DRIVER_LIMIT + 1).collect()
             ]
             if len(cand) <= FUZZY_DRIVER_LIMIT:
-                return sorted(
+                out = sorted(
                     t
                     for t in cand
                     if osa_distance(q.text, t, q.maxdist) <= q.maxdist
                 )
+                return out if len(out) <= TOO_MANY_CLAUSES else None
             within = _make_osa_match_udf(q.text, q.maxdist)
-            matches = c.select("term").where(within(F.col("term")))
-            return sorted(r["term"] for r in matches.collect())
-        else:
-            raise TypeError(f"not a multiterm query: {q!r}")
-        return sorted(r["term"] for r in c.select("term").limit(TOO_MANY_CLAUSES + 1).collect())
+            matches = (
+                c.select("term")
+                .where(within(F.col("term")))
+                .limit(TOO_MANY_CLAUSES + 1)
+                .collect()
+            )
+            if len(matches) > TOO_MANY_CLAUSES:
+                return None
+            return sorted(r["term"] for r in matches)
+        rows = c.select("term").limit(TOO_MANY_CLAUSES + 1).collect()
+        if len(rows) > TOO_MANY_CLAUSES:
+            return None
+        return sorted(r["term"] for r in rows)
+
+    def _scored_postings_rel(
+        self, q: Q.Query, with_positions: bool = False
+    ) -> DataFrame:
+        """Relational scoring plan for an OVERFLOWING multiterm expansion:
+        postings (pattern predicate pushed to the scan) joined with the
+        exact lexicon frame on `term`, per-term idf/cf computed as column
+        expressions from the joined df/total_weight — no IN-list, no
+        driver round-trip, expansion is FULL.  AQE sizes the join (the
+        lexicon side is usually broadcast-able even when > 1024 terms)."""
+        pred = self._pattern_predicate(q)
+        p = self.ix.postings.where(pred(F.col("term")))
+        mf = self._multiterm_frame(q)
+        joined = p.join(mf, "term")
+        idf = F.log(F.lit(float(self.N)) / (F.col("df") + F.lit(1.0))) + F.lit(
+            1.0
+        )
+        pos_col = (
+            F.col("positions")
+            if getattr(self.weighting, "needs_positions", False)
+            and "positions" in p.columns
+            else None
+        )
+        ctx = ScoreContext(
+            weight=F.col("weight"),
+            len_byte=F.col("len_byte"),
+            length=F.col("length"),
+            idf=idf,
+            cf=F.col("total_weight").cast("double"),
+            N=self.N,
+            avgfl=self.avgfl,
+            field_length=self.field_length,
+            fieldname=self.ix.fieldname,
+            positions=pos_col,
+        )
+        score = self.weighting.score_col(ctx)
+        cols = ["term", "docid", score.alias("score")]
+        if with_positions:
+            cols.append("positions")
+        return joined.select(*cols)
 
     # -- coordination (SQR) helpers -------------------------------------------
 
@@ -309,7 +404,12 @@ class Searcher:
         if isinstance(q, (Q.Phrase, Q.Ordered)):
             return len(q.words)
         if isinstance(q, Q._MultiTerm):
-            return len(self.expand_terms(q))
+            small = self.expand_terms(q)
+            if small is not None:
+                return len(small)
+            # overflowing expansion: exact count via a distributed count
+            # aggregate over the lexicon frame (no term list on the driver)
+            return int(self._multiterm_frame(q).count())
         if isinstance(
             q,
             (Q.Every, Q.NullQuery, Q.NumericRange, Q.DateRange, Q.ColumnQuery),
@@ -318,10 +418,22 @@ class Searcher:
         if hasattr(q, "children"):
             return sum(self._n_term_matchers(c) for c in q.children)
         n = 0
-        for attr in ("a", "b", "child"):
+        # `a`/`b`/`child` cover the binary/Not nodes; `q`/`qs`/`subqs`
+        # cover the span wrappers (SpanFirst.q, SpanNear2.qs, SpanOr.subqs)
+        # so span children of a scaled Or contribute their leaf term
+        # matchers like the reference's Matcher.term_matchers traversal
+        for attr in ("a", "b", "child", "q"):
             c = getattr(q, attr, None)
             if isinstance(c, Q.Query):
                 n += self._n_term_matchers(c)
+        for attr in ("qs", "subqs"):
+            cs = getattr(q, attr, None)
+            if cs:
+                n += sum(
+                    self._n_term_matchers(c)
+                    for c in cs
+                    if isinstance(c, Q.Query)
+                )
         return n
 
     def _matching_term_count(self, q: Q.Query) -> int:
@@ -365,8 +477,11 @@ class Searcher:
                 # (score + (matching-1)/(termcount-scale)^2)*((tc-1)/tc)
                 tc = len(q.children)
                 if tc == 0 or tc == q.scale:
-                    return df.sparkSession.createDataFrame(
-                        [], "docid long, score double"
+                    # degenerate SQR denominator: the reference's
+                    # CoordMatcher still YIELDS the matching docs (score
+                    # contribution 0) — union of children at score 0.0
+                    return df.select("docid").distinct().select(
+                        "docid", F.lit(0.0).alias("score")
                     )
                 agg = df.groupBy("docid").agg(
                     F.sum("score").alias("_s"),
@@ -417,7 +532,14 @@ class Searcher:
                 # And; Not contributes 0).
                 tc = sum(self._n_term_matchers(c) for c in q.children)
                 if tc == 0 or tc == q.scale:
-                    return spark.createDataFrame([], "docid long, score double")
+                    # degenerate SQR denominator — still yield matching docs
+                    # at score 0 like CoordMatcher._sqr (wrappers.py:560+)
+                    u0 = self._eval(q.children[0]).select("docid")
+                    for c in q.children[1:]:
+                        u0 = u0.unionByName(self._eval(c).select("docid"))
+                    return u0.distinct().select(
+                        "docid", F.lit(0.0).alias("score")
+                    )
                 frames = [
                     self._eval(c).withColumn(
                         "_tm", F.lit(self._matching_term_count(c))
@@ -554,13 +676,18 @@ class Searcher:
             )
         if isinstance(q, Q._MultiTerm):
             terms = self.expand_terms(q)
-            if not terms:
+            if terms is None:
+                # expansion > TOO_MANY_CLAUSES: relational full-expansion
+                # plan — postings join lexicon frame, no truncation
+                df = self._scored_postings_rel(q)
+            elif not terms:
                 return spark.createDataFrame([], "docid long, score double")
-            # NOTE: the reference's MultiTerm.matcher sets weighting=None for
-            # constantscore fuzzy queries, but its Or-matcher falls back to
-            # the searcher's weighting anyway — observed behavior is plain
-            # BM25-scored Or over the expanded terms, which we mirror.
-            df = self._scored_postings(terms)
+            else:
+                # NOTE: the reference's MultiTerm.matcher sets weighting=None
+                # for constantscore fuzzy queries, but its Or-matcher falls
+                # back to the searcher's weighting anyway — observed behavior
+                # is plain BM25-scored Or over the expanded terms, mirrored.
+                df = self._scored_postings(terms)
             out = df.groupBy("docid").agg(F.sum("score").alias("score"))
             return out.select(
                 "docid", (F.col("score") * F.lit(q.boost)).alias("score")
@@ -696,9 +823,32 @@ class Searcher:
         """ONE pushed scan + ONE aggregation for positional word queries:
         per-doc maps term -> positions / term -> score, restricted to docs
         containing every distinct word.  Replaces the per-word scan +
-        N-way docid join plan (N scans, N-1 joins -> 1 scan, 0 joins)."""
+        N-way docid join plan (N scans, N-1 joins -> 1 scan, 0 joins).
+
+        Candidate pre-prune (the relational leapfrog): only docs containing
+        the RAREST word can match, so when the df spread is meaningful the
+        other words' postings are semi-joined against the rare word's docids
+        BEFORE the map-building aggregation — the head word's full posting
+        list never flows through collect_list.  df comes from the per-search
+        stats lookup already cached for scoring (zero extra jobs); the
+        candidate frame is broadcast when the rare df is driver-known small."""
         df = self._scored_postings(words, with_positions=True)
         n = len(set(words))
+        if n > 1:
+            self._lookup_stats(words)
+            dfs = {w: self._df_cache[w] for w in set(words)}
+            rare = min(dfs, key=lambda w: (dfs[w], w))
+            # prune only when it pays: the aggregation input shrinks by the
+            # non-rare words' extra postings, which costs one more (pushed,
+            # single-term) scan + a semi-join
+            if 0 < dfs[rare] * 4 <= max(dfs.values()):
+                cand = (
+                    self.ix.postings.where(F.col("term") == rare)
+                    .select("docid")
+                )
+                if dfs[rare] <= PHRASE_BROADCAST_DF:
+                    cand = F.broadcast(cand)
+                df = df.join(cand, "docid", "left_semi")
         return (
             df.groupBy("docid")
             .agg(

@@ -210,6 +210,24 @@ class SpanEvaluator:
             # expansion (terms.py:150-520)
             terms = self.s.expand_terms(q)
             spark = self.s.ix.postings.sparkSession
+            if terms is None:
+                # overflowing expansion (> TOO_MANY_CLAUSES): relational
+                # full-expansion plan — same union semantics, no IN-list
+                df = self.s._scored_postings_rel(q, with_positions=True)
+                return (
+                    df.select(
+                        "docid",
+                        (F.col("score") * F.lit(q.boost)).alias("score"),
+                        _pos_to_spans(F.col("positions")).alias("spans"),
+                    )
+                    .groupBy("docid")
+                    .agg(
+                        F.sum("score").alias("score"),
+                        F.array_sort(
+                            F.array_distinct(F.flatten(F.collect_list("spans")))
+                        ).alias("spans"),
+                    )
+                )
             if not terms:
                 return spark.createDataFrame(
                     [], f"docid long, score double, spans {SPANS_TYPE}"

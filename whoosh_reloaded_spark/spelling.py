@@ -18,7 +18,12 @@ from typing import List
 
 from pyspark.sql import functions as F
 
-from whoosh_reloaded_spark.query.planner import Searcher, osa_distance
+from whoosh_reloaded_spark.query.planner import (
+    FUZZY_DRIVER_LIMIT,
+    Searcher,
+    _make_osa_match_udf,
+    osa_distance,
+)
 
 
 def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
@@ -32,15 +37,33 @@ def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
         (F.length("term") >= len(text) - maxdist)
         & (F.length("term") <= len(text) + maxdist)
     )
-    rows = c.select("term", "total_weight").collect()
+    # bounded probe (same pattern as fuzzy expansion, planner.py): a small
+    # windowed slice runs the DP driver-side with no extra Python-worker
+    # job; a head-size slice (prefix=0 over a huge lexicon) runs the OSA DP
+    # DISTRIBUTED in an Arrow-batched pandas UDF and collects only the
+    # matches — no path collects an unbounded lexicon slice.
+    probe = c.select("term", "total_weight").limit(
+        FUZZY_DRIVER_LIMIT + 1
+    ).collect()
+    if len(probe) > FUZZY_DRIVER_LIMIT:
+        within = _make_osa_match_udf(text, maxdist)
+        probe = (
+            c.where(within(F.col("term")))
+            .select("term", "total_weight")
+            .collect()
+        )
+        pairs = [(r["term"], float(r["total_weight"])) for r in probe]
+    else:
+        pairs = [
+            (r["term"], float(r["total_weight"]))
+            for r in probe
+            if osa_distance(text, r["term"], maxdist) <= maxdist
+        ]
     scored = []
-    for r in rows:
-        t = r["term"]
+    for t, f in pairs:
         if t == text:
             continue  # the word itself is never suggested (spelling.py:52)
-        if osa_distance(text, t, maxdist) <= maxdist:
-            f = float(r["total_weight"]) or 1.0
-            score = 0.0 - (maxdist + (1.0 / f * 0.5))
-            scored.append((score, t))
+        score = 0.0 - (maxdist + (1.0 / (f or 1.0) * 0.5))
+        scored.append((score, t))
     scored.sort(key=lambda x: (0 - x[0], x[1]))
     return [t for _, t in scored[:limit]]
