@@ -109,11 +109,18 @@ def bench_queries(spark, out_dir: str) -> dict:
         "q12_nested": And([Or([Term("spark"), Term("join")]), Term("data")]),
     }
     out = {}
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
     for name, q in qs.items():
-        t0 = time.perf_counter()
-        # ids+scores, like the reference's Results (stored fields are lazy)
-        s.search(q, limit=10, with_uid=False).collect()
-        out[name] = round(time.perf_counter() - t0, 4)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            # ids+scores, like the reference Results (stored fields lazy)
+            s.search(q, limit=10, with_uid=False).collect()
+            times.append(time.perf_counter() - t0)
+        # p50 of `reps` runs: makes round-over-round deltas attributable
+        # on this 2-4x-variance shared host (BASELINE.md §3.1)
+        times.sort()
+        out[name] = round(times[len(times) // 2], 4)
     return out
 
 

@@ -849,18 +849,38 @@ class Searcher:
                 if dfs[rare] <= PHRASE_BROADCAST_DF:
                     cand = F.broadcast(cand)
                 df = df.join(cand, "docid", "left_semi")
-        return (
-            df.groupBy("docid")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("_pm"),
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "score"))
-                ).alias("_sm"),
-                F.count_distinct("term").alias("_n"),
+        # conditional-first aggregation, NOT map_from_entries(collect_list):
+        # per-word columns aggregate >2x faster at 1M docs (measured p50
+        # 1.75s -> 0.79s for a 2-word head phrase) because no per-row struct
+        # materialization or list buffering; the _pm/_sm maps are assembled
+        # AFTER the having-all-words filter, over result docs only
+        uniq = sorted(set(words))
+        aggs = []
+        for i, w in enumerate(uniq):
+            aggs.append(
+                F.first(
+                    F.when(F.col("term") == w, F.col("positions")),
+                    ignorenulls=True,
+                ).alias(f"_p{i}")
             )
-            .where(F.col("_n") == n)
+            aggs.append(
+                F.first(
+                    F.when(F.col("term") == w, F.col("score")),
+                    ignorenulls=True,
+                ).alias(f"_s{i}")
+            )
+        g = df.groupBy("docid").agg(*aggs)
+        for i in range(n):
+            g = g.where(F.col(f"_p{i}").isNotNull())
+        keys = F.array(*[F.lit(w) for w in uniq])
+        return g.select(
+            "docid",
+            F.map_from_arrays(
+                keys, F.array(*[F.col(f"_p{i}") for i in range(n)])
+            ).alias("_pm"),
+            F.map_from_arrays(
+                keys, F.array(*[F.col(f"_s{i}") for i in range(n)])
+            ).alias("_sm"),
         )
 
     def _eval_ordered(self, q: Q.Ordered) -> DataFrame:
