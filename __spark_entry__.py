@@ -541,6 +541,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine"] = ann_cosine
 
+    # ---- round-3: oracle entries for the previously golden-only operators --
+
+    def bm25_not(spark, sf):
+        """Bare Not: complement docs at score = boost (InverseMatcher)."""
+        from whoosh_reloaded_spark.query import Not
+
+        return _topk(spark, sf, Not(Term("spark")))
+
+    q["bm25_not"] = bm25_not
+
+    def bm25_every(spark, sf):
+        """Every: all docs at score 1.0 (qcore.py Every)."""
+        from whoosh_reloaded_spark.query import Every
+
+        return _topk(spark, sf, Every())
+
+    q["bm25_every"] = bm25_every
+
+    def ordered_topk(spark, sf):
+        """Ordered: words in increasing position order, any gap
+        (positional.py Ordered semantics)."""
+        from whoosh_reloaded_spark.query import Ordered
+
+        return _topk(spark, sf, Ordered(["batch", "stream"]))
+
+    q["ordered_topk"] = ordered_topk
+
+    def otherwise_fallback(spark, sf):
+        """Otherwise: b's results when a is empty (wrappers Otherwise)."""
+        from whoosh_reloaded_spark.query import Otherwise
+
+        return _topk(spark, sf, Otherwise(Term("qqqnomatchqqq"), Term("spark")))
+
+    q["otherwise_fallback"] = otherwise_fallback
+
+    def column_query(spark, sf):
+        """ColumnQuery: docmeta predicate as a query (columns.py)."""
+        from whoosh_reloaded_spark.query import ColumnQuery
+
+        return _topk(spark, sf, ColumnQuery("lang = 'de'"), k=10)
+
+    q["column_query"] = column_query
+
+    def _nested_ix(spark, sf):
+        """The docs index with a synthesized parent/child layout: doc_id
+        divisible by 10 are parents; every other doc's parent_uid is the
+        head of its decade.  Deterministic, derived in docmeta only — the
+        postings are shared with the cached index."""
+        import dataclasses
+
+        ix = _docs_index(spark, sf)
+        meta = ix.docmeta.withColumn(
+            "parent_uid",
+            F.when(
+                F.col("uid") % 10 != 0, (F.col("uid") - F.col("uid") % 10)
+            ),
+        )
+        return dataclasses.replace(ix, docmeta=meta)
+
+    def nested_parent_topk(spark, sf):
+        """NestedParent: parents (doc_id%10==0) whose CHILDREN match the
+        term, scored by best child (nested.py:33-208 'best' ScoreFn)."""
+        from whoosh_reloaded_spark.nested import nested_parent
+        from whoosh_reloaded_spark.query import ColumnQuery
+
+        s = Searcher(_nested_ix(spark, sf), BM25F(quantized=False))
+        out = nested_parent(
+            s, ColumnQuery("uid % 10 = 0"), Term("spark")
+        )
+        return (
+            out.orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(10)
+            .select(
+                F.col("docid").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
+    q["nested_parent_topk"] = nested_parent_topk
+
+    def nested_children_topk(spark, sf):
+        """NestedChildren: children of parents matching the query, carrying
+        the parent's score (nested.py:209+)."""
+        from whoosh_reloaded_spark.nested import nested_children
+        from whoosh_reloaded_spark.query import And, ColumnQuery
+
+        s = Searcher(_nested_ix(spark, sf), BM25F(quantized=False))
+        out = nested_children(
+            s, And([Term("spark"), ColumnQuery("uid % 10 = 0")])
+        )
+        return (
+            out.orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(10)
+            .select(
+                F.col("docid").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
+    q["nested_children_topk"] = nested_children_topk
+
+    def more_like_topk(spark, sf):
+        """more_like(doc 0): Bo1 key-term expansion into an Or query
+        excluding the source doc (searching.py:561-616)."""
+        from whoosh_reloaded_spark.classify import more_like
+
+        s = _searcher(spark, sf)
+        out = more_like(s, 0, numterms=5, limit=10)
+        return out.select(
+            F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
+        )
+
+    q["more_like_topk"] = more_like_topk
+
+    def key_terms_bo1(spark, sf):
+        """key_terms (Bo1) of doc 0: rank + term (scores are checked by the
+        in-repo 1e-9 golden test; the oracle checks the RANKING, which is
+        normalization-invariant)."""
+        from whoosh_reloaded_spark.classify import key_terms
+
+        s = _searcher(spark, sf)
+        kt = key_terms(s, [0], numterms=5)
+        return spark.createDataFrame(
+            [(i + 1, t) for i, (t, _) in enumerate(kt)], "rank int, term string"
+        )
+
+    q["key_terms_bo1"] = key_terms_bo1
+
+    def facet_range_counts(spark, sf):
+        """RangeFacet over n_chars in [0, 1000) gap 100 for a term query."""
+        from whoosh_reloaded_spark.facets import range_facet
+
+        s = _searcher(spark, sf)
+        hits = s._eval(Term("spark"))
+        return range_facet(hits, s.ix.docmeta, "n_chars", 0, 1000, 100).select(
+            F.col("bucket_lo").cast("long").alias("bucket_lo"),
+            F.col("bucket_hi").cast("long").alias("bucket_hi"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+
+    q["facet_range_counts"] = facet_range_counts
+
+    def paged_search(spark, sf):
+        """search_page page 2 (pagelen 5): ResultsPage slice semantics."""
+        s = _searcher(spark, sf)
+        out = s.search_page(Term("spark"), 2, pagelen=5)
+        return out.select(
+            F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
+        )
+
+    q["paged_search"] = paged_search
+
+    def matched_terms_or(spark, sf):
+        """TermsCollector: which query terms matched each hit, exploded to
+        (doc_id, term) rows."""
+        s = _searcher(spark, sf)
+        out = s.matched_terms(Or([Term("spark"), Term("join")]))
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.explode("terms").alias("term"),
+        )
+
+    q["matched_terms_or"] = matched_terms_or
+
+    def spelling_suggest(spark, sf):
+        """ReaderCorrector.suggest ranking: frequency desc, term asc over
+        the maxdist=2 Damerau-Levenshtein neighborhood."""
+        from whoosh_reloaded_spark.spelling import suggest
+
+        s = _searcher(spark, sf)
+        words = suggest(s, "sprak", limit=5, maxdist=2)
+        return spark.createDataFrame(
+            [(i + 1, w) for i, w in enumerate(words)], "rank int, term string"
+        )
+
+    q["spelling_suggest"] = spelling_suggest
+
     return q
 
 
@@ -1193,4 +1370,179 @@ FROM d
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """
+
+    # ---- round-3: previously golden-only operators ----
+
+    o["bm25_not"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    o["bm25_every"] = """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    o["ordered_topk"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+),
+om AS (
+  SELECT DISTINCT a.doc_id
+  FROM rp a JOIN rp b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos
+  WHERE a.term = 'batch' AND b.term = 'stream'
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term IN ('batch', 'stream') AND doc_id IN (SELECT doc_id FROM om)
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    o["otherwise_fallback"] = _or_sql(["spark"])
+
+    o["column_query"] = """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+WHERE lang = 'de'
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    # parent/child layout: doc_id % 10 == 0 are parents, others' parent is
+    # the decade head — mirrors the queries() _nested_ix derivation
+    o["nested_parent_topk"] = (
+        _BASE_CTE
+        + """
+, cs AS (
+  SELECT doc_id, sum(s) AS s FROM scored WHERE term = 'spark' GROUP BY doc_id
+)
+SELECT (doc_id - (doc_id % 10)) AS doc_id, round(max(s), 6) AS score
+FROM cs
+WHERE doc_id % 10 != 0
+GROUP BY 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    # parent score = bm25(spark) + 1.0 (the And's ColumnQuery child scores
+    # its boost); children inherit the parent's score
+    o["nested_children_topk"] = (
+        _BASE_CTE
+        + """
+, ps AS (
+  SELECT doc_id, sum(s) + 1.0 AS s
+  FROM scored WHERE term = 'spark' AND doc_id % 10 = 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id, round(ps.s, 6) AS score
+FROM documents d
+JOIN ps ON (d.doc_id - (d.doc_id % 10)) = ps.doc_id AND d.doc_id % 10 != 0
+ORDER BY score DESC, d.doc_id ASC
+LIMIT 10
+"""
+    )
+
+    _KT_CTE = """
+, cf AS (SELECT term, sum(w) AS cf FROM tf GROUP BY 1),
+kts AS (
+  SELECT tf.term,
+         (tf.w * log2((1 + cf.cf / g.n) / (cf.cf / g.n))
+            + log2(1 + cf.cf / g.n)) AS kscore
+  FROM tf JOIN cf USING (term) CROSS JOIN g
+  WHERE tf.doc_id = 0
+)
+"""
+
+    o["more_like_topk"] = (
+        _BASE_CTE
+        + _KT_CTE
+        + """
+, kt AS (SELECT term FROM kts ORDER BY kscore DESC, term ASC LIMIT 5)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term IN (SELECT term FROM kt) AND doc_id != 0
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    o["key_terms_bo1"] = (
+        _BASE_CTE
+        + _KT_CTE
+        + """
+SELECT CAST(row_number() OVER (ORDER BY kscore DESC, term ASC) AS INT)
+         AS rank,
+       term
+FROM kts
+ORDER BY rank
+LIMIT 5
+"""
+    )
+
+    o["facet_range_counts"] = (
+        _BASE_CTE
+        + """
+, hits AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+       CAST(floor(n_chars / 100) * 100 + 100 AS BIGINT) AS bucket_hi,
+       count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+WHERE n_chars >= 0 AND n_chars < 1000
+GROUP BY 1, 2
+"""
+    )
+
+    o["paged_search"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored WHERE term = 'spark'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 5 OFFSET 5
+"""
+    )
+
+    o["matched_terms_or"] = (
+        _BASE_CTE
+        + """
+SELECT DISTINCT doc_id, term
+FROM tf
+WHERE term IN ('spark', 'join')
+"""
+    )
+
+    o["spelling_suggest"] = (
+        _BASE_CTE
+        + """
+, cand AS (SELECT term, sum(w) AS f FROM tf GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY f DESC, term ASC) AS INT) AS rank,
+       term
+FROM cand
+WHERE term <> 'sprak' AND damerau_levenshtein(term, 'sprak') <= 2
+ORDER BY rank
+LIMIT 5
+"""
+    )
+
     return o
