@@ -337,3 +337,110 @@ def test_field_alias_and_copy_mirror():
                      copy_fields={"b": "c"}, copy_fields_mirror=True)
     q = p2.parse("c:matt")
     assert q == Q.Or((Q.Term("matt", "c"), Q.Term("matt", "b")))
+
+
+def test_operators_plugin_custom_tokens():
+    """OperatorsPlugin custom syntax (plugins.py:895-1015): replacing the
+    default keywords with symbol operators, incl. operators embedded inside
+    a token ('this&!that') and removed defaults becoming plain terms."""
+    p = QueryParser(
+        "f", schema={"f": "text"},
+        operators={"And": "&", "Or": r"\|", "AndNot": "&!",
+                   "AndMaybe": "&~", "Not": "-"},
+    )
+    q = p.parse("alfa | bravo")
+    assert q == Q.Or((Q.Term("alfa", "f"), Q.Term("bravo", "f")))
+
+    q = p.parse("alfa&!bravo")
+    assert q == Q.AndNot(Q.Term("alfa", "f"), Q.Term("bravo", "f"))
+
+    q = p.parse("alfa&~bravo")
+    assert q == Q.AndMaybe(Q.Term("alfa", "f"), Q.Term("bravo", "f"))
+
+    # custom ops replace the defaults: NOT is now a plain (analyzed) term
+    q = p.parse("alfa -bravo charlie")
+    assert isinstance(q, Q.And)
+    assert Q.Not(Q.Term("bravo", "f")) in q.children
+    assert Q.Term("alfa", "f") in q.children
+
+    q = p.parse("echo & foxtrot")
+    assert q == Q.And((Q.Term("echo", "f"), Q.Term("foxtrot", "f")))
+
+
+def test_operators_plugin_require_default():
+    p = QueryParser("f", schema={"f": "text"})
+    q = p.parse("alfa REQUIRE bravo")
+    assert q == Q.Require(Q.Term("alfa", "f"), Q.Term("bravo", "f"))
+
+
+def test_function_plugin():
+    """FunctionPlugin '#name[args](group)' (plugins.py:558-656)."""
+    calls = []
+
+    def fake(qs, *args, **kwargs):
+        calls.append((tuple(qs), args, kwargs))
+        return qs[0] if qs else Q.NullQuery()
+
+    def fuzzy(qs, prefix=0, maxdist=2):
+        t = qs[0]
+        return Q.FuzzyTerm(t.text, t.fieldname, maxdist=int(maxdist),
+                           prefixlength=int(prefix))
+
+    p = QueryParser("f", schema={"f": "text"},
+                    functions={"foo": fake, "fuzzy": fuzzy})
+
+    q = p.parse("alfa #foo(charlie delta) echo")
+    (qs, args, kwargs) = calls[-1]
+    assert [type(x) for x in qs] == [Q.Term, Q.Term]  # two separate entries
+    assert args == () and kwargs == {}
+    assert isinstance(q, Q.And)
+
+    p.parse("alfa #foo(charlie AND delta) echo")
+    (qs, args, kwargs) = calls[-1]
+    assert len(qs) == 1 and isinstance(qs[0], Q.And)  # explicit op binds
+
+    p.parse("alfa #foo[a] charlie")
+    (qs, args, kwargs) = calls[-1]
+    assert qs == () and args == ("a",)
+
+    p.parse("alfa #foo[a, b](charlie delta) echo")
+    (qs, args, kwargs) = calls[-1]
+    assert args == ("a", "b") and len(qs) == 2
+
+    p.parse("alfa #foo[a,b,c=d](charlie AND delta) echo")
+    (qs, args, kwargs) = calls[-1]
+    assert args == ("a", "b") and kwargs == {"c": "d"}
+
+    p.parse("alfa #foo[a=1,b=2](charlie AND delta)^2.0 echo")
+    (qs, args, kwargs) = calls[-1]
+    assert kwargs == {"a": "1", "b": "2", "boost": 2.0}
+
+    q = p.parse("#fuzzy[maxdist=2](bravo) charlie")
+    assert isinstance(q, Q.And)
+    assert Q.FuzzyTerm("bravo", "f", maxdist=2, prefixlength=0) in q.children
+
+    # unknown #name degrades to a plain word (not an error)
+    q = p.parse("#nosuch alfa")
+    assert isinstance(q, Q.And) or isinstance(q, Q.Term)
+
+
+def test_single_quote_plugin():
+    """SingleQuotePlugin (plugins.py:110-117): quoted terms with spaces;
+    multitoken text builds the field's default And-of-terms
+    (default.py:196-204)."""
+    p = QueryParser("f", schema={"f": "text"})
+    q = p.parse("'bravo'")
+    assert q == Q.Term("bravo", "f")
+
+    q = p.parse("'big apple'")
+    assert q == Q.And((Q.Term("big", "f"), Q.Term("apple", "f")))
+
+    q = p.parse("f:'over the rainbow' alfa")
+    assert isinstance(q, Q.And)
+
+    # date-field single quotes route through the NL date grammar
+    p2 = QueryParser("f", schema={"f": "text", "dt": "date"},
+                     basedate=datetime(2010, 9, 20, 15, 16, 6))
+    q = p2.parse("dt:'last tuesday'")
+    assert isinstance(q, Q.DateRange)
+    assert q.start == datetime(2010, 9, 14, 0, 0, 0, 0)

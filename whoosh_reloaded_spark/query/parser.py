@@ -58,6 +58,8 @@ _TOKEN_RE = re.compile(
   | (?P<rparen>\))
   | (?P<phrase>(?:(?P<p_field>\w+):)?"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?)
   | (?P<range>(?:(?P<r_field>\w+):)?[\[{]\s*(?P<r_lo>\S+)?\s+(?:TO|to)(\s+(?P<r_hi>\S+?))?\s*[\]}])
+  | (?P<func>\#[A-Za-z_][A-Za-z0-9._]*(?:\[[^\]]*\])?)
+  | (?P<squote>(?:(?P<s_field>\w+):)?'(?P<squote_body>[^']*)')
   | (?P<word>[^\s()]+)
 """,
     re.VERBOSE,
@@ -110,9 +112,36 @@ def _lex(s: str) -> List[_Tok]:
                     hiexcl=body.endswith("}"),
                 )
             )
+        elif m.group("func") is not None:
+            out.append(_Tok("func", m.group("func")))
+        elif m.group("squote") is not None:
+            out.append(
+                _Tok(
+                    "squote",
+                    m.group("squote_body"),
+                    field=m.group("s_field"),
+                )
+            )
         elif m.group("word"):
             out.append(_Tok("word", m.group("word")))
     return out
+
+
+# OperatorsPlugin defaults (plugins.py:936-945): whitespace-delimited
+# uppercase keywords.  The lookaround-style patterns are applied to each
+# word token padded with virtual spaces, so "(?<=\s)AND(?=\s)" can only
+# match a whole token while a custom "&!" matches inside one and splits it.
+DEFAULT_OPERATORS = {
+    "AndNot": r"(?<=\s)ANDNOT(?=\s)",
+    "AndMaybe": r"(?<=\s)ANDMAYBE(?=\s)",
+    "Not": r"(^|(?<=(\s|[()])))NOT(?=\s)",
+    "And": r"(?<=\s)AND(?=\s)",
+    "Or": r"(?<=\s)OR(?=\s)",
+    "Require": r"(^|(?<=\s))REQUIRE(?=\s)",
+}
+# tagger order = reference priority order: AndNot/AndMaybe (-5) first, then
+# Not, And, Or, Require (0) in listed order — "&!" must win over "&"
+_OP_ORDER = ("AndNot", "AndMaybe", "Not", "And", "Or", "Require")
 
 
 def _map_tree(q: Q.Query, fn) -> Q.Query:
@@ -142,7 +171,9 @@ class QueryParser:
                  copy_fields: Optional[Dict[str, str]] = None,
                  plugins=None, sequence_plugin: bool = False,
                  basedate=None, field_aliases=None,
-                 copy_fields_mirror: bool = False):
+                 copy_fields_mirror: bool = False,
+                 operators: Optional[Dict[str, Optional[str]]] = None,
+                 functions=None):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
         self.group = group
@@ -178,6 +209,20 @@ class QueryParser:
         # 'this month'/'this year' — DateParserPlugin's basedate param,
         # dateparse.py:795-805); defaults lazily to the current time
         self.basedate = basedate
+        # OperatorsPlugin (plugins.py:895-1015): operator name -> pattern;
+        # passing a dict REPLACES the defaults entirely (like
+        # qp.replace_plugin(OperatorsPlugin(...))) — a name absent or None
+        # removes that operator, so e.g. operators={"And": "&"} makes the
+        # word AND a plain term
+        src = DEFAULT_OPERATORS if operators is None else dict(operators)
+        self._op_res = [
+            (name, re.compile(src[name]))
+            for name in _OP_ORDER
+            if src.get(name)
+        ]
+        # FunctionPlugin (plugins.py:558-656): '#name[args](group)' hooks —
+        # name -> callable(qs, *args, **kwargs) returning a Query
+        self.functions = dict(functions or {})
 
     def _kind(self, fieldname: str) -> str:
         return self.schema.get(fieldname, TEXT)
@@ -188,7 +233,10 @@ class QueryParser:
         return name if name in self.schema else None
 
     def _date_span(self, text):
-        """(floor, ceil) for an absolute OR relative date string."""
+        """(floor, ceil) for an absolute OR natural-language date string —
+        ISO-style fast path first, then the full English NL grammar
+        (dateparse.py: 'next friday', '-3 weeks', '3pm', 'mar 29 1972
+        2:45am', 'last tuesday to next tuesday', ...)."""
         if self.basedate is None:
             import datetime as _dt
 
@@ -196,12 +244,52 @@ class QueryParser:
         sp = D.relative_span(text, self.basedate)
         if sp is not None:
             return sp
-        return D.span(text)
+        sp = D.span(text)
+        if sp is not None:
+            return sp
+        from whoosh_reloaded_spark.query.dateparse import parse_span
+
+        return parse_span(text, self.basedate)
 
     # -- recursive descent ---------------------------------------------------
 
+    def _tag_operators(self, toks: List[_Tok]) -> List[_Tok]:
+        """Retag/split word tokens on the configured operator patterns.
+        Each pattern is searched in the token padded with virtual spaces
+        (so the reference's lookaround defaults anchor to whole tokens
+        while custom operators like '&!' split inside one)."""
+        out: List[_Tok] = []
+        for t in toks:
+            if t.kind != "word":
+                out.append(t)
+                continue
+            out.extend(self._split_ops(t.value))
+        return out
+
+    def _split_ops(self, value: str) -> List[_Tok]:
+        padded = " " + value + " "
+        best = None  # (startpos, order_idx, name, match)
+        for idx, (name, rx) in enumerate(self._op_res):
+            m = rx.search(padded)
+            if m and m.start() != m.end():
+                key = (m.start(), idx)
+                if best is None or key < best[0]:
+                    best = (key, name, m)
+        if best is None:
+            return [_Tok("word", value)]
+        _, name, m = best
+        lo = max(0, m.start() - 1)
+        hi = min(len(value), m.end() - 1)
+        out: List[_Tok] = []
+        if value[:lo]:
+            out.extend(self._split_ops(value[:lo]))
+        out.append(_Tok("op", value[lo:hi], op=name))
+        if value[hi:]:
+            out.extend(self._split_ops(value[hi:]))
+        return out
+
     def parse(self, s: str) -> Q.Query:
-        self._toks = _lex(s)
+        self._toks = self._tag_operators(_lex(s))
         self._i = 0
         if not self._toks:
             return Q.NullQuery()
@@ -223,12 +311,14 @@ class QueryParser:
         parts = [left]
         while True:
             t = self._peek()
-            if t is not None and t.kind == "word" and t.value == "OR":
+            if t is not None and t.kind == "op" and t.op == "Or":
                 self._next()
                 parts.append(self._and_expr())
             else:
                 break
         return parts[0] if len(parts) == 1 else Q.Or(tuple(parts))
+
+    _BINOPS = {"AndNot": Q.AndNot, "AndMaybe": Q.AndMaybe, "Require": Q.Require}
 
     def _and_expr(self) -> Q.Query:
         parts = [self._not_expr()]
@@ -237,22 +327,23 @@ class QueryParser:
             t = self._peek()
             if t is None or t.kind == ")":
                 break
-            if t.kind == "word" and t.value == "OR":
+            if t.kind == "op" and t.op == "Or":
                 break
-            if t.kind == "word" and t.value in ("AND", "ANDNOT", "ANDMAYBE"):
-                ops.append(t.value)
+            if t.kind == "op" and t.op in ("And", "AndNot", "AndMaybe",
+                                           "Require"):
+                ops.append(t.op)
                 self._next()
                 parts.append(self._not_expr())
                 continue
-            ops.append("AND")
+            ops.append("And")
             parts.append(self._not_expr())
         if len(parts) == 1:
             return parts[0]
-        # fold left, honoring ANDNOT / ANDMAYBE binary ops
+        # fold left, honoring the binary ops (ANDNOT / ANDMAYBE / REQUIRE)
         out = parts[0]
         pending_and: List[Q.Query] = [out]
         for op, rhs in zip(ops, parts[1:]):
-            if op == "AND":
+            if op == "And":
                 pending_and.append(rhs)
             else:
                 left = (
@@ -260,7 +351,7 @@ class QueryParser:
                     if len(pending_and) == 1
                     else Q.And(tuple(pending_and))
                 )
-                left = Q.AndNot(left, rhs) if op == "ANDNOT" else Q.AndMaybe(left, rhs)
+                left = self._BINOPS[op](left, rhs)
                 pending_and = [left]
         return (
             pending_and[0] if len(pending_and) == 1 else Q.And(tuple(pending_and))
@@ -268,7 +359,7 @@ class QueryParser:
 
     def _not_expr(self) -> Q.Query:
         t = self._peek()
-        if t is not None and t.kind == "word" and t.value == "NOT":
+        if t is not None and t.kind == "op" and t.op == "Not":
             self._next()
             return Q.Not(self._not_expr())
         return self._primary()
@@ -297,6 +388,15 @@ class QueryParser:
         if t.kind == "phrase":
             if self.sequence_plugin:
                 return self._parse_sequence_body(t.value, t.slop)
+            pf0 = self._resolve_field(t.field) if t.field is not None else None
+            if pf0 is not None and self._kind(pf0) == DATE:
+                # date:"last tuesday to next tuesday" — quoted NL date
+                sp = self._date_span(t.value)
+                if sp is not None:
+                    return self._leaf_hooks(
+                        Q.DateRange(pf0, sp[0], sp[1], False, False), pf0
+                    )
+                return Q.NullQuery()
             words = self.analyzer.query_terms(t.value)
             if not words:
                 return Q.NullQuery()
@@ -324,7 +424,106 @@ class QueryParser:
                 self._make_range(rf, t.lo, t.hi, t.loexcl, t.hiexcl),
                 explicit_field=rf,
             )
+        if t.kind == "func":
+            return self._function_call(t.value)
+        if t.kind == "squote":
+            return self._single_quoted(t)
+        if t.kind == "op":
+            # operator with no operand position (e.g. leading AND) — the
+            # reference degrades it to a plain term of its text
+            return self._word(t.value)
         return self._word(t.value)
+
+    def _function_call(self, raw: str) -> Q.Query:
+        """FunctionPlugin '#name[a,b,k=v](subqueries)' (plugins.py:558-656):
+        the named hook gets the queries of the immediately-following
+        parenthesized group (top-level members become separate entries,
+        explicit boolean operators bind first), the bracket args as strings,
+        and a trailing ^boost as kwargs['boost']."""
+        m = re.match(r"\#([A-Za-z_][A-Za-z0-9._]*)(?:\[(.*)\])?$", raw)
+        name, argstring = m.group(1), m.group(2)
+        fn = self.functions.get(name)
+        if fn is None:
+            return self._word(raw)
+        args: List[str] = []
+        kwargs: Dict[str, str] = {}
+        if argstring:
+            for part in argstring.split(","):
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    k = k.strip()
+                else:
+                    k, v = None, part
+                v = v.strip()
+                if v.startswith("'") and v.endswith("'"):
+                    v = v[1:-1]
+                if k:
+                    kwargs[k] = v
+                else:
+                    args.append(v)
+        qs: List[Q.Query] = []
+        nxt = self._peek()
+        if nxt is not None and nxt.kind == "(":
+            self._next()
+            while True:
+                t2 = self._peek()
+                if t2 is None or t2.kind == ")":
+                    break
+                q = self._not_expr()
+                while True:
+                    t3 = self._peek()
+                    if t3 is not None and t3.kind == "op" and t3.op in (
+                        "And", "Or", "AndNot", "AndMaybe", "Require"
+                    ):
+                        op = self._next().op
+                        rhs = self._not_expr()
+                        if op == "And":
+                            q = Q.And((q, rhs))
+                        elif op == "Or":
+                            q = Q.Or((q, rhs))
+                        else:
+                            q = self._BINOPS[op](q, rhs)
+                    else:
+                        break
+                qs.append(q)
+            if self._peek() is not None and self._peek().kind == ")":
+                self._next()
+            nxt = self._peek()
+            if nxt is not None and nxt.kind == "word" and nxt.value.startswith("^"):
+                try:
+                    kwargs.setdefault("boost", float(nxt.value[1:]))
+                    self._next()
+                except ValueError:
+                    pass
+        return fn(qs, *args, **kwargs)
+
+    def _single_quoted(self, t: _Tok) -> Q.Query:
+        """SingleQuotePlugin (plugins.py:110-117): 'quoted text' is one
+        term-like unit.  On a DATE field the text goes through the NL date
+        grammar (DateParserPlugin's date:'last tuesday' shape); on text
+        fields the analyzed tokens build the field's multitoken query
+        (default: And of Terms, default.py:172-204)."""
+        rf = self._resolve_field(t.field) if t.field is not None else None
+        fieldname = rf if rf is not None else self.fieldname
+        if self._kind(fieldname) == DATE:
+            sp = self._date_span(t.value)
+            if sp is not None:
+                return self._leaf_hooks(
+                    Q.DateRange(fieldname, sp[0], sp[1], False, False), rf
+                )
+            return Q.NullQuery()
+        words = self.analyzer.query_terms(t.value)
+        if not words:
+            return Q.NullQuery()
+        if len(words) == 1:
+            leaf: Q.Query = Q.Term(words[0], fieldname)
+        else:
+            leaf = Q.And(tuple(Q.Term(w, fieldname) for w in words))
+        if rf is not None:
+            return self._leaf_hooks(leaf, rf)
+        if isinstance(leaf, Q.Term):
+            return self._unfielded_leaf(leaf)
+        return self._leaf_hooks(leaf, None)
 
     def _parse_sequence_body(self, body: str, slop: int) -> Q.Query:
         """SequencePlugin body: parse the quoted text with the full grammar
@@ -336,7 +535,7 @@ class QueryParser:
 
         saved_toks, saved_i = self._toks, self._i
         try:
-            self._toks = _lex(body)
+            self._toks = self._tag_operators(_lex(body))
             self._i = 0
             parts = []
             while self._peek() is not None:
