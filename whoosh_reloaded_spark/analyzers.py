@@ -262,6 +262,123 @@ class StemmingAnalyzer(BaseAnalyzer):
         return fn
 
 
+_PYSTEMMER_LANGS = {
+    "english": "en", "german": "de", "spanish": "es", "french": "fr",
+    "italian": "it", "portuguese": "pt", "russian": "ru", "danish": "da",
+    "norwegian": "no", "swedish": "sv", "dutch": "nl", "finnish": "fi",
+    "hungarian": "hu", "romanian": "ro", "porter": "en",
+}
+
+
+class PyStemmerAnalyzer(BaseAnalyzer):
+    """PyStemmerFilter equivalent (analysis/morph.py:152-216): stemming by
+    py-stemmer-style algorithm NAME ('english', 'spanish', ...), with an
+    ``ignore`` set of words left unstemmed.  The py-stemmer library wraps
+    the same published Snowball algorithms as snowball.py, so this routes
+    to those stemmers — no third-party dependency."""
+
+    def __init__(self, lang: str = "english", ignore=None,
+                 expression: str = None, stoplist=None, minsize: int = 2,
+                 maxsize=None):
+        from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN, STOP_WORDS
+
+        if lang not in _PYSTEMMER_LANGS:
+            raise ValueError(
+                f"no stemming algorithm named {lang!r}; "
+                f"available: {sorted(_PYSTEMMER_LANGS)}"
+            )
+        self.lang = lang
+        self.ignore = frozenset(ignore or ())
+        self.expression = expression or DEFAULT_PATTERN
+        self.stoplist = frozenset(STOP_WORDS if stoplist is None else stoplist)
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    @staticmethod
+    def algorithms():
+        """Available algorithm names (PyStemmerFilter.algorithms)."""
+        return sorted(_PYSTEMMER_LANGS)
+
+    def plain_fn(self):
+        # NOTE: references whoosh_reloaded_spark.snowball by module — ship
+        # the package via spark-submit --py-files for cluster runs (same
+        # caveat as StemmingAnalyzer)
+        from whoosh_reloaded_spark.snowball import stemmer_for
+
+        stem = stemmer_for(_PYSTEMMER_LANGS[self.lang])
+        expr, stops, ignore = self.expression, self.stoplist, self.ignore
+        minsize, maxsize = self.minsize, self.maxsize
+
+        def fn(text):
+            import re as _re
+
+            pat = _re.compile(expr, _re.UNICODE)
+            out = []
+            cache = {}
+            renumbered = None
+            for pos, m in enumerate(pat.finditer(text)):
+                t = m.group(0).lower()
+                n = len(t)
+                if n < minsize or (maxsize is not None and n > maxsize):
+                    continue
+                if t in stops:
+                    continue
+                renumbered = pos if renumbered is None else renumbered + 1
+                if t in ignore:
+                    st = t
+                else:
+                    st = cache.get(t)
+                    if st is None:
+                        st = cache[t] = stem(t)
+                out.append((st, renumbered))
+            return out
+
+        return fn
+
+
+class DoubleMetaphoneAnalyzer(BaseAnalyzer):
+    """DoubleMetaphoneFilter equivalent (analysis/morph.py:218-268): each
+    token becomes its primary phonetic code at boost*primary_boost plus,
+    when a secondary code exists, that code at boost*secondary_boost;
+    ``combine`` keeps the unencoded token ahead of the codes.  Emits
+    3-tuples (term, pos, boost) like DelimitedBoostAnalyzer — the inverter
+    folds boosts into posting weights."""
+
+    def __init__(self, inner: BaseAnalyzer, primary_boost: float = 1.0,
+                 secondary_boost: float = 0.5, combine: bool = False):
+        self.inner = inner
+        self.primary_boost = primary_boost
+        self.secondary_boost = secondary_boost
+        self.combine = combine
+
+    def plain_fn(self):
+        # NOTE: references whoosh_reloaded_spark.dmetaphone by module —
+        # ship the package via spark-submit --py-files for cluster runs
+        from whoosh_reloaded_spark.dmetaphone import double_metaphone
+
+        inner_fn = self.inner.plain_fn()
+        pb, sb, combine = self.primary_boost, self.secondary_boost, self.combine
+
+        def fn(text):
+            out = []
+            for tok in inner_fn(text):
+                t, p = tok[0], tok[1]
+                b = tok[2] if len(tok) > 2 else 1.0
+                if combine:
+                    out.append((t, p, b))
+                primary, secondary = double_metaphone(t)
+                if primary:
+                    out.append((primary, p, b * pb))
+                if secondary:
+                    out.append((secondary, p, b * sb))
+            return out
+
+        return fn
+
+    def query_terms(self, text: str):
+        return [t for t, _, _ in self(text)]
+
+
 class DelimitedBoostAnalyzer(BaseAnalyzer):
     """DelimitedAttributeFilter for the boost attribute
     (analysis/filters.py:419-482): 'render^2' -> token 'render' with boost
