@@ -541,6 +541,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine"] = ann_cosine
 
+    def ann_ivf_full_probe(spark, sf):
+        """IVF-trained ANN (learned k-means coarse quantizer, partitioned
+        inverted lists) probed at n_probe == n_lists: exact-equivalent by
+        construction, so the exact-cosine oracle applies.  Approximate-probe
+        recall + partition pruning are covered by tests/test_ivf.py."""
+        import os
+        import tempfile
+
+        from whoosh_reloaded_spark.textops.similarity import (
+            ivf_query,
+            save_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "wrs_ivf_oracle_" + sf.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(path, "ivf_meta.json")):
+            save_ivf_index(emb, path, n_lists=8, seed=42)
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_query(spark, path, qv, k=10, n_probe=8, exclude_id=0)
+
+    q["ann_ivf_full_probe"] = ann_ivf_full_probe
+
     # ---- round-3: oracle entries for the previously golden-only operators --
 
     def bm25_not(spark, sf):
@@ -1370,6 +1395,8 @@ FROM d
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """
+
+    o["ann_ivf_full_probe"] = o["ann_cosine"]
 
     # ---- round-3: previously golden-only operators ----
 

@@ -197,3 +197,110 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: learned coarse quantizer (k-means) over the materialized layout
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(emb: DataFrame, n_lists: int = 16, seed: int = 42,
+                        max_iter: int = 20, sample_fraction: float = 1.0,
+                        vec_col: str = "embedding") -> List[List[float]]:
+    """IVF coarse quantizer: k-means centroids over L2-NORMALIZED vectors
+    (spherical k-means approximates cosine partitioning), trained
+    DISTRIBUTED with Spark MLlib — no driver-side data collection beyond
+    the n_lists x dims centroid matrix.  At 100 TB train on a sample
+    (`sample_fraction`), exactly how IVF quantizers are trained in
+    practice."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = emb
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    nrm = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    feats = df.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
+def _assign_list_udf(centroids: List[List[float]]):
+    """Arrow-batched nearest-centroid assignment (cosine): numpy matmul per
+    batch, self-contained closure (ships by value)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        M = _np.vstack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        M = M / _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return _pd.Series(_np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def save_ivf_index(emb: DataFrame, path: str, n_lists: int = 16,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   sample_fraction: float = 1.0) -> dict:
+    """Materialize the IVF layout: vectors written partitioned by their
+    nearest-centroid `list_id` (the inverted-list analogue), centroids in
+    JSON next to them.  A probe reads only the chosen list directories —
+    source-level partition pruning, like save_ann_index but with a LEARNED
+    partitioner instead of random hyperplanes (tighter, data-adapted
+    buckets -> better recall at equal probe cost)."""
+    import json
+    import os
+
+    centroids = train_ivf_centroids(
+        emb, n_lists=n_lists, seed=seed, vec_col=vec_col,
+        sample_fraction=sample_fraction,
+    )
+    assign = _assign_list_udf(centroids)
+    (
+        emb.withColumn("list_id", assign(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    meta = {"n_lists": n_lists, "centroids": centroids}
+    with open(os.path.join(path, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_query(spark, path: str, query_vec: Sequence[float], k: int = 10,
+              n_probe: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              exclude_id: Optional[int] = None) -> DataFrame:
+    """Probe an IVF index: exact cosine top-k over the `n_probe` lists
+    whose centroids are nearest the query (driver-side argsort over the
+    tiny centroid matrix); `list_id IN (...)` prunes partitions at the
+    source.  n_probe == n_lists degrades gracefully to the exact scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    C = meta["centroids"]
+    qn = [float(v) for v in query_vec]
+    qmag = sum(v * v for v in qn) ** 0.5 or 1.0
+    sims = []
+    for i, c in enumerate(C):
+        cmag = sum(v * v for v in c) ** 0.5 or 1.0
+        dot = sum(a * b for a, b in zip(qn, c))
+        sims.append((dot / (qmag * cmag), i))
+    sims.sort(reverse=True)
+    lists = sorted(i for _, i in sims[: max(1, n_probe)])
+    df = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("list_id").isin(lists)
+    )
+    return cosine_topk(df, query_vec, id_col, vec_col, k, exclude_id)
