@@ -520,6 +520,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["parsed_daterange"] = parsed_daterange
 
+    def parsed_nl_daterange(spark, sf):
+        """Natural-language date range (full dateparse grammar): the quoted
+        'last tuesday to next friday' resolves against a fixed basedate
+        (Mon 2024-01-15) to [2024-01-09 00:00:00, 2024-01-19 23:59:59.999999]
+        — dayname resolution + torange + disambiguation in one shape."""
+        import datetime
+
+        from whoosh_reloaded_spark.query.parser import QueryParser
+        from whoosh_reloaded_spark.query.planner import range_condition
+
+        p = QueryParser(
+            "text", schema={"ts": "date"},
+            basedate=datetime.datetime(2024, 1, 15),
+        )
+        q = p.parse("ts:'last tuesday to next friday'")
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.where(range_condition(q)).select(
+            "event_id", F.col("user_id").cast("long").alias("user_id")
+        )
+
+    q["parsed_nl_daterange"] = parsed_nl_daterange
+
+    def parsed_nl_plusdelta(spark, sf):
+        """Relative-delta endpoints: 'ts:[20240105 TO +10d]' — the hi bound
+        is basedate (2024-01-10) + 10 days via the plusdate grammar."""
+        import datetime
+
+        from whoosh_reloaded_spark.query.parser import QueryParser
+        from whoosh_reloaded_spark.query.planner import range_condition
+
+        p = QueryParser(
+            "text", schema={"ts": "date"},
+            basedate=datetime.datetime(2024, 1, 10),
+        )
+        q = p.parse("ts:[20240105 TO +10d]")
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.where(range_condition(q)).select(
+            "event_id", F.col("user_id").cast("long").alias("user_id")
+        )
+
+    q["parsed_nl_plusdelta"] = parsed_nl_plusdelta
+
     def embedding_near_dup(spark, sf):
         """Embedding-cosine near-dup pairs: sign-LSH bucket self-join +
         exact cosine >= 0.45 (same md5 planes replicated in the oracle)."""
@@ -1328,6 +1370,22 @@ SELECT event_id, CAST(user_id AS BIGINT) AS user_id
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
   AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+"""
+
+    # 'last tuesday to next friday' from basedate Mon 2024-01-15
+    o["parsed_nl_daterange"] = """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-19 23:59:59.999999'
+"""
+
+    # [20240105 TO +10d] from basedate 2024-01-10 -> hi = 2024-01-20 exact
+    o["parsed_nl_plusdelta"] = """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
 """
 
     # embedding near-dup: replicate the engine's deterministic md5
