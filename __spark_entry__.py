@@ -487,6 +487,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_first"] = span_first
 
+    def span_or(spark, sf):
+        """SpanOr (spans.py:464+): merged-span union; for term children the
+        doc set and score equal the Or of the terms."""
+        from whoosh_reloaded_spark.query import SpanOr
+
+        return _topk(spark, sf, SpanOr([Term("batch"), Term("stream")]))
+
+    q["span_or"] = span_or
+
+    def span_before(spark, sf):
+        """SpanBefore (mcore.py spans.is_before analogue): docs where some
+        'batch' span ends before the FIRST 'stream' span; score = sum of
+        both sides (through the intersection matcher)."""
+        from whoosh_reloaded_spark.query import SpanBefore
+
+        return _topk(spark, sf, SpanBefore(Term("batch"), Term("stream")))
+
+    q["span_before"] = span_before
+
     def parsed_gtlt(spark, sf):
         """GtLtPlugin surface (qparser/plugins.py:1081): the query STRING
         'spark n_chars:>=200 n_chars:<400' parses to And[Term, NumericRange,
@@ -1309,6 +1328,35 @@ nm AS (
 SELECT doc_id, round(sum(s), 6) AS score
 FROM scored
 WHERE term IN ('batch', 'stream') AND doc_id IN (SELECT doc_id FROM nm)
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    o["span_or"] = _or_sql(["batch", "stream"])
+
+    o["span_before"] = (
+        _BASE_CTE
+        + """
+, rp AS (
+  SELECT doc_id, term,
+         min(pos0) OVER (PARTITION BY doc_id)
+           + row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos
+  FROM tok
+),
+mp AS (
+  SELECT doc_id, term, min(pos) AS mp
+  FROM rp WHERE term IN ('batch', 'stream') GROUP BY 1, 2
+),
+bm AS (
+  SELECT a.doc_id FROM mp a JOIN mp b ON a.doc_id = b.doc_id
+  WHERE a.term = 'batch' AND b.term = 'stream' AND a.mp < b.mp
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE term IN ('batch', 'stream') AND doc_id IN (SELECT doc_id FROM bm)
 GROUP BY doc_id
 HAVING count(DISTINCT term) = 2
 ORDER BY score DESC, doc_id ASC

@@ -47,10 +47,13 @@ def main(n_docs: int = 20000):
     w.commit()
     build_sec = time.perf_counter() - t0
 
+    from whoosh.query import Phrase
+
     queries = {
         "q1_term": Term("text", "render"),
         "q2_or3": Or([Term("text", "render"), Term("text", "yellow"), Term("text", "alpha")]),
         "q3_and2": And([Term("text", "render"), Term("text", "town")]),
+        "q4_phrase": Phrase("text", ["render", "yellow"]),
         "q8_head_term": Term("text", "data"),
     }
     lat = {}
