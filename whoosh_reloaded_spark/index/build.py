@@ -323,7 +323,8 @@ def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
 
 
 def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
-               compress_positions: bool = False) -> None:
+               compress_positions: bool = False,
+               codec: str = None) -> None:
     """Write the index as term-sorted parquet (segment commit ≙ TOC write).
 
     ONE heavy pipeline: the analyze+invert UDF pass streams straight into the
@@ -343,17 +344,21 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
     # and the (term, docid) sort.  Measured ~2x faster end-to-end.
     scratch = f"{path}/_scratch_postings"
     to_write = ix.postings
-    if compress_positions and dict(to_write.dtypes).get("positions") != "binary":
-        # delta+varint packing of position lists (the reference's posting
-        # payload encoding, whoosh3.py:844-850) — smaller at rest; load_index
-        # decodes lazily so readers still see array<int>.  OFF by default:
-        # the extra chained Python stage measurably costs build throughput
-        # at high core counts (1M docs: 14.4k -> 7.9k docs/s at 32 cores);
-        # enable for storage-bound deployments.
-        from whoosh_reloaded_spark.lengths import make_pack_positions_udf
+    # position codec selection (codecs.py): `codec` names a registered
+    # codec; compress_positions=True is the back-compat alias for 'varint'
+    # (the reference's delta+varint payload encoding, whoosh3.py:844-850 —
+    # smallest at rest but its chained Python stage costs build throughput
+    # at high core counts: 1M docs 14.4k -> 7.9k docs/s at 32 cores).
+    # 'jvmdelta' delta-encodes JVM-side at ~no build cost.
+    if codec is None:
+        codec = "varint" if compress_positions else "raw"
+    if codec != "raw" and "positions" in to_write.columns:
+        from whoosh_reloaded_spark.index.codecs import get_codec
 
-        pack = make_pack_positions_udf()
-        to_write = to_write.withColumn("positions", pack(F.col("positions")))
+        encode, _ = get_codec(codec)
+        to_write = to_write.withColumn(
+            "positions", encode(F.col("positions"))
+        )
     to_write.write.mode("overwrite").parquet(scratch)
     sp = spark.read.parquet(scratch)
     # assign block_no BEFORE the final write so the stored postings carry
@@ -424,7 +429,8 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
     os.makedirs(path, exist_ok=True)
     with open(stats_path, "w") as f:
         json.dump(
-            {"stats": stats, "uid_col": ix.uid_col, "fieldname": ix.fieldname}, f
+            {"stats": stats, "uid_col": ix.uid_col,
+             "fieldname": ix.fieldname, "codec": codec}, f
         )
 
 
@@ -435,13 +441,23 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     if os.path.isdir(os.path.join(path, "blocks")):
         blocks = spark.read.parquet(f"{path}/blocks")
     postings = spark.read.parquet(f"{path}/postings")
-    if dict(postings.dtypes).get("positions") == "binary":
-        # stored delta+varint packed; decode lazily — column pruning means
-        # non-positional queries never pay for this
-        from whoosh_reloaded_spark.lengths import make_unpack_positions_udf
+    # decode stored positions lazily via the recorded codec — column
+    # pruning means non-positional queries never pay for this.  Pre-codec
+    # indexes: infer 'varint' from a binary column, else 'raw'.
+    codec = meta.get("codec")
+    if codec is None:
+        codec = (
+            "varint"
+            if dict(postings.dtypes).get("positions") == "binary"
+            else "raw"
+        )
+    if codec != "raw" and "positions" in postings.columns:
+        from whoosh_reloaded_spark.index.codecs import get_codec
 
-        unpack = make_unpack_positions_udf()
-        postings = postings.withColumn("positions", unpack(F.col("positions")))
+        _, decode = get_codec(codec)
+        postings = postings.withColumn(
+            "positions", decode(F.col("positions"))
+        )
     return InvertedIndex(
         docmeta=spark.read.parquet(f"{path}/docmeta"),
         postings=postings,
