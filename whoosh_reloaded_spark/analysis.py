@@ -250,6 +250,231 @@ def make_invert_rows(analyzer: Optional[StandardAnalyzer] = None):
     return run
 
 
+def make_invert_rows_payload(
+    analyzer: Optional[StandardAnalyzer] = None,
+    with_chars: bool = False,
+    with_boosts: bool = False,
+    boost_delim: Optional[str] = None,
+):
+    """mapInArrow inverter emitting posting PAYLOAD columns beyond positions
+    — the PositionBoosts / Characters / CharacterBoosts posting formats
+    (reference formats.py:273-470), stored as ALIGNED arrays per posting
+    row instead of delta-packed pickles:
+
+    - ``with_boosts`` → ``pos_boosts array<double>`` parallel to
+      ``positions`` (reference decode_position_boosts pairs);
+    - ``with_chars``  → ``startchars``/``endchars array<int>`` parallel to
+      ``positions`` (reference decode_characters triples).
+
+    ``boost_delim`` replicates DelimitedAttributeFilter
+    (analysis/filters.py:464-482): a trailing ``<delim><float>`` in the
+    RAW token sets the token boost, the suffix is stripped, and endchar
+    shrinks by the suffix length.  Use a pattern that keeps the delimiter
+    in the token (e.g. ``r"[^\\s]+"``); unparseable suffixes keep the whole
+    token at boost 1.0 instead of raising like the reference.
+
+    Char columns need tokenizer match offsets → StandardAnalyzer-family
+    only (same restriction as chars.char_spans).  Boost columns work for
+    any analyzer: generic analyzers contribute boosts via 3-tuple
+    ``(term, pos, boost)`` token lists.
+    """
+    ana = analyzer or _DEFAULT
+    if hasattr(ana, "plain_fn"):
+        if with_chars:
+            raise TypeError(
+                "character payloads need tokenizer match offsets; supported "
+                "for StandardAnalyzer-family analyzers only"
+            )
+        return _make_invert_rows_generic_payload(ana.plain_fn())
+    pattern_str = ana.pattern.pattern
+    stoplist = ana.stoplist
+    minsize = ana.minsize
+    maxsize = ana.maxsize
+
+    def run(batches):
+        import re as _re
+        from bisect import bisect_left as _bisect
+
+        import pyarrow as _pa
+
+        b2l = tuple(int(round((1.033**n - 1) * 27)) for n in range(256))
+        maxlen = b2l[255]
+        fields = [
+            ("docid", _pa.int64()),
+            ("term", _pa.string()),
+            ("tf", _pa.int32()),
+            ("positions", _pa.list_(_pa.int32())),
+            ("length", _pa.int32()),
+            ("len_byte", _pa.int32()),
+            ("wsum", _pa.float64()),
+        ]
+        if with_boosts:
+            fields.append(("pos_boosts", _pa.list_(_pa.float64())))
+        if with_chars:
+            fields.append(("startchars", _pa.list_(_pa.int32())))
+            fields.append(("endchars", _pa.list_(_pa.int32())))
+        schema = _pa.schema(fields)
+        pat = _re.compile(pattern_str, _re.UNICODE)
+        fnum = _re.compile(r"^[-+]?(\d+(\.\d*)?|\.\d+)$")
+        for rb in batches:
+            docids_in = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            docids, terms, tfs, lens, lbs, ws = [], [], [], [], [], []
+            flat_pos, off_p = [], [0]
+            flat_b, off_b = [], [0]
+            flat_sc, flat_ec, off_c = [], [], [0]
+            for docid, v in zip(docids_in, texts):
+                if not isinstance(v, str):
+                    continue
+                d = {}
+                renumbered = None
+                n = 0
+                for pos, m in enumerate(pat.finditer(v)):
+                    raw = m.group(0)
+                    sc, ec = m.start(), m.end()
+                    boost = 1.0
+                    if boost_delim is not None:
+                        cut = raw.find(boost_delim)
+                        if cut > -1 and fnum.match(raw[cut + 1:] or ""):
+                            boost = float(raw[cut + 1:])
+                            ec -= len(raw) - cut
+                            raw = raw[:cut]
+                    t = raw.lower()
+                    ln = len(t)
+                    if ln < minsize or (maxsize is not None and ln > maxsize):
+                        continue
+                    if stoplist is not None and t in stoplist:
+                        continue
+                    renumbered = pos if renumbered is None else renumbered + 1
+                    n += 1
+                    d.setdefault(t, []).append((renumbered, boost, sc, ec))
+                lb = 255 if n >= maxlen else _bisect(b2l, n)
+                for t, occs in d.items():
+                    docids.append(docid)
+                    terms.append(t)
+                    tfs.append(len(occs))
+                    flat_pos.extend(o[0] for o in occs)
+                    off_p.append(len(flat_pos))
+                    lens.append(n)
+                    lbs.append(lb)
+                    ws.append(sum(o[1] for o in occs))
+                    if with_boosts:
+                        flat_b.extend(o[1] for o in occs)
+                        off_b.append(len(flat_b))
+                    if with_chars:
+                        flat_sc.extend(o[2] for o in occs)
+                        flat_ec.extend(o[3] for o in occs)
+                        off_c.append(len(flat_sc))
+            arrays = [
+                _pa.array(docids, _pa.int64()),
+                _pa.array(terms, _pa.string()),
+                _pa.array(tfs, _pa.int32()),
+                _pa.ListArray.from_arrays(
+                    _pa.array(off_p, _pa.int32()),
+                    _pa.array(flat_pos, _pa.int32()),
+                ),
+                _pa.array(lens, _pa.int32()),
+                _pa.array(lbs, _pa.int32()),
+                _pa.array(ws, _pa.float64()),
+            ]
+            if with_boosts:
+                arrays.append(
+                    _pa.ListArray.from_arrays(
+                        _pa.array(off_b, _pa.int32()),
+                        _pa.array(flat_b, _pa.float64()),
+                    )
+                )
+            if with_chars:
+                arrays.append(
+                    _pa.ListArray.from_arrays(
+                        _pa.array(off_c, _pa.int32()),
+                        _pa.array(flat_sc, _pa.int32()),
+                    )
+                )
+                arrays.append(
+                    _pa.ListArray.from_arrays(
+                        _pa.array(off_c, _pa.int32()),
+                        _pa.array(flat_ec, _pa.int32()),
+                    )
+                )
+            yield _pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return run
+
+
+def _make_invert_rows_generic_payload(tokenize_fn):
+    """Generic-analyzer variant of the payload inverter: boosts only
+    (3-tuple token lists), positions+boosts co-sorted by position."""
+
+    def run(batches):
+        from bisect import bisect_left as _bisect
+
+        import pyarrow as _pa
+
+        b2l = tuple(int(round((1.033**n - 1) * 27)) for n in range(256))
+        maxlen = b2l[255]
+        schema = _pa.schema(
+            [
+                ("docid", _pa.int64()),
+                ("term", _pa.string()),
+                ("tf", _pa.int32()),
+                ("positions", _pa.list_(_pa.int32())),
+                ("length", _pa.int32()),
+                ("len_byte", _pa.int32()),
+                ("wsum", _pa.float64()),
+                ("pos_boosts", _pa.list_(_pa.float64())),
+            ]
+        )
+        for rb in batches:
+            docids_in = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            docids, terms, tfs, lens, lbs, ws = [], [], [], [], [], []
+            flat_pos, off_p = [], [0]
+            flat_b, off_b = [], [0]
+            for docid, v in zip(docids_in, texts):
+                toks = tokenize_fn(v) if isinstance(v, str) else []
+                d = {}
+                for tok in toks:
+                    t, p = tok[0], tok[1]
+                    b = tok[2] if len(tok) > 2 else 1.0
+                    d.setdefault(t, []).append((p, b))
+                n = len(toks)
+                lb = 255 if n >= maxlen else _bisect(b2l, n)
+                for t, occs in d.items():
+                    occs.sort()
+                    docids.append(docid)
+                    terms.append(t)
+                    tfs.append(len(occs))
+                    flat_pos.extend(o[0] for o in occs)
+                    off_p.append(len(flat_pos))
+                    flat_b.extend(o[1] for o in occs)
+                    off_b.append(len(flat_b))
+                    lens.append(n)
+                    lbs.append(lb)
+                    ws.append(sum(o[1] for o in occs))
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(docids, _pa.int64()),
+                    _pa.array(terms, _pa.string()),
+                    _pa.array(tfs, _pa.int32()),
+                    _pa.ListArray.from_arrays(
+                        _pa.array(off_p, _pa.int32()),
+                        _pa.array(flat_pos, _pa.int32()),
+                    ),
+                    _pa.array(lens, _pa.int32()),
+                    _pa.array(lbs, _pa.int32()),
+                    _pa.array(ws, _pa.float64()),
+                    _pa.ListArray.from_arrays(
+                        _pa.array(off_b, _pa.int32()),
+                        _pa.array(flat_b, _pa.float64()),
+                    ),
+                ],
+                schema=schema,
+            )
+
+    return run
+
+
 def make_invert_udf(analyzer: Optional[StandardAnalyzer] = None):
     """Analyze AND invert per document in one Arrow batch:
     text -> (field_length, [(term, tf, sorted positions), ...]).

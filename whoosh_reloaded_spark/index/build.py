@@ -149,6 +149,7 @@ def build_index(
     cache_intermediate: bool = True,
     format: str = "positions",
     store_vector: bool = False,
+    boost_delim: Optional[str] = None,
 ) -> InvertedIndex:
     """Run the index-build job. Everything is lazy until persisted/written.
 
@@ -162,14 +163,47 @@ def build_index(
     - "frequency" (KEYWORD-style): drops the position payload (the bulk of
       posting bytes at scale); BM25 scores are unchanged;
     - "existence" (ID-style): one constant-weight posting per (term, doc),
-      tf forced to 1 — the docs-only membership format.
+      tf forced to 1 — the docs-only membership format;
+    - "position_boosts" (formats.py:345-408): adds a per-occurrence
+      ``pos_boosts`` array parallel to ``positions`` (boosts from 3-tuple
+      generic analyzers, ``boost_delim``, or 1.0);
+    - "characters" (formats.py:273-330): adds ``startchars``/``endchars``
+      arrays parallel to ``positions`` (StandardAnalyzer-family only);
+    - "character_boosts" (formats.py:411-470): both of the above.
+
+    ``boost_delim`` is the DelimitedAttributeFilter equivalent for the
+    StandardAnalyzer fast path ('render^2' → boost 2.0, endchar trimmed);
+    pair it with a pattern that keeps the delimiter in the token.
     """
     from whoosh_reloaded_spark.analysis import (
         INVERT_ROWS_SCHEMA,
         make_invert_rows,
+        make_invert_rows_payload,
     )
 
-    run = make_invert_rows(analyzer)
+    payload_flags = {
+        "position_boosts": (False, True),
+        "characters": (True, False),
+        "character_boosts": (True, True),
+    }.get(format)
+    extra_cols: List[str] = []
+    if payload_flags:
+        with_chars, with_boosts = payload_flags
+        run = make_invert_rows_payload(
+            analyzer, with_chars=with_chars, with_boosts=with_boosts,
+            boost_delim=boost_delim,
+        )
+        if with_boosts:
+            extra_cols.append("pos_boosts")
+        if with_chars:
+            extra_cols.extend(["startchars", "endchars"])
+        schema_str = INVERT_ROWS_SCHEMA + ", " + ", ".join(
+            f"{c} array<double>" if c == "pos_boosts" else f"{c} array<int>"
+            for c in extra_cols
+        )
+    else:
+        run = make_invert_rows(analyzer)
+        schema_str = INVERT_ROWS_SCHEMA
     keep_cols = [uid_col, text_col] + list(stored_cols or [])
     if with_docids:
         docs = corpus.select("docid", *keep_cols)
@@ -187,7 +221,7 @@ def build_index(
         # of cores; respread first.  At scale the input already has >=
         # parallelism partitions, so this branch never fires there.
         src = src.repartition(parallelism)
-    raw = src.mapInArrow(run, INVERT_ROWS_SCHEMA)
+    raw = src.mapInArrow(run, schema_str)
     postings = raw.select(
         F.lit(fieldname).alias("field"),
         "term",
@@ -199,6 +233,7 @@ def build_index(
         "positions",
         "length",
         "len_byte",  # quantized in the UDF (bisect per doc, not per row)
+        *extra_cols,
     )
     if format == "frequency":
         postings = postings.drop("positions")
@@ -206,7 +241,7 @@ def build_index(
         postings = postings.drop("positions").withColumn(
             "weight", F.lit(float(field_boost))
         ).withColumn("tf", F.lit(1))
-    elif format != "positions":
+    elif format != "positions" and not payload_flags:
         raise ValueError(f"unknown posting format: {format!r}")
     meta_cols = [c for c in keep_cols if c != text_col and c != uid_col]
     docs_raw_inner = docs.select(

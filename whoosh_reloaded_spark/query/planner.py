@@ -182,6 +182,23 @@ class Searcher:
             positions=positions,
         )
 
+    def payloads(self, term: str) -> DataFrame:
+        """Per-doc posting payloads for `term`: docid/tf/weight plus
+        whichever payload arrays the index's posting format stored
+        (positions; pos_boosts for PositionBoosts; startchars/endchars
+        for Characters/CharacterBoosts) — the reference's
+        ``Matcher.value_as("positions"/"characters"/...)`` surface
+        (mcore.py:240-280) as a pushed-down, column-pruned frame."""
+        p = self.ix.postings
+        cols = [
+            c
+            for c in ("positions", "pos_boosts", "startchars", "endchars")
+            if c in p.columns
+        ]
+        return p.where(F.col("term") == term).select(
+            "docid", "tf", "weight", *cols
+        )
+
     # -- leaf evaluation -----------------------------------------------------
 
     def _scored_postings(
