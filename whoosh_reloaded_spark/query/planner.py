@@ -1032,6 +1032,16 @@ class Searcher:
 
         return _suggest(self, text, limit=limit, maxdist=maxdist)
 
+    def correct_query(self, q, qstring, terms=None, maxdist: int = 2,
+                      prefix: int = 0):
+        """Corrected version of `q`/`qstring` — words absent from the
+        index replaced by their top suggestion (Searcher.correct_query,
+        searching.py:863-977).  Returns a spelling.Correction."""
+        from whoosh_reloaded_spark.spelling import correct_query as _cq
+
+        return _cq(self, q, qstring, terms=terms, maxdist=maxdist,
+                   prefix=prefix)
+
     def key_terms(self, docids, numterms: int = 5, model=None):
         from whoosh_reloaded_spark.classify import Bo1Model, key_terms as _kt
 

@@ -14,7 +14,8 @@ like reading.py:516-544.
 
 from __future__ import annotations
 
-from typing import List
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import functions as F
 
@@ -27,9 +28,11 @@ from whoosh_reloaded_spark.query.planner import (
 
 
 def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
-            prefix: int = 0) -> List[str]:
+            prefix: int = 0, fieldname: Optional[str] = None) -> List[str]:
     ts = searcher.ix.term_stats
     c = ts
+    if fieldname is not None:
+        c = c.where(F.col("field") == fieldname)
     if prefix:
         c = c.where(F.col("term").startswith(text[:prefix]))
     # length pushdown: |len(term) - len(text)| <= maxdist
@@ -67,3 +70,196 @@ def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
         scored.append((score, t))
     scored.sort(key=lambda x: (0 - x[0], x[1]))
     return [t for _, t in scored[:limit]]
+
+
+# -- query correction (reference spelling.py:170-345, searching.py:863-977) --
+
+
+@dataclass
+class CorrectedToken:
+    """A corrected word occurrence in the query string (the reference's
+    token objects with ``original`` set, spelling.py:336-341)."""
+
+    original: str
+    text: str
+    startchar: int
+    endchar: int
+
+
+class HtmlFormatter:
+    """Minimal correction formatter emitting the reference
+    highlight.HtmlFormatter markup for corrected words:
+    ``<strong class="{classname} term{n}">{text}</strong>`` where n indexes
+    unique corrected texts in order of appearance."""
+
+    def __init__(self, classname: str = "match", tagname: str = "strong"):
+        self.classname = classname
+        self.tagname = tagname
+
+    def format_token(self, text: str, num: int) -> str:
+        return (
+            f"<{self.tagname} class=\"{self.classname} term{num}\">"
+            f"{text}</{self.tagname}>"
+        )
+
+
+class Correction:
+    """Corrected form of a user query (reference spelling.py:178-241):
+    ``query`` / ``string`` are the corrected AST and query string,
+    ``original_query`` / ``original_string`` the inputs, ``tokens`` the
+    corrected word occurrences with char spans into the original string."""
+
+    def __init__(self, original_query, original_string: Optional[str],
+                 query, tokens: List[CorrectedToken]):
+        self.original_query = original_query
+        self.query = query
+        self.original_string = original_string
+        self.tokens = tokens
+        self.string = self.format_string(None) if original_string else ""
+
+    def __repr__(self):
+        return f"Correction({self.query!r}, {self.string!r})"
+
+    def format_string(self, formatter=None) -> str:
+        """Rebuild the original string with corrected words substituted;
+        a formatter (``format_token(text, num)``) wraps each correction
+        (reference Correction.format_string, spelling.py:221-240)."""
+        if not self.original_string:
+            return ""
+        if isinstance(formatter, type):
+            formatter = formatter()
+        out, cursor = [], 0
+        nums: Dict[str, int] = {}
+        for tok in self.tokens:
+            out.append(self.original_string[cursor:tok.startchar])
+            if formatter is None:
+                out.append(tok.text)
+            else:
+                num = nums.setdefault(tok.text, len(nums))
+                out.append(formatter.format_token(tok.text, num))
+            cursor = tok.endchar
+        out.append(self.original_string[cursor:])
+        return "".join(out)
+
+
+def _walk(q):
+    from whoosh_reloaded_spark.query import ast as A
+
+    yield q
+    for attr in ("children", "qs", "subqs"):
+        for c in getattr(q, attr, ()) or ():
+            yield from _walk(c)
+    for attr in ("a", "b", "child", "q"):
+        c = getattr(q, attr, None)
+        if isinstance(c, A.Query):
+            yield from _walk(c)
+
+
+def _leaf_terms(q) -> List[Tuple[str, str]]:
+    """(fieldname, text) for every word-shaped leaf, tree order (the
+    reference's Query.all_tokens, qcore.py)."""
+    from whoosh_reloaded_spark.query import ast as A
+
+    out = []
+    for node in _walk(q):
+        if isinstance(node, A.Term):
+            out.append((node.fieldname, node.text))
+        elif isinstance(node, (A.Phrase, A.Sequence, A.Ordered)):
+            out.extend((node.fieldname, w) for w in node.words)
+    return out
+
+
+def _rewrite(q, repl: Dict[Tuple[str, str], str]):
+    """Copy of the query tree with corrected leaf words (the reference's
+    Query.replace find-and-replace, spelling.py:313-317)."""
+    import dataclasses
+
+    from whoosh_reloaded_spark.query import ast as A
+
+    if isinstance(q, A.Term):
+        new = repl.get((q.fieldname, q.text))
+        return dataclasses.replace(q, text=new) if new else q
+    if isinstance(q, (A.Phrase, A.Sequence, A.Ordered)):
+        words = tuple(repl.get((q.fieldname, w), w) for w in q.words)
+        return (
+            dataclasses.replace(q, words=words) if words != q.words else q
+        )
+    if not dataclasses.is_dataclass(q):
+        return q
+    changes = {}
+    for f in dataclasses.fields(q):
+        v = getattr(q, f.name)
+        if isinstance(v, A.Query):
+            nv = _rewrite(v, repl)
+            if nv is not v:
+                changes[f.name] = nv
+        elif isinstance(v, tuple) and v and isinstance(v[0], A.Query):
+            nv = tuple(_rewrite(c, repl) for c in v)
+            if nv != v:
+                changes[f.name] = nv
+    return dataclasses.replace(q, **changes) if changes else q
+
+
+def correct_query(searcher: Searcher, q, qstring: Optional[str],
+                  terms: Optional[List[Tuple[str, str]]] = None,
+                  maxdist: int = 2, prefix: int = 0,
+                  analyzer=None) -> Correction:
+    """Correct the words of `q` that don't appear in the index
+    (Searcher.correct_query, searching.py:863-977 + SimpleQueryCorrector,
+    spelling.py:270-345): each missing (field, word) is replaced by its
+    top :func:`suggest` candidate, in the query tree AND in `qstring`.
+
+    Missing-term detection is ONE pushed `term IN (...)` scan over
+    term_stats (never a lexicon collect); suggestions reuse the bounded
+    probe / distributed-OSA path of :func:`suggest`.
+
+    String correction scans `qstring` with the analyzer token pattern and
+    replaces every occurrence of a corrected word, so a word appearing
+    under two different fields with different corrections takes the
+    first field's correction (the reference replaces per parse-time char
+    span; divergence only for that cross-field duplicate shape).
+    """
+    from whoosh_reloaded_spark.analysis import StandardAnalyzer
+
+    leaf = _leaf_terms(q)
+    if terms is None:
+        texts = sorted({t for _, t in leaf})
+        present = set()
+        if texts:
+            rows = (
+                searcher.ix.term_stats.where(F.col("term").isin(texts))
+                .select("field", "term")
+                .distinct()
+                .collect()
+            )
+            present = {(r["field"], r["term"]) for r in rows}
+        terms = [
+            (f, t) for f, t in dict.fromkeys(leaf) if (f, t) not in present
+        ]
+    repl: Dict[Tuple[str, str], str] = {}
+    for f, t in terms:
+        # per-field corrector (reader.corrector(fieldname)) — term_stats
+        # carries the field column, so the filter composes with the
+        # length-window pushdown
+        sugs = suggest(
+            searcher, t, limit=1, maxdist=maxdist, prefix=prefix,
+            fieldname=f if f != searcher.ix.fieldname else None,
+        )
+        if sugs:
+            repl[(f, t)] = sugs[0]
+
+    corrected_q = _rewrite(q, repl)
+
+    tokens: List[CorrectedToken] = []
+    if qstring and repl:
+        by_text: Dict[str, str] = {}
+        for (_, t), s in repl.items():
+            by_text.setdefault(t, s)
+        ana = analyzer or StandardAnalyzer()
+        for m in ana.pattern.finditer(qstring):
+            w = m.group(0).lower()
+            if w in by_text:
+                tokens.append(
+                    CorrectedToken(w, by_text[w], m.start(), m.end())
+                )
+    return Correction(q, qstring, corrected_q, tokens)
