@@ -225,6 +225,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_stats"] = term_stats
 
+    def most_frequent_terms(spark, sf):
+        """IndexReader.most_frequent_terms (reading.py:545-554): top-25
+        terms by total collection weight, distributed top-k."""
+        return _searcher(spark, sf).most_frequent_terms(number=25)
+
+    q["most_frequent_terms"] = most_frequent_terms
+
+    def most_distinctive_terms(spark, sf):
+        """IndexReader.most_distinctive_terms (reading.py:556-566):
+        top-25 by weight * ln(N/df)."""
+        return _searcher(spark, sf).most_distinctive_terms(number=25)
+
+    q["most_distinctive_terms"] = most_distinctive_terms
+
     def postings_positions(spark, sf):
         """Posting rows with renumbered positions for one term — exercises
         the positional payload (Positions format, formats.py:216-270).
@@ -888,6 +902,26 @@ SELECT term,
        round(max(w), 6) AS max_weight
 FROM tf
 GROUP BY term
+"""
+    )
+    o["most_frequent_terms"] = (
+        _BASE_CTE
+        + """
+SELECT round(sum(w), 6) AS frequency, term
+FROM tf
+GROUP BY term
+ORDER BY sum(w) DESC, term DESC
+LIMIT 25
+"""
+    )
+    o["most_distinctive_terms"] = (
+        _BASE_CTE
+        + """
+SELECT round(sum(w) * ln((SELECT n FROM g) / count(*)), 6) AS score, term
+FROM tf
+GROUP BY term
+ORDER BY sum(w) * ln((SELECT n FROM g) / count(*)) DESC, term DESC
+LIMIT 25
 """
     )
     o["postings_positions"] = (

@@ -1017,6 +1017,39 @@ class Searcher:
         self._lookup_stats([term])
         return self._df_cache[term]
 
+    def most_frequent_terms(self, number: int = 5,
+                            prefix: str = "") -> DataFrame:
+        """Top `number` terms by total collection weight as (frequency,
+        term) — IndexReader.most_frequent_terms (reading.py:545-554).
+        nlargest over (weight, text) tuples ties on text DESC; the sort
+        runs on unrounded weights, distributed top-k (no lexicon
+        collect)."""
+        ts = self.ix.term_stats
+        if prefix:
+            ts = ts.where(F.col("term").startswith(prefix))
+        return (
+            ts.orderBy(F.desc("total_weight"), F.desc("term"))
+            .limit(number)
+            .select(F.round("total_weight", 6).alias("frequency"), "term")
+        )
+
+    def most_distinctive_terms(self, number: int = 5,
+                               prefix: str = "") -> DataFrame:
+        """Top `number` terms by tf*idf = weight * ln(N/df) as (score,
+        term) — IndexReader.most_distinctive_terms (reading.py:556-566)."""
+        ts = self.ix.term_stats
+        if prefix:
+            ts = ts.where(F.col("term").startswith(prefix))
+        score = F.col("total_weight") * F.log(
+            F.lit(float(self.N)) / F.col("df")
+        )
+        return (
+            ts.withColumn("_s", score)
+            .orderBy(F.desc("_s"), F.desc("term"))
+            .limit(number)
+            .select(F.round("_s", 6).alias("score"), "term")
+        )
+
     def frequency(self, term: str) -> float:
         """Total collection weight of a term (IndexReader.frequency)."""
         self._lookup_stats([term])
