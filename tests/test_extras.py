@@ -217,14 +217,14 @@ def test_facets(spark, our_ix):
 
 
 def test_highlight():
-    from whoosh_reloaded_spark.highlight import highlight
+    from whoosh_reloaded_spark.highlight import snippet
 
     text = "The quick brown fox jumps over the lazy dog while another fox watches"
-    out = highlight(text, ["fox", "dog"], before=10, after=10)
+    out = snippet(text, ["fox", "dog"], before=10, after=10)
     assert "<b>fox</b>" in out and "<b>dog</b>" in out
-    assert highlight(text, ["zebra"]) == ""
+    assert snippet(text, ["zebra"]) == ""
     # case-insensitive matching through the analyzer regex
-    assert "<b>Fox</b>" in highlight("A Fox ran.", ["fox"], before=5, after=5)
+    assert "<b>Fox</b>" in snippet("A Fox ran.", ["fox"], before=5, after=5)
 
 
 def test_time_limit_collector(spark):

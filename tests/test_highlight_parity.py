@@ -1,0 +1,148 @@
+"""Highlight pipeline golden parity: every fragmenter × formatter shape
+from the reference's tests/test_highlighting.py must render byte-identical
+output, verified BOTH against the literal expected strings and against
+the live reference highlight() on the same inputs."""
+
+import pytest
+
+from tests.conftest import reference_importable
+from whoosh_reloaded_spark.highlight import (
+    ContextFragmenter,
+    HtmlFormatter,
+    SentenceFragmenter,
+    UppercaseFormatter,
+    WholeFragmenter,
+    highlight,
+    top_fragments,
+)
+
+_DOC = "alfa bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+def _ref(text, terms, fragmenter_name, formatter_name, fkw=None, hkw=None,
+         stoplist="default"):
+    from whoosh import analysis, highlight as rh
+
+    sa = (
+        analysis.StandardAnalyzer(stoplist=None)
+        if stoplist is None
+        else analysis.StandardAnalyzer()
+    )
+    frag = getattr(rh, fragmenter_name)(**(fkw or {}))
+    fmt = getattr(rh, formatter_name)(**(hkw or {}))
+    return rh.highlight(text, frozenset(terms), sa, frag, fmt)
+
+
+needs_ref = pytest.mark.skipif(
+    not reference_importable(), reason="reference not importable"
+)
+
+
+@needs_ref
+def test_whole_uppercase():
+    ours = highlight(
+        _DOC, {"bravo", "india"}, None, WholeFragmenter(),
+        UppercaseFormatter(),
+    )
+    assert ours == (
+        "alfa BRAVO charlie delta echo foxtrot golf hotel INDIA juliet "
+        "kilo lima"
+    )
+    assert ours == _ref(_DOC, {"bravo", "india"}, "WholeFragmenter",
+                        "UppercaseFormatter")
+
+
+@needs_ref
+def test_sentence_fragmenter():
+    text = (
+        "This is the first sentence. This one doesn't have the word. "
+        "This sentence is the second. Third sentence here."
+    )
+    ours = highlight(
+        text, ("sentence",), None, SentenceFragmenter(),
+        UppercaseFormatter(),
+    )
+    assert ours == (
+        "This is the first SENTENCE...This SENTENCE is the second..."
+        "Third SENTENCE here"
+    )
+    assert ours == _ref(text, ("sentence",), "SentenceFragmenter",
+                        "UppercaseFormatter", stoplist=None)
+
+
+@needs_ref
+def test_context_fragmenter():
+    ours = highlight(
+        _DOC, {"bravo", "india"}, None, ContextFragmenter(surround=6),
+        UppercaseFormatter(),
+    )
+    assert ours == "alfa BRAVO charlie...hotel INDIA juliet"
+    assert ours == _ref(_DOC, {"bravo", "india"}, "ContextFragmenter",
+                        "UppercaseFormatter", fkw={"surround": 6})
+
+
+@needs_ref
+def test_context_at_start():
+    ours = highlight(
+        _DOC, {"alfa"}, None, ContextFragmenter(surround=15),
+        UppercaseFormatter(),
+    )
+    assert ours == "ALFA bravo charlie delta echo foxtrot"
+    assert ours == _ref(_DOC, {"alfa"}, "ContextFragmenter",
+                        "UppercaseFormatter", fkw={"surround": 15})
+
+
+@needs_ref
+def test_html_format():
+    ours = highlight(
+        _DOC, {"bravo", "india"}, None, ContextFragmenter(surround=6),
+        HtmlFormatter(),
+    )
+    assert ours == (
+        'alfa <strong class="match term0">bravo</strong> charlie...'
+        'hotel <strong class="match term1">india</strong> juliet'
+    )
+    assert ours == _ref(_DOC, {"bravo", "india"}, "ContextFragmenter",
+                        "HtmlFormatter", fkw={"surround": 6})
+
+
+@needs_ref
+def test_html_escape():
+    text = 'alfa <bravo "charlie"> delta'
+    ours = highlight(
+        text, {"bravo"}, None, WholeFragmenter(), HtmlFormatter()
+    )
+    assert ours == (
+        'alfa &lt;<strong class="match term0">bravo</strong> '
+        '"charlie"&gt; delta'
+    )
+    assert ours == _ref(text, {"bravo"}, "WholeFragmenter",
+                        "HtmlFormatter")
+
+
+@needs_ref
+def test_maxclasses():
+    terms = frozenset(("alfa", "bravo", "charlie", "delta", "echo"))
+    kw = {"tagname": "b", "termclass": "t", "maxclasses": 2}
+    ours = highlight(
+        _DOC, terms, None, ContextFragmenter(surround=6),
+        HtmlFormatter(**kw),
+    )
+    assert ours == (
+        '<b class="match t0">alfa</b> <b class="match t1">bravo</b> '
+        '<b class="match t0">charlie</b>...<b class="match t1">delta</b> '
+        '<b class="match t0">echo</b> foxtrot'
+    )
+    assert ours == _ref(_DOC, terms, "ContextFragmenter", "HtmlFormatter",
+                        fkw={"surround": 6}, hkw=kw)
+
+
+def test_top_and_order():
+    """top=1 keeps the best-scoring fragment; no matches -> empty."""
+    ours = highlight(
+        _DOC, {"bravo", "india"}, None, ContextFragmenter(surround=6),
+        UppercaseFormatter(), top=1,
+    )
+    assert ours in ("alfa BRAVO charlie", "hotel INDIA juliet")
+    assert highlight(_DOC, {"zulu"}, None, WholeFragmenter(),
+                     UppercaseFormatter()) == ""

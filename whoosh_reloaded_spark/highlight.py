@@ -1,34 +1,349 @@
 """Highlighting — fragment + format matched terms in stored text.
 
-The reference's highlight pipeline (highlight.py:313-920) is fragmenters x
-scorers x formatters over analyzed token streams with char offsets.  It runs
-over the TOP-K stored texts only (tiny data), so this is driver-side Python
-by design — same as the reference, which highlights per displayed Hit.
+Reference-parity pipeline (highlight.py:60-975): analyzer token stream
+with char offsets and per-token matched flags → a Fragmenter yields
+Fragments → BasicFragmentScorer ranks them → a Formatter renders the top
+fragments.  It runs over the TOP-K stored texts only (tiny data), so this
+is driver-side Python by design — same as the reference, which highlights
+per displayed Hit.
 
-Implements the ContextFragmenter/HtmlFormatter defaults: find matched-term
-char spans with the analyzer's regex, grow a context window around hit
-clusters, score fragments by distinct matched terms then hit count, return
-the top fragments with terms wrapped in markup.
+Implemented surface: WholeFragmenter / SentenceFragmenter /
+ContextFragmenter; NullFormatter / UppercaseFormatter / HtmlFormatter;
+FIRST/SCORE/LONGER/SHORTER orders; ``highlight()`` with the reference's
+signature.  Golden-tested byte-identical against the reference's own
+test_highlighting.py shapes.  PinpointFragmenter is unnecessary here:
+indexes built with the Characters formats store char spans as columns
+(chars.py / build_index(format="characters")), and retokenizing the k
+displayed texts is cheaper than a distributed payload fetch.
+
+:func:`snippet` keeps the earlier lightweight window API.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Tuple
+from collections import deque
+from dataclasses import dataclass, field
+from heapq import nlargest
+from html import escape as _htmlescape
+from typing import Iterable, List, Optional, Tuple
 
-from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN, STOP_WORDS
+from whoosh_reloaded_spark.analysis import DEFAULT_PATTERN
 
-
-def _term_spans(text: str, terms: set) -> List[Tuple[int, int, str]]:
-    out = []
-    for m in re.finditer(DEFAULT_PATTERN, text):
-        t = m.group(0).lower()
-        if t in terms:
-            out.append((m.start(), m.end(), t))
-    return out
+DEFAULT_CHARLIMIT = 2**15
 
 
-def highlight(
+@dataclass
+class Tok:
+    """A highlight token: char span + matched flag (the subset of the
+    reference's analysis.Token the fragmenters consume)."""
+
+    text: str
+    startchar: int
+    endchar: int
+    matched: bool = False
+    boost: float = 1.0
+
+
+@dataclass
+class Fragment:
+    """A candidate excerpt: char window into `text` plus the matched
+    tokens inside it (reference highlight.Fragment, highlight.py:82-160)."""
+
+    text: str
+    matches: List[Tok]
+    startchar: int = 0
+    endchar: int = -1
+    matched_terms: frozenset = field(init=False)
+
+    def __post_init__(self):
+        if self.endchar == -1:
+            self.endchar = len(self.text)
+        self.matched_terms = frozenset(t.text for t in self.matches)
+
+    def __len__(self):
+        return self.endchar - self.startchar
+
+    def __lt__(self, other):
+        return self.startchar < other.startchar
+
+
+def _bounded(text: str, tokens: List[Tok], first: Optional[int],
+             endchar: int, ) -> Fragment:
+    start = 0 if first is None else max(0, first)
+    return Fragment(text, tokens, start, min(len(text), endchar))
+
+
+def tokenize_highlight(text: str, analyzer=None) -> List[Tok]:
+    """Char-offset token stream with stop words RETAINED (the reference
+    highlights with removestops=False so context char accounting sees
+    every token)."""
+    pattern = getattr(analyzer, "pattern", None) or re.compile(
+        DEFAULT_PATTERN, re.UNICODE
+    )
+    return [
+        Tok(m.group(0).lower(), m.start(), m.end())
+        for m in pattern.finditer(text)
+    ]
+
+
+# -- fragmenters (highlight.py:283-515) --------------------------------------
+
+
+class WholeFragmenter:
+    """The entire text as one fragment (highlight.py:313-348)."""
+
+    def __init__(self, charlimit: int = DEFAULT_CHARLIMIT):
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text: str, tokens: Iterable[Tok]):
+        hits = []
+        for t in tokens:
+            if self.charlimit and t.endchar > self.charlimit:
+                break
+            if t.matched:
+                hits.append(t)
+        return [Fragment(text, hits)]
+
+
+class SentenceFragmenter:
+    """One fragment per sentence that contains a match — sentence ends
+    detected as punctuation directly after a token (highlight.py:355-427).
+    Use an analyzer that keeps stop words."""
+
+    def __init__(self, maxchars: int = 200, sentencechars: str = ".!?",
+                 charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.sentencechars = frozenset(sentencechars)
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text: str, tokens: Iterable[Tok]):
+        ends = self.sentencechars
+        n = len(text)
+        first = None
+        hits: List[Tok] = []
+        used = 0
+        endchar = 0
+        for t in tokens:
+            if self.charlimit and t.endchar > self.charlimit:
+                break
+            if first is None:
+                first = t.startchar
+                used = 0
+            endchar = t.endchar
+            used += t.endchar - t.startchar
+            if t.matched:
+                hits.append(t)
+            if endchar < n and text[endchar] in ends:
+                if endchar + 1 < n and text[endchar + 1] in ends:
+                    continue  # "..." is not a sentence break
+                if hits and used <= self.maxchars:
+                    yield _bounded(text, hits, first, endchar)
+                hits, first, used = [], None, 0
+        if hits:
+            yield _bounded(text, hits, first, endchar)
+
+
+class ContextFragmenter:
+    """Matched terms aggregated with `surround` chars of context either
+    side, split when a fragment would exceed `maxchars`
+    (highlight.py:429-515)."""
+
+    def __init__(self, maxchars: int = 200, surround: int = 20,
+                 charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text: str, tokens: Iterable[Tok]):
+        surround = self.surround
+        # char budget remaining before the open fragment closes; negative
+        # means no fragment is open
+        budget = -1
+        first: Optional[int] = None
+        # startchars of recent non-matched tokens: the pre-context pool
+        pre: deque = deque()
+        hits: List[Tok] = []
+        used = 0
+        endchar = 0
+        for t in tokens:
+            if self.charlimit and t.endchar > self.charlimit:
+                break
+            tlen = t.endchar - t.startchar
+            endchar = t.endchar
+            if budget < 0 and not t.matched:
+                pre.append(t.startchar)
+                while pre and endchar - pre[0] > surround:
+                    pre.popleft()
+            elif used + tlen > self.maxchars:
+                budget = 0
+            elif t.matched:
+                budget = surround
+                if first is None:
+                    if pre:
+                        first = pre[0]
+                    else:
+                        first = t.startchar
+                        budget += surround  # unused front context
+                hits.append(t)
+            if budget >= 0:
+                used += tlen
+                budget -= tlen
+                if budget <= 0:
+                    yield _bounded(text, hits, first, endchar)
+                    hits, first, used = [], None, 0
+                    pre = deque()
+        if hits:
+            yield _bounded(text, hits, first, endchar)
+
+
+# -- scoring + ordering (highlight.py:605-642) --------------------------------
+
+
+class BasicFragmentScorer:
+    def __call__(self, f: Fragment) -> float:
+        score = sum(t.boost for t in f.matches)
+        return score * ((len(f.matched_terms) * 100) or 1)
+
+
+def SCORE(f: Fragment):
+    return 1
+
+
+def FIRST(f: Fragment):
+    return f.startchar
+
+
+def LONGER(f: Fragment):
+    return -len(f)
+
+
+def SHORTER(f: Fragment):
+    return len(f)
+
+
+def top_fragments(fragments, count: int, scorer, order,
+                  minscore: float = 1):
+    best = nlargest(count, ((scorer(f), f) for f in fragments))
+    keep = [f for s, f in best if s >= minscore]
+    keep.sort(key=order)
+    return keep
+
+
+# -- formatters (highlight.py:648-860) ----------------------------------------
+
+
+class Formatter:
+    between = "..."
+
+    def _text(self, text: str) -> str:
+        return text
+
+    def format_token(self, text: str, token: Tok) -> str:
+        raise NotImplementedError
+
+    def format_fragment(self, fragment: Fragment) -> str:
+        out = []
+        text = fragment.text
+        cursor = fragment.startchar
+        # position-sorted, longest-first on ties, so overlapping tokens
+        # pick the longest (the reference's CJK-overlap rule)
+        for t in sorted(
+            fragment.matches,
+            key=lambda t: (t.startchar, -(t.endchar - t.startchar)),
+        ):
+            if t.startchar < cursor:
+                continue
+            if t.startchar > cursor:
+                out.append(self._text(text[cursor:t.startchar]))
+            out.append(self.format_token(text, t))
+            cursor = t.endchar
+        out.append(self._text(text[cursor:fragment.endchar]))
+        return "".join(out)
+
+    def format(self, fragments) -> str:
+        return self.between.join(
+            self.format_fragment(f) for f in fragments
+        )
+
+    def __call__(self, text, fragments):
+        return self.format(fragments)
+
+
+class NullFormatter(Formatter):
+    def format_token(self, text: str, token: Tok) -> str:
+        return text[token.startchar:token.endchar]
+
+
+class UppercaseFormatter(Formatter):
+    def __init__(self, between: str = "..."):
+        self.between = between
+
+    def format_token(self, text: str, token: Tok) -> str:
+        return text[token.startchar:token.endchar].upper()
+
+
+class HtmlFormatter(Formatter):
+    """``<strong class="match termN">word</strong>`` markup; N cycles
+    through `maxclasses` per unique matched text (highlight.py:770-860)."""
+
+    def __init__(self, tagname: str = "strong", between: str = "...",
+                 classname: str = "match", termclass: str = "term",
+                 maxclasses: int = 5, attrquote: str = '"'):
+        self.tagname = tagname
+        self.between = between
+        self.classname = classname
+        self.termclass = termclass
+        self.maxclasses = maxclasses
+        self.attrquote = attrquote
+        self.seen: dict = {}
+
+    def _text(self, text: str) -> str:
+        return _htmlescape(text, quote=False)
+
+    def format_token(self, text: str, token: Tok) -> str:
+        ttext = self._text(text[token.startchar:token.endchar])
+        num = self.seen.get(ttext)
+        if num is None:
+            num = len(self.seen) % self.maxclasses
+            self.seen[ttext] = num
+        q = self.attrquote
+        return (
+            f"<{self.tagname} class={q}{self.classname} "
+            f"{self.termclass}{num}{q}>{ttext}</{self.tagname}>"
+        )
+
+    def clean(self):
+        self.seen = {}
+
+
+# -- entry points --------------------------------------------------------------
+
+
+def highlight(text: str, terms: Iterable[str], analyzer=None,
+              fragmenter=None, formatter=None, top: int = 3,
+              scorer=None, minscore: float = 1, order=FIRST) -> str:
+    """Reference highlight() (highlight.py:928-959): returns the top
+    fragments of `text` with `terms` marked up."""
+    fragmenter = fragmenter or ContextFragmenter()
+    formatter = formatter or HtmlFormatter(tagname="b")
+    scorer = scorer or BasicFragmentScorer()
+    if isinstance(fragmenter, type):
+        fragmenter = fragmenter()
+    if isinstance(formatter, type):
+        formatter = formatter()
+    if isinstance(scorer, type):
+        scorer = scorer()
+    termset = frozenset(t.lower() for t in terms)
+    tokens = tokenize_highlight(text, analyzer)
+    for t in tokens:
+        t.matched = t.text in termset
+    fragments = fragmenter.fragment_tokens(text, tokens)
+    return formatter(text, top_fragments(fragments, top, scorer, order,
+                                         minscore))
+
+
+def snippet(
     text: str,
     terms: Iterable[str],
     before: int = 40,
@@ -38,25 +353,28 @@ def highlight(
     post_tag: str = "</b>",
     ellipsis: str = "...",
 ) -> str:
-    """Return up to `max_fragments` context fragments with terms marked."""
+    """Lightweight window API: up to `max_fragments` context fragments
+    with terms marked (kept for callers that don't need the
+    fragmenter/formatter pipeline)."""
     terms = {t.lower() for t in terms}
-    spans = _term_spans(text, terms)
+    spans: List[Tuple[int, int, str]] = []
+    for m in re.finditer(DEFAULT_PATTERN, text):
+        t = m.group(0).lower()
+        if t in terms:
+            spans.append((m.start(), m.end(), t))
     if not spans:
         return ""
-    # cluster hits whose windows overlap
     clusters: List[List[Tuple[int, int, str]]] = []
     for s in spans:
         if clusters and s[0] - clusters[-1][-1][1] <= before + after:
             clusters[-1].append(s)
         else:
             clusters.append([s])
-    # score: distinct terms desc, then hit count desc, then position asc
     scored = sorted(
         clusters,
         key=lambda c: (-len({t for _, _, t in c}), -len(c), c[0][0]),
     )[:max_fragments]
-    scored.sort(key=lambda c: c[0][0])  # display in document order
-
+    scored.sort(key=lambda c: c[0][0])
     frags = []
     for c in scored:
         lo = max(0, c[0][0] - before)
@@ -84,5 +402,5 @@ def highlight_hits(
     out = []
     for r in rows:
         uid = r["uid"]
-        out.append((uid, highlight(texts_by_uid.get(uid, ""), terms, **kw)))
+        out.append((uid, snippet(texts_by_uid.get(uid, ""), terms, **kw)))
     return out
