@@ -1,0 +1,87 @@
+"""Results/Hit display surface: hit.highlights() workflow (mirrors the
+reference tests/test_highlighting.py::test_workflow_easy) and the
+extend/filter/upgrade/upgrade_and_extend set-combinators
+(searching.py:1326-1395)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_reloaded_spark.highlight import UppercaseFormatter, WholeFragmenter
+from whoosh_reloaded_spark.index import build_index
+from whoosh_reloaded_spark.query import Or, Searcher, Term
+
+TITLES = [
+    "The man who wasn't there",
+    "The dog who barked at midnight",
+    "The invisible man",
+    "The girl with the dragon tattoo",
+    "The woman who disappeared",
+]
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    df = spark.createDataFrame(
+        [(f"doc{i}", t) for i, t in enumerate(TITLES)],
+        "url string, text string",
+    ).withColumn("title", F.col("text"))
+    return Searcher(build_index(df, stored_cols=["title"]))
+
+
+def test_workflow_easy(searcher):
+    """The reference's documented highlight workflow, same outputs."""
+    r = searcher.search_results(Term("man"), limit=10,
+                                stored_cols=["title"])
+    assert len(r) == 2
+    r.fragmenter = WholeFragmenter()
+    r.formatter = UppercaseFormatter()
+    outputs = [hit.highlights("title") for hit in r]
+    assert outputs == ["The invisible MAN", "The MAN who wasn't there"]
+
+
+def test_results_combinators(searcher):
+    man = searcher.search_results(Term("man"), limit=10)
+    who = searcher.search_results(Term("who"), limit=10)
+    assert man.docs() < {0, 1, 2, 3, 4} and len(who) == 3
+
+    # upgrade: shared docs move to the front, relative order kept
+    all_r = searcher.search_results(
+        Or([Term("man"), Term("who"), Term("girl")]), limit=10
+    )
+    order_before = [h.docnum for h in all_r]
+    all_r.upgrade(who)
+    upgraded = [h.docnum for h in all_r]
+    assert set(upgraded) == set(order_before)
+    assert [d for d in upgraded[: len(who.docs() & set(order_before))]] == [
+        d for d in order_before if d in who.docs()
+    ]
+    assert [h.rank for h in all_r] == list(range(len(all_r)))
+
+    # filter: keep only docs also in `man`
+    all_r.filter(man)
+    assert all_r.docs() == man.docs() & set(order_before)
+
+    # extend: append missing docs from `who`
+    n = len(all_r)
+    all_r.extend(who)
+    assert all_r.docs() == (man.docs() & set(order_before)) | who.docs()
+    assert [h.docnum for h in all_r][:n] == [
+        d for d in (d for d in upgraded if d in man.docs())
+    ][:n]
+
+    # upgrade_and_extend on fresh results
+    a = searcher.search_results(Term("man"), limit=10)
+    b = searcher.search_results(Term("woman"), limit=10)
+    a.upgrade_and_extend(b)
+    assert a.docs() == man.docs() | b.docs()
+    assert not a.is_empty() and a.scored_length() == len(a)
+    assert list(a.items())[0][0] == a.docnum(0)
+
+
+def test_highlights_explicit_text(searcher):
+    r = searcher.search_results(Term("dragon"), limit=5)
+    assert len(r) == 1
+    r.fragmenter = WholeFragmenter()
+    r.formatter = UppercaseFormatter()
+    out = r[0].highlights("title", text="the dragon sleeps")
+    assert out == "the DRAGON sleeps"

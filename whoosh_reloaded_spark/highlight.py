@@ -328,6 +328,7 @@ def highlight(text: str, terms: Iterable[str], analyzer=None,
     fragmenter = fragmenter or ContextFragmenter()
     formatter = formatter or HtmlFormatter(tagname="b")
     scorer = scorer or BasicFragmentScorer()
+    order = order or FIRST
     if isinstance(fragmenter, type):
         fragmenter = fragmenter()
     if isinstance(formatter, type):

@@ -1104,18 +1104,35 @@ class Searcher:
 
 class Hit:
     """One search hit (searching.py Hit): stored fields by key, plus rank /
-    score / docnum attributes."""
+    score / docnum attributes and the highlights() display hook."""
 
-    __slots__ = ("rank", "docnum", "score", "_fields")
+    __slots__ = ("rank", "docnum", "score", "_fields", "_results")
 
-    def __init__(self, rank, docnum, score, fields):
+    def __init__(self, rank, docnum, score, fields, results=None):
         self.rank = rank
         self.docnum = docnum
         self.score = score
         self._fields = fields
+        self._results = results
 
     def fields(self):
         return dict(self._fields)
+
+    def highlights(self, field: str, text: Optional[str] = None,
+                   top: int = 3, minscore: float = 1) -> str:
+        """Highlighted fragments of this hit's stored `field` text using
+        the parent Results' fragmenter/formatter/scorer (Hit.highlights,
+        searching.py:1480-1530)."""
+        from whoosh_reloaded_spark.highlight import highlight as _hl
+
+        r = self._results
+        src = text if text is not None else self._fields.get(field, "")
+        return _hl(
+            src or "", r.terms if r else (), None,
+            r.fragmenter if r else None, r.formatter if r else None,
+            top=top, scorer=r.scorer if r else None, minscore=minscore,
+            order=r.order if r else None,
+        )
 
     def __getitem__(self, key):
         return self._fields[key]
@@ -1130,10 +1147,27 @@ class Hit:
 class Results:
     """Materialized top-k results (searching.py Results): iterable of Hit
     with the reference's access surface — len(), results[n], score(n),
-    docnum(n), fields(n)."""
+    docnum(n), fields(n), items(), docs(), is_empty(), scored_length(),
+    set-combinators extend/filter/upgrade/upgrade_and_extend, and the
+    pluggable highlight pipeline (fragmenter/formatter/scorer/order
+    attributes consumed by Hit.highlights)."""
 
-    def __init__(self, hits):
+    def __init__(self, hits, terms=()):
+        from whoosh_reloaded_spark.highlight import (
+            FIRST,
+            BasicFragmentScorer,
+            ContextFragmenter,
+            HtmlFormatter,
+        )
+
         self._hits = hits
+        for h in self._hits:
+            h._results = self
+        self.terms = frozenset(terms)
+        self.fragmenter = ContextFragmenter()
+        self.formatter = HtmlFormatter(tagname="b")
+        self.scorer = BasicFragmentScorer()
+        self.order = FIRST
 
     def __len__(self):
         return len(self._hits)
@@ -1154,12 +1188,72 @@ class Results:
         return self._hits[n].fields()
 
     def docs(self):
-        return [h.docnum for h in self._hits]
+        """Set of docnums (Results.docs returns the docset)."""
+        return {h.docnum for h in self._hits}
+
+    def items(self):
+        return ((h.docnum, h.score) for h in self._hits)
+
+    def is_empty(self):
+        return len(self._hits) == 0
+
+    def scored_length(self):
+        return len(self._hits)
+
+    def _renumber(self):
+        for i, h in enumerate(self._hits):
+            h.rank = i
+
+    def extend(self, results: "Results") -> None:
+        """Append the other results' hits not already present
+        (Results.extend, searching.py:1326-1338)."""
+        docs = self.docs()
+        self._hits.extend(h for h in results if h.docnum not in docs)
+        for h in self._hits:
+            h._results = self
+        self._renumber()
+
+    def filter(self, results: "Results") -> None:
+        """Keep only hits also present in the other results
+        (Results.filter, searching.py:1340-1349)."""
+        if not len(results):
+            return
+        other = results.docs()
+        self._hits = [h for h in self._hits if h.docnum in other]
+        self._renumber()
+
+    def upgrade(self, results: "Results", reverse: bool = False) -> None:
+        """Move hits shared with the other results to the front (or back
+        with reverse=True), keeping relative order (Results.upgrade,
+        searching.py:1351-1374)."""
+        if not len(results):
+            return
+        other = results.docs()
+        arein = [h for h in self._hits if h.docnum in other]
+        notin = [h for h in self._hits if h.docnum not in other]
+        self._hits = notin + arein if reverse else arein + notin
+        self._renumber()
+
+    def upgrade_and_extend(self, results: "Results") -> None:
+        """upgrade() then extend() in one pass (searching.py:1376-1395)."""
+        if not len(results):
+            return
+        docs = self.docs()
+        other = results.docs()
+        arein = [h for h in self._hits if h.docnum in other]
+        notin = [h for h in self._hits if h.docnum not in other]
+        new = [h for h in results if h.docnum not in docs]
+        self._hits = arein + notin + new
+        for h in self._hits:
+            h._results = self
+        self._renumber()
 
 
 def _search_results(self, q, limit=10, stored_cols=None):
     """Results-object search: top-k joined with docmeta stored columns,
     materialized as Hit objects (k rows only — display-side)."""
+    from whoosh_reloaded_spark.spelling import _leaf_terms
+
     hits = self.search(q, limit=limit, with_uid=False)
     meta_cols = ["uid"] + [c for c in (stored_cols or [])
                            if c in self.ix.docmeta.columns]
@@ -1168,11 +1262,13 @@ def _search_results(self, q, limit=10, stored_cols=None):
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .collect()
     )
-    return Results([
-        Hit(i, r["docid"], r["score"],
-            {c: r[c] for c in meta_cols})
-        for i, r in enumerate(out)
-    ])
+    return Results(
+        [
+            Hit(i, r["docid"], r["score"], {c: r[c] for c in meta_cols})
+            for i, r in enumerate(out)
+        ],
+        terms={t for _, t in _leaf_terms(q)},
+    )
 
 
 Searcher.search_results = _search_results
