@@ -166,6 +166,40 @@ def test_key_terms_parity(rows, our_ix, tmp_path_factory):
         assert s1 == pytest.approx(s2, rel=1e-9), t1
 
 
+def test_key_terms_from_text_parity(rows, our_ix):
+    """key_terms_from_text matches the reference Expander.add_text path
+    (searching.py:547-559) to 1e-9, including the quirk that the total
+    weight counts words absent from the index."""
+    from whoosh import fields, index
+
+    from whoosh_reloaded_spark.classify import Bo1Model, key_terms_from_text
+
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True),
+        text=fields.TEXT(vector=True),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    wix = index.create_in(d, schema)
+    w = wix.writer()
+    for url, ts, html, text, lang in rows:
+        w.add_document(url=url, text=text)
+    w.commit()
+
+    s = Searcher(our_ix)
+    sample = (
+        "alfa render yellow charlie render unknownword alfa "
+        "spark data zebraword"
+    )
+    with wix.searcher() as ws_:
+        theirs = list(ws_.key_terms_from_text("text", sample, numterms=5))
+    ours = key_terms_from_text(s, sample, numterms=5, model=Bo1Model)
+    assert [t for t, _ in ours] == [t for t, _ in theirs]
+    for (t1, s1), (t2, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), t1
+
+
 def test_more_like_returns_similar(our_ix):
     from whoosh_reloaded_spark.classify import more_like
 

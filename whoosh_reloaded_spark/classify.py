@@ -105,6 +105,46 @@ def key_terms(searcher: Searcher, docids: List[int], numterms: int = 5,
     return [(t, s) for s, t in tlist[:numterms]]
 
 
+def key_terms_from_text(searcher: Searcher, text: str, numterms: int = 5,
+                        model=Bo1Model, normalize: bool = True,
+                        analyzer=None) -> List[Tuple[str, float]]:
+    """Top expansion terms of a raw text (Searcher.key_terms_from_text,
+    searching.py:547-559; Expander.add_text, classify.py:156-203).
+
+    Parity notes: the total weight `tt` sums EVERY analyzed token
+    (including words absent from the index — Expander.add adds before the
+    membership check), while scored candidates are only the words present
+    in the lexicon (one pushed `term IN` lookup, never a lexicon scan)."""
+    from collections import Counter
+
+    from whoosh_reloaded_spark.analysis import StandardAnalyzer
+
+    stats = searcher.ix.ensure_stats()
+    m = model(int(stats["doc_count"]), int(stats["field_length"]))
+    ana = analyzer or StandardAnalyzer()
+    weights = Counter(t for t, _ in ana(text))
+    if not weights:
+        return []
+    tt = float(sum(weights.values()))
+    rows = (
+        searcher.ix.term_stats.where(F.col("term").isin(list(weights)))
+        .select("term", F.col("total_weight").alias("cf"))
+        .collect()
+    )
+    tlist = []
+    maxscore = 0.0
+    for r in rows:
+        s = m.score(float(weights[r["term"]]), float(r["cf"]), tt)
+        maxscore = max(maxscore, s)
+        tlist.append((s, r["term"]))
+    if not tlist:
+        return []
+    norm = m.normalizer(maxscore, tt) if normalize else maxscore
+    tlist = [(s / norm, t) for s, t in tlist]
+    tlist.sort(key=lambda x: (0 - x[0], x[1]))
+    return [(t, s) for s, t in tlist[:numterms]]
+
+
 def more_like(searcher: Searcher, docid: int, numterms: int = 5,
               model=Bo1Model, limit: int = 10) -> DataFrame:
     """More-like-this (searching.py:561-616): expand the doc's key terms

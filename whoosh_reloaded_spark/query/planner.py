@@ -1081,6 +1081,16 @@ class Searcher:
         return _kt(self, list(docids), numterms=numterms,
                    model=model or Bo1Model)
 
+    def key_terms_from_text(self, text: str, numterms: int = 5,
+                            model=None, normalize: bool = True):
+        from whoosh_reloaded_spark.classify import (
+            Bo1Model,
+            key_terms_from_text as _ktt,
+        )
+
+        return _ktt(self, text, numterms=numterms,
+                    model=model or Bo1Model, normalize=normalize)
+
     def more_like(self, docid: int, numterms: int = 5, model=None,
                   limit: int = 10) -> DataFrame:
         from whoosh_reloaded_spark.classify import Bo1Model, more_like as _ml
