@@ -78,6 +78,15 @@ def test_results_combinators(searcher):
     assert list(a.items())[0][0] == a.docnum(0)
 
 
+def test_results_key_terms_and_more_like(searcher):
+    r = searcher.search_results(Term("man"), limit=10)
+    kt = r.key_terms(docs=2, numterms=3)
+    assert kt and all(isinstance(t, str) for t, _ in kt)
+    assert "man" in [t for t, _ in kt]
+    ml = r[0].more_like_this(top=5).collect()
+    assert all(row["docid"] != r[0].docnum for row in ml)
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

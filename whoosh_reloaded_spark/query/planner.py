@@ -1017,6 +1017,21 @@ class Searcher:
         self._lookup_stats([term])
         return self._df_cache[term]
 
+    def vector(self, docnum: int) -> Dict[str, float]:
+        """Forward-index term vector {term: weight} for one doc
+        (IndexReader.vector_as("weight"), reading.py:610-660); needs
+        build_index(store_vector=True)."""
+        if "vector" not in self.ix.docmeta.columns:
+            raise ValueError(
+                "index has no term vectors; build with store_vector=True"
+            )
+        rows = (
+            self.ix.docmeta.where(F.col("docid") == docnum)
+            .select("vector")
+            .collect()
+        )
+        return dict(rows[0]["vector"]) if rows and rows[0]["vector"] else {}
+
     def most_frequent_terms(self, number: int = 5,
                             prefix: str = "") -> DataFrame:
         """Top `number` terms by total collection weight as (frequency,
@@ -1144,6 +1159,16 @@ class Hit:
             order=r.order if r else None,
         )
 
+    def more_like_this(self, top: int = 10, numterms: int = 5,
+                       model=None) -> DataFrame:
+        """Documents similar to this hit (Hit.more_like_this,
+        searching.py:1531-1560)."""
+        if self._results is None or self._results.searcher is None:
+            raise ValueError("hit is not attached to a searcher")
+        return self._results.searcher.more_like(
+            self.docnum, numterms=numterms, model=model, limit=top
+        )
+
     def __getitem__(self, key):
         return self._fields[key]
 
@@ -1162,7 +1187,7 @@ class Results:
     pluggable highlight pipeline (fragmenter/formatter/scorer/order
     attributes consumed by Hit.highlights)."""
 
-    def __init__(self, hits, terms=()):
+    def __init__(self, hits, terms=(), searcher=None):
         from whoosh_reloaded_spark.highlight import (
             FIRST,
             BasicFragmentScorer,
@@ -1174,6 +1199,7 @@ class Results:
         for h in self._hits:
             h._results = self
         self.terms = frozenset(terms)
+        self.searcher = searcher
         self.fragmenter = ContextFragmenter()
         self.formatter = HtmlFormatter(tagname="b")
         self.scorer = BasicFragmentScorer()
@@ -1244,6 +1270,16 @@ class Results:
         self._hits = notin + arein if reverse else arein + notin
         self._renumber()
 
+    def key_terms(self, docs: int = 10, numterms: int = 5,
+                  model=None) -> List[Tuple[str, float]]:
+        """Most important terms of the top `docs` hits (Results.key_terms,
+        searching.py:1297-1324)."""
+        if not self._hits or self.searcher is None:
+            return []
+        docnums = [h.docnum for h in self._hits[:docs]]
+        return self.searcher.key_terms(docnums, numterms=numterms,
+                                       model=model)
+
     def upgrade_and_extend(self, results: "Results") -> None:
         """upgrade() then extend() in one pass (searching.py:1376-1395)."""
         if not len(results):
@@ -1278,6 +1314,7 @@ def _search_results(self, q, limit=10, stored_cols=None):
             for i, r in enumerate(out)
         ],
         terms={t for _, t in _leaf_terms(q)},
+        searcher=self,
     )
 
 
