@@ -87,6 +87,28 @@ def test_results_key_terms_and_more_like(searcher):
     assert all(row["docid"] != r[0].docnum for row in ml)
 
 
+def test_matched_terms(searcher):
+    """terms=True records per-hit matched terms; the reference shape:
+    query terms minus matched = terms that hit no top-N doc."""
+    r = searcher.search_results(
+        Or([Term("man"), Term("dragon"), Term("zzzmissing")]), limit=10,
+        terms=True,
+    )
+    assert r.has_matched_terms()
+    assert r.matched_terms() == {"man", "dragon"}
+    assert r.terms - r.matched_terms() == {"zzzmissing"}
+    for h in r:
+        assert h.matched_terms() <= {"man", "dragon"}
+        assert h.matched_terms()
+
+    r2 = searcher.search_results(Term("man"), limit=10)
+    assert not r2.has_matched_terms()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        r2.matched_terms()
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

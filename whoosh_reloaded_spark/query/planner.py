@@ -1159,6 +1159,14 @@ class Hit:
             order=r.order if r else None,
         )
 
+    def matched_terms(self) -> set:
+        """Query terms that matched THIS hit (Hit.matched_terms,
+        searching.py:1562-1582); needs search_results(terms=True)."""
+        r = self._results
+        if r is None or r._matched is None:
+            raise ValueError("search was not run with terms=True")
+        return set(r._matched.get(self.docnum, ()))
+
     def more_like_this(self, top: int = 10, numterms: int = 5,
                        model=None) -> DataFrame:
         """Documents similar to this hit (Hit.more_like_this,
@@ -1200,6 +1208,7 @@ class Results:
             h._results = self
         self.terms = frozenset(terms)
         self.searcher = searcher
+        self._matched: Optional[Dict[int, List[str]]] = None
         self.fragmenter = ContextFragmenter()
         self.formatter = HtmlFormatter(tagname="b")
         self.scorer = BasicFragmentScorer()
@@ -1270,6 +1279,19 @@ class Results:
         self._hits = notin + arein if reverse else arein + notin
         self._renumber()
 
+    def has_matched_terms(self) -> bool:
+        """True when the search recorded matched terms
+        (Results.has_matched_terms, searching.py:1231-1241)."""
+        return self._matched is not None
+
+    def matched_terms(self) -> set:
+        """Set of query terms that matched at least one top-N hit
+        (Results.matched_terms, searching.py:1243-1265); needs
+        search_results(terms=True)."""
+        if self._matched is None:
+            raise ValueError("search was not run with terms=True")
+        return {t for ts in self._matched.values() for t in ts}
+
     def key_terms(self, docs: int = 10, numterms: int = 5,
                   model=None) -> List[Tuple[str, float]]:
         """Most important terms of the top `docs` hits (Results.key_terms,
@@ -1295,9 +1317,11 @@ class Results:
         self._renumber()
 
 
-def _search_results(self, q, limit=10, stored_cols=None):
+def _search_results(self, q, limit=10, stored_cols=None, terms=False):
     """Results-object search: top-k joined with docmeta stored columns,
-    materialized as Hit objects (k rows only — display-side)."""
+    materialized as Hit objects (k rows only — display-side).  With
+    terms=True the per-hit matched terms are recorded (search(terms=True),
+    searching.py:789-800) and exposed via Results.matched_terms()."""
     from whoosh_reloaded_spark.spelling import _leaf_terms
 
     hits = self.search(q, limit=limit, with_uid=False)
@@ -1308,7 +1332,7 @@ def _search_results(self, q, limit=10, stored_cols=None):
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .collect()
     )
-    return Results(
+    r = Results(
         [
             Hit(i, r["docid"], r["score"], {c: r[c] for c in meta_cols})
             for i, r in enumerate(out)
@@ -1316,6 +1340,15 @@ def _search_results(self, q, limit=10, stored_cols=None):
         terms={t for _, t in _leaf_terms(q)},
         searcher=self,
     )
+    if terms and len(r):
+        docnums = list(r.docs())
+        tm = (
+            self.matched_terms(q)
+            .where(F.col("docid").isin(docnums))
+            .collect()
+        )
+        r._matched = {row["docid"]: list(row["terms"]) for row in tm}
+    return r
 
 
 Searcher.search_results = _search_results
