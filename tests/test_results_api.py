@@ -109,6 +109,32 @@ def test_matched_terms(searcher):
         r2.matched_terms()
 
 
+def test_groupedby(spark):
+    """groupedby facet workflow (Results.groups): category -> docnums in
+    (score desc, docid asc) order over ALL matches."""
+    df = spark.createDataFrame(
+        [
+            ("a", "x", "alpha beta"),
+            ("b", "x", "alpha alpha"),
+            ("c", "y", "alpha gamma"),
+            ("d", "y", "delta"),
+        ],
+        "url string, tag string, text string",
+    )
+    s = Searcher(build_index(df, stored_cols=["tag"]))
+    r = s.search_results(Term("alpha"), limit=2, groupedby="tag")
+    assert r.facet_names() == ["tag"]
+    g = r.groups()
+    assert set(g) == {"x", "y"}
+    assert set(g["x"]) == {0, 1} and g["y"] == [2]
+    # per-group order is score desc: doc1 (tf=2, shorter) outranks doc0
+    assert g["x"][0] == 1
+    with pytest.raises(ValueError):
+        s.search_results(Term("alpha"), limit=2).groups()
+    with pytest.raises(ValueError):
+        s.search_results(Term("alpha"), groupedby="nope")
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

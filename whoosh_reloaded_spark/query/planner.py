@@ -1209,6 +1209,7 @@ class Results:
         self.terms = frozenset(terms)
         self.searcher = searcher
         self._matched: Optional[Dict[int, List[str]]] = None
+        self._groups: Optional[Dict[str, dict]] = None
         self.fragmenter = ContextFragmenter()
         self.formatter = HtmlFormatter(tagname="b")
         self.scorer = BasicFragmentScorer()
@@ -1279,6 +1280,25 @@ class Results:
         self._hits = notin + arein if reverse else arein + notin
         self._renumber()
 
+    def facet_names(self):
+        """Available facet names (Results.facet_names,
+        searching.py:1091-1096)."""
+        return list((self._groups or {}).keys())
+
+    def groups(self, name: Optional[str] = None):
+        """Facet groups from search_results(groupedby=...): dict mapping
+        category value -> docnums in result order (Results.groups,
+        searching.py:1098-1155)."""
+        if not self._groups:
+            raise ValueError("search was not run with groupedby=...")
+        if name is None:
+            if len(self._groups) != 1:
+                raise ValueError(
+                    f"specify one of facets {sorted(self._groups)}"
+                )
+            name = next(iter(self._groups))
+        return self._groups[name]
+
     def has_matched_terms(self) -> bool:
         """True when the search recorded matched terms
         (Results.has_matched_terms, searching.py:1231-1241)."""
@@ -1317,11 +1337,14 @@ class Results:
         self._renumber()
 
 
-def _search_results(self, q, limit=10, stored_cols=None, terms=False):
+def _search_results(self, q, limit=10, stored_cols=None, terms=False,
+                    groupedby=None):
     """Results-object search: top-k joined with docmeta stored columns,
     materialized as Hit objects (k rows only — display-side).  With
     terms=True the per-hit matched terms are recorded (search(terms=True),
-    searching.py:789-800) and exposed via Results.matched_terms()."""
+    searching.py:789-800) and exposed via Results.matched_terms(); with
+    groupedby=<docmeta column(s)> facet groups are computed over ALL
+    matching docs and exposed via Results.groups()."""
     from whoosh_reloaded_spark.spelling import _leaf_terms
 
     hits = self.search(q, limit=limit, with_uid=False)
@@ -1348,6 +1371,43 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False):
             .collect()
         )
         r._matched = {row["docid"]: list(row["terms"]) for row in tm}
+    if groupedby:
+        names = (
+            [groupedby] if isinstance(groupedby, str) else list(groupedby)
+        )
+        bad = [n for n in names if n not in self.ix.docmeta.columns]
+        if bad:
+            raise ValueError(f"groupedby columns not in docmeta: {bad}")
+        # groups run over ALL matching docs (the reference collector sees
+        # every match, searching.py:1098-1155), sorted per group by
+        # (score desc, docid asc) — one distributed agg per facet, the
+        # per-group docnum arrays sorted JVM-side via struct sort_array
+        allhits = self.search(q, limit=None, with_uid=False)
+        joined = allhits.join(
+            self.ix.docmeta.select("docid", *names), "docid"
+        )
+        r._groups = {}
+        for n in names:
+            rows = (
+                joined.groupBy(n)
+                .agg(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("score")).alias("ns"),
+                                    F.col("docid"),
+                                )
+                            )
+                        ),
+                        lambda x: x["docid"],
+                    ).alias("docnums")
+                )
+                .collect()
+            )
+            r._groups[n] = {
+                row[n]: list(row["docnums"]) for row in rows
+            }
     return r
 
 
