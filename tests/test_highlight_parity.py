@@ -137,6 +137,71 @@ def test_maxclasses():
                         fkw={"surround": 6}, hkw=kw)
 
 
+@needs_ref
+def test_pinpoint_fragmenter():
+    """Golden vs the reference's fragment_matches path (fresh Token
+    objects — the path Characters-format highlighting actually takes; the
+    reference's bare highlight()+PinpointFragmenter retokenizing path has
+    a token-aliasing bug [no t.copy()] we deliberately don't replicate)."""
+    from whoosh import highlight as rh
+    from whoosh.analysis.acore import Token
+
+    from whoosh_reloaded_spark.chars import char_spans
+    from whoosh_reloaded_spark.highlight import (
+        PinpointFragmenter,
+        highlight_spans,
+    )
+
+    terms = {"bravo", "india", "juliet"}
+    spans = [
+        (t, sc, ec) for t, p, sc, ec in char_spans(_DOC) if t in terms
+    ]
+    for kw in ({"surround": 6}, {"surround": 20, "autotrim": True},
+               {"maxchars": 30, "surround": 10}):
+        ref_toks = []
+        for t, sc, ec in spans:
+            tok = Token(chars=True)
+            tok.text, tok.startchar, tok.endchar = t, sc, ec
+            tok.matched, tok.boost = True, 1.0
+            ref_toks.append(tok)
+        frags = list(
+            rh.PinpointFragmenter(**kw).fragment_matches(_DOC, ref_toks)
+        )
+        theirs = rh.UppercaseFormatter()(
+            _DOC,
+            rh.top_fragments(frags, 3, rh.BasicFragmentScorer(), rh.FIRST),
+        )
+        ours = highlight_spans(
+            _DOC, spans, formatter=UppercaseFormatter(),
+            fragmenter=PinpointFragmenter(**kw),
+        )
+        assert ours == theirs, kw
+
+
+def test_highlight_spans_no_retokenize():
+    """highlight_spans over stored (term, sc, ec) triples matches the
+    retokenized PinpointFragmenter path for the same matched terms."""
+    from whoosh_reloaded_spark.chars import char_spans
+    from whoosh_reloaded_spark.highlight import (
+        PinpointFragmenter,
+        highlight_spans,
+    )
+
+    terms = {"bravo", "india"}
+    spans = [
+        (t, sc, ec) for t, p, sc, ec in char_spans(_DOC) if t in terms
+    ]
+    ours = highlight_spans(
+        _DOC, spans, formatter=UppercaseFormatter(),
+        fragmenter=PinpointFragmenter(surround=6),
+    )
+    via_tokens = highlight(
+        _DOC, terms, None, PinpointFragmenter(surround=6),
+        UppercaseFormatter(),
+    )
+    assert ours == via_tokens and "BRAVO" in ours
+
+
 def test_top_and_order():
     """top=1 keeps the best-scoring fragment; no matches -> empty."""
     ours = highlight(

@@ -197,6 +197,89 @@ class ContextFragmenter:
             yield _bounded(text, hits, first, endchar)
 
 
+class PinpointFragmenter:
+    """NON-retokenizing fragmenter: builds fragments directly from matched
+    char spans (highlight.py:517-601).  Pairs with indexes built with the
+    Characters formats, whose postings already store
+    startchars/endchars — see :func:`highlight_spans`."""
+
+    def __init__(self, maxchars: int = 200, surround: int = 20,
+                 autotrim: bool = False,
+                 charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.autotrim = autotrim
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text: str, tokens: Iterable[Tok]):
+        return self.fragment_matches(
+            text, [t for t in tokens if t.matched]
+        )
+
+    def _trim(self, f: Fragment) -> None:
+        text, start, end = f.text, f.startchar, f.endchar
+        sp = text.find(" ", start, end)
+        if sp > 0:
+            start = sp + 1
+        sp = text.rfind(" ", start, end)
+        if sp > 0:
+            end = sp
+        if f.matches:
+            start = min(start, f.matches[0].startchar)
+            end = max(end, f.matches[-1].endchar)
+        f.startchar, f.endchar = start, end
+
+    def fragment_matches(self, text: str, tokens: List[Tok]):
+        maxchars, surround = self.maxchars, self.surround
+        j = -1
+        for i, t in enumerate(tokens):
+            if j >= i:
+                continue
+            j = i
+            left, right = t.startchar, t.endchar
+            if self.charlimit and right > self.charlimit:
+                break
+            used = right - left
+            # greedily absorb following matches while they stay within
+            # the surround gap and the fragment char budget
+            while j < len(tokens) - 1 and used < maxchars:
+                nxt = tokens[j + 1]
+                if (nxt.endchar - right <= surround
+                        and nxt.endchar - left <= maxchars):
+                    j += 1
+                    used += nxt.endchar - nxt.startchar
+                    right = nxt.endchar
+                else:
+                    break
+            f = Fragment(
+                text, tokens[i:j + 1],
+                max(0, left - surround), min(len(text), right + surround),
+            )
+            if self.autotrim:
+                self._trim(f)
+            yield f
+
+
+def highlight_spans(text: str, spans, formatter=None,
+                    fragmenter=None, top: int = 3, scorer=None,
+                    minscore: float = 1, order=None) -> str:
+    """Highlight from STORED char spans — (term, startchar, endchar)
+    triples, e.g. one row of ``Searcher.payloads(term)`` on an index built
+    with ``format="characters"`` — without re-analyzing the text (the
+    reference's PinpointFragmenter path for Characters-format fields)."""
+    toks = sorted(
+        (Tok(t, sc, ec, matched=True) for t, sc, ec in spans),
+        key=lambda x: x.startchar,
+    )
+    fragmenter = fragmenter or PinpointFragmenter()
+    formatter = formatter or HtmlFormatter(tagname="b")
+    scorer = scorer or BasicFragmentScorer()
+    order = order or FIRST
+    frags = fragmenter.fragment_tokens(text, toks)
+    return formatter(text, top_fragments(frags, top, scorer, order,
+                                         minscore))
+
+
 # -- scoring + ordering (highlight.py:605-642) --------------------------------
 
 
