@@ -1288,7 +1288,9 @@ class Results:
     def groups(self, name: Optional[str] = None):
         """Facet groups from search_results(groupedby=...): dict mapping
         category value -> docnums in result order (Results.groups,
-        searching.py:1098-1155)."""
+        searching.py:1098-1155).  This materializes every matching docnum
+        driver-side exactly like the reference; for web-scale result sets
+        use facets.group_counts / grouped_docs, which stay DataFrames."""
         if not self._groups:
             raise ValueError("search was not run with groupedby=...")
         if name is None:
