@@ -225,6 +225,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_stats"] = term_stats
 
+    def postings_positions_jvmdelta(spark, sf):
+        """Same positional payload as postings_positions but through a
+        FULL save/load roundtrip under the jvmdelta position codec
+        (index/codecs.py) — puts the codec's encode/decode in the driver
+        correctness gate."""
+        import tempfile
+
+        from whoosh_reloaded_spark.index import load_index, save_index
+
+        key = ("jvmdelta_ix", sf)
+        if key not in _IX_CACHE:
+            path = tempfile.mkdtemp(prefix="wrs_codec_oracle_")
+            save_index(_docs_index(spark, sf), path, codec="jvmdelta")
+            _IX_CACHE[key] = load_index(spark, path)
+        lx = _IX_CACHE[key]
+        return lx.postings.where(F.col("term") == "stream").select(
+            F.col("docid").alias("doc_id"),
+            F.col("tf").cast("long").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.col("positions"), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("positions"),
+        )
+
+    q["postings_positions_jvmdelta"] = postings_positions_jvmdelta
+
+    def existence_topk(spark, sf):
+        """Existence posting format (formats.py:138-168): tf forced to 1,
+        weight = field_boost — BM25 over membership-only postings."""
+        key = ("existence_ix", sf)
+        if key not in _IX_CACHE:
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            corpus = docs.withColumn("docid", F.col("doc_id"))
+            _IX_CACHE[key] = build_index(
+                corpus, uid_col="doc_id", text_col="text",
+                with_docids=True, format="existence",
+            ).persist()
+        s = Searcher(_IX_CACHE[key], BM25F(quantized=False))
+        out = s.search(Term("spark"), limit=10, with_uid=False)
+        return out.select(
+            F.col("docid").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+
+    q["existence_topk"] = existence_topk
+
     def most_frequent_terms(spark, sf):
         """IndexReader.most_frequent_terms (reading.py:545-554): top-25
         terms by total collection weight, distributed top-k."""
@@ -904,6 +952,27 @@ FROM tf
 GROUP BY term
 """
     )
+    o["existence_topk"] = (
+        _BASE_CTE
+        + """
+, scored_ex AS (
+  SELECT tf.doc_id,
+         (ln(g.n / (stats.df + 1)) + 1)
+           * (1.0 * (1.2 + 1)) / (1.0 + 1.2 * ((1 - 0.75) + 0.75 * dl.fl / g.avgfl))
+           AS s
+  FROM tf
+  JOIN stats USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  WHERE tf.term = 'spark'
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored_ex
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
     o["most_frequent_terms"] = (
         _BASE_CTE
         + """
@@ -941,6 +1010,8 @@ WHERE term = 'stream'
 GROUP BY doc_id
 """
     )
+    # the jvmdelta codec roundtrip must be LOSSLESS: identical oracle
+    o["postings_positions_jvmdelta"] = o["postings_positions"]
     o["token_counts"] = r"""
 SELECT doc_id,
        CAST(length(regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0)) AS BIGINT) AS n_tokens
