@@ -500,9 +500,12 @@ class Searcher:
                     return df.select("docid").distinct().select(
                         "docid", F.lit(0.0).alias("score")
                     )
+                # postings are unique per (term, docid), so a plain row
+                # count equals the distinct-term count — count_distinct
+                # here would add a second (docid, term) exchange
                 agg = df.groupBy("docid").agg(
                     F.sum("score").alias("_s"),
-                    F.count_distinct("term").alias("_m"),
+                    F.count(F.lit(1)).alias("_m"),
                 )
                 sqr = (
                     F.col("_s")
@@ -523,11 +526,15 @@ class Searcher:
             boosts = {c.text: c.boost for c in q.children}
             n = len({c.text for c in q.children})
             df = self._scored_postings([c.text for c in q.children], boosts=boosts)
+            # postings are unique per (term, docid): row count == distinct
+            # terms matched, so the coverage check needs no count_distinct
+            # (which would plan an extra (docid, term) exchange — measured
+            # ~20% of and2 latency at 1M docs)
             out = (
                 df.groupBy("docid")
                 .agg(
                     F.sum("score").alias("score"),
-                    F.count_distinct(F.col("term")).alias("_n"),
+                    F.count(F.lit(1)).alias("_n"),
                 )
                 .where(F.col("_n") == n)
                 .drop("_n")
