@@ -614,11 +614,15 @@ class Searcher:
                 u = frames[0]
                 for f2 in frames[1:]:
                     u = u.unionByName(f2)
+                # every _eval child frame is docid-unique (see _eval
+                # docstring), so each child contributes at most one row
+                # per docid and the row count equals the distinct-child
+                # count — count_distinct would plan an extra exchange
                 out = (
                     u.groupBy("docid")
                     .agg(
                         F.sum("score").alias("score"),
-                        F.count_distinct("_cid").alias("_n"),
+                        F.count(F.lit(1)).alias("_n"),
                     )
                     .where(F.col("_n") == n)
                     .drop("_n")
