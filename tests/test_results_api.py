@@ -109,6 +109,28 @@ def test_matched_terms(searcher):
         r2.matched_terms()
 
 
+def test_filter_and_mask(searcher):
+    """search(filter=..., mask=...): Query / Results / docnum-set forms
+    restrict or exclude BEFORE the top-k cut (searching.py:799-802)."""
+    who = searcher.search_results(Term("who"), limit=10)
+    # Query filter: man AND who
+    r = searcher.search_results(Term("man"), limit=10, filter=Term("who"))
+    assert r.docs() == {0}
+    # Results filter
+    r2 = searcher.search_results(Term("man"), limit=10, filter=who)
+    assert r2.docs() == {0}
+    # docnum-set mask
+    r3 = searcher.search_results(Term("man"), limit=10, mask={0})
+    assert r3.docs() == {2}
+    # mask with a Query: who-docs minus man-docs
+    r4 = searcher.search_results(Term("who"), limit=10, mask=Term("man"))
+    assert r4.docs() == {1, 4}
+    # scores identical to the unfiltered query for surviving docs
+    base = {h.docnum: h.score for h in searcher.search_results(
+        Term("man"), limit=10)}
+    assert r.score(0) == base[0]
+
+
 def test_groupedby(spark):
     """groupedby facet workflow (Results.groups): category -> docnums in
     (score desc, docid asc) order over ALL matches."""

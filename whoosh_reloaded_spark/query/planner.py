@@ -979,15 +979,24 @@ class Searcher:
     # -- public API ----------------------------------------------------------
 
     def search(
-        self, q: Q.Query, limit: Optional[int] = 10, with_uid: bool = True
+        self, q: Q.Query, limit: Optional[int] = 10, with_uid: bool = True,
+        filter=None, mask=None,
     ) -> DataFrame:
         """Top-k results: (docid[, uid], score), score desc / docid asc.
 
         Tie-break matches the reference heap's ``(score, 0 - docnum)`` order
         (collectors.py:466-483): equal scores -> LOWER docid first.
+
+        `filter` / `mask` restrict / exclude docs BEFORE the top-k cut
+        (search(filter=..., mask=...), searching.py:799-802 +
+        FilterCollector, collectors.py:622-692): each may be a Query, a
+        Results, or a set of docnums.  Query forms become semi/anti joins
+        on the hit frame; docnum sets become pushed IN filters.
         """
         q = q.normalize()
         hits = self._eval(q)
+        hits = self._apply_docset(hits, filter, keep=True)
+        hits = self._apply_docset(hits, mask, keep=False)
         if getattr(self.weighting, "use_final", False):
             # doc-level final() hook applied to the COMBINED score, where
             # the reference's collector calls weighting.final()
@@ -1008,6 +1017,24 @@ class Searcher:
                 .select("docid", "uid", "score")
             )
         return out
+
+    def _apply_docset(self, hits: DataFrame, obj, keep: bool) -> DataFrame:
+        """Restrict (keep=True) or exclude (keep=False) `hits` by a Query /
+        Results / iterable-of-docnums allowlist (FilterCollector's
+        allow/restrict sets, collectors.py:622-692)."""
+        if obj is None:
+            return hits
+        if isinstance(obj, Q.Query):
+            other = self._eval(obj.normalize()).select("docid")
+            return hits.join(
+                other, "docid", "left_semi" if keep else "left_anti"
+            )
+        if isinstance(obj, Results):
+            docnums = obj.docs()
+        else:
+            docnums = set(obj)
+        cond = F.col("docid").isin([int(d) for d in docnums])
+        return hits.where(cond if keep else ~cond)
 
     def search_list(self, q: Q.Query, limit: Optional[int] = 10) -> List[Tuple]:
         rows = self.search(q, limit).collect()
@@ -1351,7 +1378,7 @@ class Results:
 
 
 def _search_results(self, q, limit=10, stored_cols=None, terms=False,
-                    groupedby=None):
+                    groupedby=None, filter=None, mask=None):
     """Results-object search: top-k joined with docmeta stored columns,
     materialized as Hit objects (k rows only — display-side).  With
     terms=True the per-hit matched terms are recorded (search(terms=True),
@@ -1360,7 +1387,8 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
     matching docs and exposed via Results.groups()."""
     from whoosh_reloaded_spark.spelling import _leaf_terms
 
-    hits = self.search(q, limit=limit, with_uid=False)
+    hits = self.search(q, limit=limit, with_uid=False, filter=filter,
+                       mask=mask)
     meta_cols = ["uid"] + [c for c in (stored_cols or [])
                            if c in self.ix.docmeta.columns]
     out = (
