@@ -157,6 +157,29 @@ def test_groupedby(spark):
         s.search_results(Term("alpha"), groupedby="nope")
 
 
+def test_sortedby(spark):
+    """sortedby orders hits by a docmeta facet key instead of score
+    (SortingCollector), reverse flipping direction; stored fields intact."""
+    df = spark.createDataFrame(
+        [
+            ("a", 3, "alpha common"),
+            ("b", 1, "alpha alpha common"),
+            ("c", 2, "alpha words common"),
+        ],
+        "url string, prio long, text string",
+    )
+    s = Searcher(build_index(df, stored_cols=["prio"]))
+    r = s.search_results(Term("alpha"), limit=10, sortedby="prio",
+                         stored_cols=["prio"])
+    assert [h["prio"] for h in r] == [1, 2, 3]
+    assert [h.docnum for h in r] == [1, 2, 0]
+    r2 = s.search_results(Term("alpha"), limit=2, sortedby="prio",
+                          reverse=True)
+    assert [h.docnum for h in r2] == [0, 2]
+    # scores still the BM25 scores of the match
+    assert all(h.score > 0 for h in r)
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

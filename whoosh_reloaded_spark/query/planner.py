@@ -1378,24 +1378,50 @@ class Results:
 
 
 def _search_results(self, q, limit=10, stored_cols=None, terms=False,
-                    groupedby=None, filter=None, mask=None):
+                    groupedby=None, filter=None, mask=None,
+                    sortedby=None, reverse=False):
     """Results-object search: top-k joined with docmeta stored columns,
     materialized as Hit objects (k rows only — display-side).  With
     terms=True the per-hit matched terms are recorded (search(terms=True),
     searching.py:789-800) and exposed via Results.matched_terms(); with
     groupedby=<docmeta column(s)> facet groups are computed over ALL
-    matching docs and exposed via Results.groups()."""
+    matching docs and exposed via Results.groups(); sortedby=<docmeta
+    column(s)> orders by facet key instead of score (SortingCollector via
+    facets.sort_by), reverse flipping the direction."""
     from whoosh_reloaded_spark.spelling import _leaf_terms
 
-    hits = self.search(q, limit=limit, with_uid=False, filter=filter,
-                       mask=mask)
+    if sortedby is not None:
+        from whoosh_reloaded_spark.facets import sort_by
+
+        keys = [sortedby] if isinstance(sortedby, str) else list(sortedby)
+        allhits = self.search(q, limit=None, with_uid=False,
+                              filter=filter, mask=mask)
+        hits = sort_by(allhits, self.ix.docmeta, keys, reverse=reverse,
+                       limit=limit).select("docid", "score")
+    else:
+        hits = self.search(q, limit=limit, with_uid=False, filter=filter,
+                           mask=mask)
     meta_cols = ["uid"] + [c for c in (stored_cols or [])
                            if c in self.ix.docmeta.columns]
-    out = (
-        hits.join(self.ix.docmeta.select("docid", *meta_cols), "docid")
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
-        .collect()
+    joined = hits.join(
+        self.ix.docmeta.select("docid", *meta_cols), "docid"
     )
+    if sortedby is not None:
+        # keep the facet-key ordering through the display join
+        extra = [k for k in keys if k not in meta_cols]
+        ordered = joined.join(
+            self.ix.docmeta.select("docid", *extra), "docid"
+        ) if extra else joined
+        ordered = ordered.orderBy(
+            *[F.col(k).desc() if reverse else F.col(k).asc()
+              for k in keys],
+            F.col("docid").asc(),
+        ).drop(*extra)
+    else:
+        ordered = joined.orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+    out = ordered.collect()
     r = Results(
         [
             Hit(i, r["docid"], r["score"], {c: r[c] for c in meta_cols})
