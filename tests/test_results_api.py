@@ -180,6 +180,35 @@ def test_sortedby(spark):
     assert all(h.score > 0 for h in r)
 
 
+def test_collapse(spark):
+    """collapse keeps <= collapse_limit best docs per key before top-k
+    (CollapseCollector semantics)."""
+    df = spark.createDataFrame(
+        [
+            ("a", "g1", "alpha"),
+            ("b", "g1", "alpha alpha"),
+            ("c", "g2", "alpha"),
+            ("d", "g2", "alpha alpha alpha"),
+        ],
+        "url string, grp string, text string",
+    )
+    s = Searcher(build_index(df, stored_cols=["grp"]))
+    r = s.search_results(Term("alpha"), limit=10, collapse="grp",
+                         stored_cols=["grp"])
+    assert len(r) == 2
+    assert sorted(h["grp"] for h in r) == ["g1", "g2"]
+    # the best doc of each group survives (higher tf in shorter doc wins)
+    assert set(r.docs()) == {1, 3}
+    r2 = s.search_results(Term("alpha"), limit=10, collapse="grp",
+                          collapse_limit=2)
+    assert len(r2) == 4
+    # collapse composes with sortedby
+    r3 = s.search_results(Term("alpha"), limit=10, collapse="grp",
+                          sortedby="grp", reverse=True,
+                          stored_cols=["grp"])
+    assert [h["grp"] for h in r3] == ["g2", "g1"]
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

@@ -1379,7 +1379,8 @@ class Results:
 
 def _search_results(self, q, limit=10, stored_cols=None, terms=False,
                     groupedby=None, filter=None, mask=None,
-                    sortedby=None, reverse=False):
+                    sortedby=None, reverse=False, collapse=None,
+                    collapse_limit=1):
     """Results-object search: top-k joined with docmeta stored columns,
     materialized as Hit objects (k rows only — display-side).  With
     terms=True the per-hit matched terms are recorded (search(terms=True),
@@ -1387,17 +1388,35 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
     groupedby=<docmeta column(s)> facet groups are computed over ALL
     matching docs and exposed via Results.groups(); sortedby=<docmeta
     column(s)> orders by facet key instead of score (SortingCollector via
-    facets.sort_by), reverse flipping the direction."""
+    facets.sort_by), reverse flipping the direction; collapse=<docmeta
+    column> keeps at most collapse_limit docs per key BEFORE the top-k
+    cut (CollapseCollector, search(collapse=...))."""
     from whoosh_reloaded_spark.spelling import _leaf_terms
 
+    base = None
+    if collapse is not None:
+        from whoosh_reloaded_spark.facets import collapse as _collapse
+
+        allhits = self.search(q, limit=None, with_uid=False,
+                              filter=filter, mask=mask)
+        base = _collapse(
+            allhits, self.ix.docmeta, collapse, collapse_limit
+        ).select("docid", "score")
     if sortedby is not None:
         from whoosh_reloaded_spark.facets import sort_by
 
         keys = [sortedby] if isinstance(sortedby, str) else list(sortedby)
-        allhits = self.search(q, limit=None, with_uid=False,
-                              filter=filter, mask=mask)
-        hits = sort_by(allhits, self.ix.docmeta, keys, reverse=reverse,
+        src = base if base is not None else self.search(
+            q, limit=None, with_uid=False, filter=filter, mask=mask
+        )
+        hits = sort_by(src, self.ix.docmeta, keys, reverse=reverse,
                        limit=limit).select("docid", "score")
+    elif base is not None:
+        hits = base.orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+        if limit is not None:
+            hits = hits.limit(limit)
     else:
         hits = self.search(q, limit=limit, with_uid=False, filter=filter,
                            mask=mask)
