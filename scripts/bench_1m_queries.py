@@ -43,9 +43,15 @@ def main():
         build_sec = round(time.perf_counter() - t0, 2)
 
     ix = load_index(spark, IX_DIR)
-    ix.persist()
-    ix.postings.count()
-    ix.docmeta.count()
+    if os.environ.get("SPARK_GRAFT_NO_PERSIST"):
+        # corpora too big to pin in executor memory: query the term-sorted
+        # parquet directly (the realistic at-scale path — pushed term
+        # filters + OS page cache); one count warms the page cache
+        ix.postings.count()
+    else:
+        ix.persist()
+        ix.postings.count()
+        ix.docmeta.count()
     s = Searcher(ix)
 
     qs = {
