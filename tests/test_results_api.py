@@ -156,6 +156,14 @@ def test_groupedby(spark):
     with pytest.raises(ValueError):
         s.search_results(Term("alpha"), groupedby="nope")
 
+    # FacetMap variants: Count and Best
+    rc = s.search_results(Term("alpha"), limit=2, groupedby="tag",
+                          maptype="count")
+    assert rc.groups() == {"x": 2, "y": 1}
+    rb = s.search_results(Term("alpha"), limit=2, groupedby="tag",
+                          maptype="best")
+    assert rb.groups() == {"x": 1, "y": 2}
+
 
 def test_sortedby(spark):
     """sortedby orders hits by a docmeta facet key instead of score

@@ -1380,7 +1380,7 @@ class Results:
 def _search_results(self, q, limit=10, stored_cols=None, terms=False,
                     groupedby=None, filter=None, mask=None,
                     sortedby=None, reverse=False, collapse=None,
-                    collapse_limit=1):
+                    collapse_limit=1, maptype="list"):
     """Results-object search: top-k joined with docmeta stored columns,
     materialized as Hit objects (k rows only — display-side).  With
     terms=True the per-hit matched terms are recorded (search(terms=True),
@@ -1390,7 +1390,10 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
     column(s)> orders by facet key instead of score (SortingCollector via
     facets.sort_by), reverse flipping the direction; collapse=<docmeta
     column> keeps at most collapse_limit docs per key BEFORE the top-k
-    cut (CollapseCollector, search(collapse=...))."""
+    cut (CollapseCollector, search(collapse=...)); maptype picks the
+    groups() value shape like the reference FacetMaps — "list" (ordered
+    docnums, UnorderedList default), "count" (doc count per key), or
+    "best" (single best docnum per key)."""
     from whoosh_reloaded_spark.spelling import _leaf_terms
 
     base = None
@@ -1464,35 +1467,43 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
         bad = [n for n in names if n not in self.ix.docmeta.columns]
         if bad:
             raise ValueError(f"groupedby columns not in docmeta: {bad}")
+        if maptype not in ("list", "count", "best"):
+            raise ValueError(f"unknown maptype: {maptype!r}")
         # groups run over ALL matching docs (the reference collector sees
         # every match, searching.py:1098-1155), sorted per group by
-        # (score desc, docid asc) — one distributed agg per facet, the
-        # per-group docnum arrays sorted JVM-side via struct sort_array
+        # (score desc, docid asc) — one distributed agg per facet; the
+        # Count/Best FacetMaps (sorting.py:1020-1079) aggregate to a
+        # count / argmax instead of materializing the docnum lists
         allhits = self.search(q, limit=None, with_uid=False)
         joined = allhits.join(
             self.ix.docmeta.select("docid", *names), "docid"
         )
+        if maptype == "count":
+            agg = F.count(F.lit(1)).alias("_v")
+        elif maptype == "best":
+            agg = F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("docid"))
+            )["docid"].alias("_v")
+        else:
+            agg = F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("docid"),
+                        )
+                    )
+                ),
+                lambda x: x["docid"],
+            ).alias("_v")
         r._groups = {}
         for n in names:
-            rows = (
-                joined.groupBy(n)
-                .agg(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(
-                                    (-F.col("score")).alias("ns"),
-                                    F.col("docid"),
-                                )
-                            )
-                        ),
-                        lambda x: x["docid"],
-                    ).alias("docnums")
-                )
-                .collect()
-            )
+            rows = joined.groupBy(n).agg(agg).collect()
             r._groups[n] = {
-                row[n]: list(row["docnums"]) for row in rows
+                row[n]: (
+                    list(row["_v"]) if maptype == "list" else row["_v"]
+                )
+                for row in rows
             }
     return r
 
