@@ -677,10 +677,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             save_ivf_index,
         )
 
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        src = f"{sf}/embeddings.parquet"
+        emb = spark.read.parquet(src)
+        # key the cross-process cache by the source fixture's identity
+        # (mtime+size) so a regenerated corpus can never silently reuse a
+        # stale index built from the old data
+        st = os.stat(src)
+        tag = f"{int(st.st_mtime)}_{st.st_size}"
         path = os.path.join(
             tempfile.gettempdir(),
-            "wrs_ivf_oracle_" + sf.strip("/").replace("/", "_"),
+            "wrs_ivf_oracle_"
+            + sf.strip("/").replace("/", "_")
+            + "_" + tag,
         )
         if not os.path.exists(os.path.join(path, "ivf_meta.json")):
             save_ivf_index(emb, path, n_lists=8, seed=42)

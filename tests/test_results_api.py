@@ -217,6 +217,66 @@ def test_collapse(spark):
     assert [h["grp"] for h in r3] == ["g2", "g1"]
 
 
+def test_extend_does_not_corrupt_donor(searcher):
+    """extend/upgrade_and_extend must copy donor hits: the donor's rank,
+    _results binding, and matched-terms state stay intact."""
+    a = searcher.search_results(Term("man"), limit=10, terms=True)
+    b = searcher.search_results(Term("who"), limit=10)
+    a_ranks = [h.rank for h in a]
+    b.extend(a)
+    assert [h.rank for h in a] == a_ranks
+    assert a[0]._results is a and a[0].matched_terms() == {"man"}
+    # the copies live in b with b's numbering
+    assert [h.rank for h in b] == list(range(len(b)))
+
+    c = searcher.search_results(Term("woman"), limit=10)
+    c.upgrade_and_extend(a)
+    assert a[0]._results is a and [h.rank for h in a] == a_ranks
+
+
+def test_terms_true_empty_results(searcher):
+    """terms=True with zero hits still marks terms as recorded."""
+    r = searcher.search_results(Term("zzzmissing"), limit=10, terms=True)
+    assert len(r) == 0
+    assert r.has_matched_terms() and r.matched_terms() == set()
+
+
+def test_matched_terms_span_and_prefix(searcher):
+    """matched-term recording traverses span attrs and small multiterm
+    expansions."""
+    from whoosh_reloaded_spark.query import Prefix, SpanOr, Term as T
+
+    r = searcher.search_results(
+        SpanOr([T("man"), T("dragon")]), limit=10, terms=True
+    )
+    assert r.matched_terms() == {"man", "dragon"}
+    r2 = searcher.search_results(Prefix("ma"), limit=10, terms=True)
+    assert "man" in r2.matched_terms()
+
+
+def test_groupedby_respects_filter(spark):
+    """groups() must be computed from the filtered/masked result set."""
+    df = spark.createDataFrame(
+        [
+            ("a", "x", "alpha beta"),
+            ("b", "x", "alpha"),
+            ("c", "y", "alpha beta"),
+        ],
+        "url string, tag string, text string",
+    )
+    s = Searcher(build_index(df, stored_cols=["tag"]))
+    r = s.search_results(
+        Term("alpha"), limit=10, groupedby="tag", filter=Term("beta")
+    )
+    assert r.groups() == {"x": [0], "y": [2]}
+    # collapse feeds the facet source too
+    r2 = s.search_results(
+        Term("alpha"), limit=10, groupedby="tag", collapse="tag",
+        maptype="count",
+    )
+    assert r2.groups() == {"x": 1, "y": 1}
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

@@ -955,14 +955,30 @@ class Searcher:
             out.add(q.text)
         elif isinstance(q, (Q.Phrase, Q.Ordered)):
             out.update(q.words)
+        elif isinstance(q, Q._MultiTerm):
+            # expanded terms participate in matched-term recording like
+            # the reference's leaf matchers; overflow expansions
+            # (> TOO_MANY_CLAUSES -> None) are skipped — the driver-side
+            # term set would defeat the relational plan's purpose
+            small = self.expand_terms(q)
+            if small:
+                out.update(small)
         elif hasattr(q, "children"):
             for c in q.children:
                 out |= self._collect_terms(c)
         else:
-            for attr in ("a", "b", "child"):
+            # a/b/child cover binary/Not nodes; q/qs/subqs cover the span
+            # wrappers (SpanFirst.q, SpanNear2.qs, SpanOr.subqs)
+            for attr in ("a", "b", "child", "q"):
                 c = getattr(q, attr, None)
                 if isinstance(c, Q.Query):
                     out |= self._collect_terms(c)
+            for attr in ("qs", "subqs"):
+                cs = getattr(q, attr, None)
+                if cs:
+                    for c in cs:
+                        if isinstance(c, Q.Query):
+                            out |= self._collect_terms(c)
         return out
 
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10) -> DataFrame:
@@ -1288,13 +1304,24 @@ class Results:
         for i, h in enumerate(self._hits):
             h.rank = i
 
+    @staticmethod
+    def _adopt(h: "Hit") -> "Hit":
+        # copy donor hits rather than rebinding them in place — the
+        # reference stores (score, docnum) tuples so extend() never
+        # mutates the donor Results; sharing Hit objects would clobber
+        # the donor's rank/_results
+        return Hit(h.rank, h.docnum, h.score, dict(h._fields))
+
     def extend(self, results: "Results") -> None:
         """Append the other results' hits not already present
         (Results.extend, searching.py:1326-1338)."""
         docs = self.docs()
-        self._hits.extend(h for h in results if h.docnum not in docs)
-        for h in self._hits:
+        adopted = [
+            self._adopt(h) for h in results if h.docnum not in docs
+        ]
+        for h in adopted:
             h._results = self
+        self._hits.extend(adopted)
         self._renumber()
 
     def filter(self, results: "Results") -> None:
@@ -1370,10 +1397,10 @@ class Results:
         other = results.docs()
         arein = [h for h in self._hits if h.docnum in other]
         notin = [h for h in self._hits if h.docnum not in other]
-        new = [h for h in results if h.docnum not in docs]
-        self._hits = arein + notin + new
-        for h in self._hits:
+        new = [self._adopt(h) for h in results if h.docnum not in docs]
+        for h in new:
             h._results = self
+        self._hits = arein + notin + new
         self._renumber()
 
 
@@ -1452,14 +1479,19 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
         terms={t for _, t in _leaf_terms(q)},
         searcher=self,
     )
-    if terms and len(r):
-        docnums = list(r.docs())
-        tm = (
-            self.matched_terms(q)
-            .where(F.col("docid").isin(docnums))
-            .collect()
-        )
-        r._matched = {row["docid"]: list(row["terms"]) for row in tm}
+    if terms:
+        if len(r):
+            docnums = list(r.docs())
+            tm = (
+                self.matched_terms(q)
+                .where(F.col("docid").isin(docnums))
+                .collect()
+            )
+            r._matched = {row["docid"]: list(row["terms"]) for row in tm}
+        else:
+            # terms WERE recorded; there just were no hits — the
+            # reference returns an empty matched set, not an error
+            r._matched = {}
     if groupedby:
         names = (
             [groupedby] if isinstance(groupedby, str) else list(groupedby)
@@ -1473,8 +1505,12 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
         # every match, searching.py:1098-1155), sorted per group by
         # (score desc, docid asc) — one distributed agg per facet; the
         # Count/Best FacetMaps (sorting.py:1020-1079) aggregate to a
-        # count / argmax instead of materializing the docnum lists
-        allhits = self.search(q, limit=None, with_uid=False)
+        # count / argmax instead of materializing the docnum lists.
+        # filter/mask/collapse apply to the facet source too, like the
+        # reference's FilterCollector feeding the facet collector
+        allhits = base if base is not None else self.search(
+            q, limit=None, with_uid=False, filter=filter, mask=mask
+        )
         joined = allhits.join(
             self.ix.docmeta.select("docid", *names), "docid"
         )

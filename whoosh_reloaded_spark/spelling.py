@@ -86,21 +86,13 @@ class CorrectedToken:
     endchar: int
 
 
-class HtmlFormatter:
-    """Minimal correction formatter emitting the reference
-    highlight.HtmlFormatter markup for corrected words:
-    ``<strong class="{classname} term{n}">{text}</strong>`` where n indexes
-    unique corrected texts in order of appearance."""
-
-    def __init__(self, classname: str = "match", tagname: str = "strong"):
-        self.classname = classname
-        self.tagname = tagname
-
-    def format_token(self, text: str, num: int) -> str:
-        return (
-            f"<{self.tagname} class=\"{self.classname} term{num}\">"
-            f"{text}</{self.tagname}>"
-        )
+# corrections format with the same formatter objects as highlighting,
+# exactly like the reference (Correction.format_string takes a
+# highlight.Formatter, spelling.py:221-240) — re-exported here for the
+# reference's import ergonomics
+from whoosh_reloaded_spark.highlight import (  # noqa: E402,F401
+    HtmlFormatter,
+)
 
 
 class Correction:
@@ -122,21 +114,30 @@ class Correction:
 
     def format_string(self, formatter=None) -> str:
         """Rebuild the original string with corrected words substituted;
-        a formatter (``format_token(text, num)``) wraps each correction
-        (reference Correction.format_string, spelling.py:221-240)."""
+        a highlight Formatter (``format_token(text, token)``) wraps each
+        correction (reference Correction.format_string,
+        spelling.py:221-240, which formats with replace=True — the
+        token's REPLACEMENT text, not the original span)."""
+        from whoosh_reloaded_spark.highlight import Tok
+
         if not self.original_string:
             return ""
         if isinstance(formatter, type):
             formatter = formatter()
         out, cursor = [], 0
-        nums: Dict[str, int] = {}
         for tok in self.tokens:
             out.append(self.original_string[cursor:tok.startchar])
             if formatter is None:
                 out.append(tok.text)
             else:
-                num = nums.setdefault(tok.text, len(nums))
-                out.append(formatter.format_token(tok.text, num))
+                # replace=True adapter: hand the formatter the corrected
+                # word as the whole "text" so its span read yields the
+                # replacement; seen-numbering lives in the formatter
+                out.append(
+                    formatter.format_token(
+                        tok.text, Tok(tok.text, 0, len(tok.text), True)
+                    )
+                )
             cursor = tok.endchar
         out.append(self.original_string[cursor:])
         return "".join(out)
