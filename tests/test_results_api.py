@@ -234,6 +234,15 @@ def test_extend_does_not_corrupt_donor(searcher):
     assert a[0]._results is a and [h.rank for h in a] == a_ranks
 
 
+def test_results_copy(searcher):
+    a = searcher.search_results(Term("man"), limit=10, terms=True)
+    c = a.copy()
+    c.filter(searcher.search_results(Term("who"), limit=10))
+    assert len(c) == 1 and len(a) == 2  # original untouched
+    assert c.matched_terms() == a.matched_terms()
+    assert c[0]._results is c and a[0]._results is a
+
+
 def test_terms_true_empty_results(searcher):
     """terms=True with zero hits still marks terms as recorded."""
     r = searcher.search_results(Term("zzzmissing"), limit=10, terms=True)

@@ -1312,6 +1312,22 @@ class Results:
         # the donor's rank/_results
         return Hit(h.rank, h.docnum, h.score, dict(h._fields))
 
+    def copy(self) -> "Results":
+        """Independent copy with cloned Hit objects (Results.copy,
+        searching.py:1203-1211); shares the searcher and highlight
+        pipeline settings."""
+        r = Results(
+            [self._adopt(h) for h in self._hits],
+            terms=self.terms, searcher=self.searcher,
+        )
+        r.fragmenter, r.formatter = self.fragmenter, self.formatter
+        r.scorer, r.order = self.scorer, self.order
+        r._matched = (
+            dict(self._matched) if self._matched is not None else None
+        )
+        r._groups = self._groups
+        return r
+
     def extend(self, results: "Results") -> None:
         """Append the other results' hits not already present
         (Results.extend, searching.py:1326-1338)."""
