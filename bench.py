@@ -141,6 +141,10 @@ def main():
             "metric": "index_build_plus_bm25_query_bench",
             "value": round(total, 3),
             "unit": "sec",
+            # `value` is wall time for build + ALL query reps (5/query
+            # since round 3's median change) — NOT comparable with the
+            # single-rep totals of rounds 1-2; compare per-query p50s
+            "query_p50_sum": round(sum(queries.values()), 3),
             "queries": queries,
             "sf": sf,
             "build": {
