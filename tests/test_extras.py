@@ -458,6 +458,14 @@ def test_term_vectors_column(spark):
             .select("term", "weight").collect()
         }
         assert dict(r["vector"]) == posts
+    # Searcher.vector accessor (IndexReader.vector_as("weight"))
+    s = Searcher(ix)
+    d0 = sample[0]["docid"]
+    assert s.vector(d0) == dict(sample[0]["vector"])
+    # vector-less index: reuse the module's ix shape cheaply via a tiny df
+    tiny = spark.createDataFrame([("u", "a b")], "url string, text string")
+    with pytest.raises(ValueError):
+        Searcher(build_index(tiny)).vector(0)
 
 
 def test_scaled_or_zero_term_matchers_yields_docs(spark):

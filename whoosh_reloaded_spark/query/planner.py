@@ -1323,9 +1323,21 @@ class Results:
         r.fragmenter, r.formatter = self.fragmenter, self.formatter
         r.scorer, r.order = self.scorer, self.order
         r._matched = (
-            dict(self._matched) if self._matched is not None else None
+            {k: list(v) for k, v in self._matched.items()}
+            if self._matched is not None
+            else None
         )
-        r._groups = self._groups
+        r._groups = (
+            {
+                n: {
+                    k: (list(v) if isinstance(v, list) else v)
+                    for k, v in g.items()
+                }
+                for n, g in self._groups.items()
+            }
+            if self._groups is not None
+            else None
+        )
         return r
 
     def extend(self, results: "Results") -> None:
