@@ -486,6 +486,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def repetition_scores(spark, sf):
+        """Gopher-style duplicate/top 2-gram fractions — repetition
+        quality filter for training pipelines (textops/quality.py)."""
+        from whoosh_reloaded_spark.textops.quality import (
+            repetition_scores as _rep,
+        )
+
+        return _rep(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    q["repetition_scores"] = repetition_scores
+
     def dedup_corpus_keep(spark, sf):
         """End-to-end near-dup corpus dedup: LSH pairs -> distributed
         min-label clustering -> drop non-canonical docs; returns kept ids."""
@@ -1312,6 +1323,33 @@ FROM g, q
 WHERE doc_id != 0
 ORDER BY jaccard DESC, doc_id ASC
 LIMIT 10
+"""
+
+    o["repetition_scores"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0) AS t
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS gram
+  FROM tok0 a JOIN tok0 b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(cnt) AS tot,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+         max(cnt) AS mx
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.tot, 0) AS BIGINT) AS n_ngrams,
+       round(coalesce(a.dup * 1.0 / a.tot, 0.0), 6) AS dup_ngram_frac,
+       round(coalesce(a.mx * 1.0 / a.tot, 0.0), 6) AS top_ngram_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
     _stops = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))

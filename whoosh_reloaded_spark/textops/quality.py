@@ -121,6 +121,59 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
 BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per doc (token-occurrence form of
+    the published "duplicate / top n-gram fraction" quality filters):
+
+    - ``n_ngrams``       — number of token n-gram occurrences;
+    - ``dup_ngram_frac`` — fraction of occurrences whose n-gram appears
+      more than once in the doc;
+    - ``top_ngram_frac`` — occurrences of the single most-frequent n-gram
+      over all occurrences.
+
+    Scales as a (doc, gram) count shuffle with map-side combine plus the
+    per-doc reduce — work linear in doc length (no O(len^2) HOF scan),
+    so a 10k-token web page costs the same per token as a tweet.  Docs
+    with < n tokens report zeros."""
+    toks = _tokens(text_col)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        # 2-param HOF lambda: i is the 0-based index (deliberate — see
+        # the slice bound above); gram = tokens[i+1 .. i+n] joined
+        lambda x, i: F.concat_ws(
+            " ",
+            F.array(
+                *[
+                    F.element_at(toks, i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    )
+    g = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("_tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+        F.max("c").alias("_mx"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_tot"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.round(
+                F.coalesce(F.col("_dup") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("dup_ngram_frac"),
+            F.round(
+                F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("top_ngram_frac"),
+        )
+    )
+
+
 def token_count_bpe(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, n_bpe_tokens): pre-tokenizer match count per document —
     the training-pipeline token-budget estimate, fully JVM-side."""
