@@ -497,6 +497,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_scores"] = repetition_scores
 
+    def scrub_pii(spark, sf):
+        """PII/URL scrub (textops/quality.py scrub): each doc gets a
+        synthetic contact suffix injected so the email/url/phone
+        replacements are actually exercised, then the scrubbed text must
+        match the oracle char-for-char."""
+        from whoosh_reloaded_spark.textops.quality import scrub
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com  or https://ex.org/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" tel +1 (555) 010-"),
+                F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        return scrub(docs)
+
+    q["scrub_pii"] = scrub_pii
+
     def dedup_corpus_keep(spark, sf):
         """End-to-end near-dup corpus dedup: LSH pairs -> distributed
         min-label clustering -> drop non-canonical docs; returns kept ids."""
@@ -1350,6 +1373,27 @@ SELECT d.doc_id,
        round(coalesce(a.dup * 1.0 / a.tot, 0.0), 6) AS dup_ngram_frac,
        round(coalesce(a.mx * 1.0 / a.tot, 0.0), 6) AS top_ngram_frac
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+    o["scrub_pii"] = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com  or https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+              || ' tel +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+         '\s+', ' ', 'g')) AS text
+FROM injected
 """
 
     _stops = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))

@@ -174,6 +174,30 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# conservative dialect-portable patterns (no lookaround — valid in both
+# Java regex and RE2-style engines)
+SCRUB_PATTERNS = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def scrub(docs: DataFrame, id_col: str = "doc_id",
+          text_col: str = "text",
+          kinds=("email", "url", "phone")) -> DataFrame:
+    """PII/URL scrubbing for training pipelines: replace emails, URLs and
+    phone-like runs with typed placeholder tokens, then collapse the
+    leftover whitespace.  Pure JVM ``regexp_replace`` chain — no UDF, no
+    shuffle; at 100 TB this is a map-only pass."""
+    col = F.col(text_col)
+    for kind in kinds:
+        pat, repl = SCRUB_PATTERNS[kind]
+        col = F.regexp_replace(col, pat, repl)
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return docs.select(F.col(id_col), col.alias("text"))
+
+
 def token_count_bpe(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, n_bpe_tokens): pre-tokenizer match count per document —
     the training-pipeline token-budget estimate, fully JVM-side."""
