@@ -520,6 +520,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scrub_pii"] = scrub_pii
 
+    def decontaminate(spark, sf):
+        """Benchmark decontamination (textops/dedup.py decontaminate):
+        docs 0-4 act as the eval benchmark; every other doc is flagged
+        by distinct shared word 3-grams."""
+        from whoosh_reloaded_spark.textops.dedup import (
+            decontaminate as _dc,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return _dc(
+            docs.where(F.col("doc_id") >= 5),
+            docs.where(F.col("doc_id") < 5),
+            n=3,
+        )
+
+    q["decontaminate"] = decontaminate
+
     def dedup_corpus_keep(spark, sf):
         """End-to-end near-dup corpus dedup: LSH pairs -> distributed
         min-label clustering -> drop non-canonical docs; returns kept ids."""
@@ -1374,6 +1391,26 @@ SELECT d.doc_id,
        round(coalesce(a.mx * 1.0 / a.tot, 0.0), 6) AS top_ngram_frac
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+    o["decontaminate"] = (
+        raw_cte
+        + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(toks) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+  FROM t
+),
+d AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 5),
+b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5),
+hits AS (SELECT d.doc_id, count(*) AS n FROM d JOIN b USING (g) GROUP BY 1)
+SELECT doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       coalesce(n, 0) > 0 AS contaminated
+FROM documents LEFT JOIN hits USING (doc_id)
+WHERE doc_id >= 5
+"""
+    )
 
     o["scrub_pii"] = r"""
 WITH injected AS (

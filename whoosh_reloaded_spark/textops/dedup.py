@@ -58,6 +58,40 @@ def with_shingles(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination (the published GPT-3/PaLM recipe: drop
+    training docs sharing any word n-gram with an eval benchmark):
+    returns (id, n_hits, contaminated) per TRAINING doc, where n_hits
+    counts the distinct benchmark n-grams the doc contains.
+
+    Plan shape: both sides shingle to distinct n-grams, the benchmark
+    side deduplicates globally, and contamination is ONE equi-join on
+    the shingle hash — benchmark sets are small (thousands of docs), so
+    AQE broadcasts them and the 100-TB side streams map-only."""
+    d = with_shingles(docs, id_col, text_col, k=n).select(
+        F.col(id_col), F.explode("shingles").alias("sh")
+    )
+    b = (
+        with_shingles(benchmark, id_col, text_col, k=n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    hits = d.join(b, "sh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        n_hashes: int = 16) -> DataFrame:
