@@ -537,6 +537,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = decontaminate
 
+    def clean_corpus(spark, sf):
+        """Composed C4/Gopher cleaning pipeline (textops/quality.py
+        clean_corpus): token bounds + repetition thresholds + exact-dup
+        keep-first, with per-doc violation reasons."""
+        from whoosh_reloaded_spark.textops.quality import (
+            clean_corpus as _cc,
+        )
+
+        return _cc(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            min_tokens=45, max_dup_frac=0.35, max_top_frac=0.12,
+        )
+
+    q["clean_corpus"] = clean_corpus
+
     def dedup_corpus_keep(spark, sf):
         """End-to-end near-dup corpus dedup: LSH pairs -> distributed
         min-label clustering -> drop non-canonical docs; returns kept ids."""
@@ -1411,6 +1426,54 @@ FROM documents LEFT JOIN hits USING (doc_id)
 WHERE doc_id >= 5
 """
     )
+
+    o["clean_corpus"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0) AS t
+  FROM documents
+),
+cnt AS (SELECT doc_id, length(t) AS n FROM toks),
+tok0 AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS gram
+  FROM tok0 a JOIN tok0 b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(cnt) AS tot,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+         max(cnt) AS mx
+  FROM c GROUP BY 1
+),
+dups AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+r AS (
+  SELECT d.doc_id,
+         list_sort(list_filter([
+           CASE WHEN cnt.n < 45 THEN 'too_short' END,
+           CASE WHEN cnt.n > 100000 THEN 'too_long' END,
+           CASE WHEN round(coalesce(a.dup * 1.0 / a.tot, 0.0), 6) > 0.35
+                THEN 'repetitive_dup' END,
+           CASE WHEN round(coalesce(a.mx * 1.0 / a.tot, 0.0), 6) > 0.12
+                THEN 'repetitive_top' END,
+           CASE WHEN dups.rn > 1 THEN 'duplicate' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM documents d
+  JOIN cnt USING (doc_id)
+  LEFT JOIN agg a USING (doc_id)
+  JOIN dups USING (doc_id)
+)
+SELECT doc_id,
+       length(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS reasons
+FROM r
+"""
 
     o["scrub_pii"] = r"""
 WITH injected AS (

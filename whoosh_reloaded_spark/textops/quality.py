@@ -198,6 +198,73 @@ def scrub(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), col.alias("text"))
 
 
+def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_tokens: int = 20, max_tokens: int = 100_000,
+                 max_dup_frac: float = 0.6, max_top_frac: float = 0.3,
+                 allowed_langs=None,
+                 drop_exact_dups: bool = True) -> DataFrame:
+    """Composed C4/Gopher-style cleaning pipeline: per doc,
+    ``(id, keep, reasons)`` where `reasons` is the sorted
+    comma-joined list of violated rules —
+
+    - ``too_short`` / ``too_long``   — token-count bounds;
+    - ``repetitive_dup`` / ``repetitive_top`` — duplicate / top n-gram
+      occurrence fractions over the thresholds (repetition_scores);
+    - ``lang``                       — detected language (language_id)
+      not in `allowed_langs` (rule skipped when None);
+    - ``duplicate``                  — exact duplicate text, keeping the
+      lowest id of each group (rule skipped when drop_exact_dups=False).
+
+    Every component is the already-verified relational op; the
+    composition is joins on the id — no new shuffles beyond the
+    components' own (each is one agg or window)."""
+    q = quality_scores(docs, id_col, text_col).select(id_col, "n_tokens")
+    rep = repetition_scores(docs, id_col, text_col).select(
+        id_col, "dup_ngram_frac", "top_ngram_frac"
+    )
+    base = docs.select(id_col, text_col).join(q, id_col).join(rep, id_col)
+    checks = [
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+        F.when(
+            F.col("dup_ngram_frac") > max_dup_frac,
+            F.lit("repetitive_dup"),
+        ),
+        F.when(
+            F.col("top_ngram_frac") > max_top_frac,
+            F.lit("repetitive_top"),
+        ),
+    ]
+    if allowed_langs is not None:
+        lang = language_id(docs, id_col, text_col).select(
+            id_col, F.col("pred_lang").alias("_det_lang")
+        )
+        base = base.join(lang, id_col)
+        checks.append(
+            F.when(
+                ~F.col("_det_lang").isin(list(allowed_langs)),
+                F.lit("lang"),
+            )
+        )
+    if drop_exact_dups:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+        base = base.withColumn("_dup_rn", F.row_number().over(w))
+        checks.append(
+            F.when(F.col("_dup_rn") > 1, F.lit("duplicate"))
+        )
+    reasons = F.array_sort(
+        F.filter(F.array(*checks), lambda x: x.isNotNull())
+    )
+    return base.select(
+        F.col(id_col),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )
+
+
 def token_count_bpe(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, n_bpe_tokens): pre-tokenizer match count per document —
     the training-pipeline token-budget estimate, fully JVM-side."""
