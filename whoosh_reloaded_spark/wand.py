@@ -128,41 +128,30 @@ def wand_topk(searcher, terms: List[str], k: int = 10,
     # (unsaved) fall back to range-containment against the block stats.
     post = ix.postings.where(F.col("term").isin(terms))
     has_block_no = "block_no" in post.columns
+    if not has_block_no:
+        # unsaved in-memory index: derive block_no on the fly — the salted
+        # two-phase ranking is deterministic per (term, docid), and all
+        # rows of the query's terms are present, so the numbering matches
+        # ix.blocks exactly.  Keeps the equi-join path; no broadcast of
+        # O(df/128) range lists.
+        from whoosh_reloaded_spark.index.build import with_block_no
 
-    if has_block_no:
+        post = with_block_no(post)
 
-        def _in_blocks(p, blist):
-            return p.join(
-                blist.select(
-                    F.col("b_term").alias("term"),
-                    F.col("b_no").alias("block_no"),
-                ),
-                ["term", "block_no"],
-                "left_semi",
-            )
+    def _in_blocks(p, blist):
+        return p.join(
+            blist.select(
+                F.col("b_term").alias("term"),
+                F.col("b_no").alias("block_no"),
+            ),
+            ["term", "block_no"],
+            "left_semi",
+        )
 
-        def _bsel(bdf):
-            return bdf.select(
-                F.col("term").alias("b_term"), F.col("block_no").alias("b_no")
-            )
-
-    else:
-
-        def _in_blocks(p, blist):
-            return p.join(
-                F.broadcast(blist),
-                (p["term"] == blist["b_term"])
-                & (p["docid"] >= blist["b_lo"])
-                & (p["docid"] <= blist["b_hi"]),
-                "left_semi",
-            )
-
-        def _bsel(bdf):
-            return bdf.select(
-                F.col("term").alias("b_term"),
-                F.col("min_docid").alias("b_lo"),
-                F.col("max_docid").alias("b_hi"),
-            )
+    def _bsel(bdf):
+        return bdf.select(
+            F.col("term").alias("b_term"), F.col("block_no").alias("b_no")
+        )
 
     best = _bsel(
         blocks.where(
