@@ -286,6 +286,42 @@ def test_groupedby_respects_filter(spark):
     assert r2.groups() == {"x": 1, "y": 1}
 
 
+def test_combine_reference_shapes(spark):
+    """Mirrors the reference tests/test_results.py::test_combine corpus
+    and literal expected orderings — combinator semantics AND BM25 rank
+    order must both match for these to pass."""
+    docs = [
+        ("1", "alfa bravo charlie all"),
+        ("2", "bravo charlie echo all"),
+        ("3", "charlie echo foxtrot all"),
+        ("4", "echo foxtrot india all"),
+        ("5", "foxtrot india juliet all"),
+        ("6", "india juliet alfa all"),
+        ("7", "juliet alfa bravo all"),
+        ("8", "charlie charlie charlie all"),
+    ]
+    df = spark.createDataFrame(docs, "url string, text string")
+    s = Searcher(build_index(df))
+
+    def rfor(t):
+        return s.search_results(Term(t), limit=None)
+
+    def idsof(r):
+        return "".join(h["uid"] for h in r)
+
+    def check(r1, method, r2, ids):
+        getattr(r1, method)(r2)
+        assert idsof(r1) == ids, (method, idsof(r1))
+
+    assert idsof(rfor("foxtrot")) == "345"
+    check(rfor("foxtrot"), "extend", rfor("charlie"), "345812")
+    check(rfor("foxtrot"), "filter", rfor("juliet"), "5")
+    check(rfor("charlie"), "filter", rfor("foxtrot"), "3")
+    check(rfor("all"), "filter", rfor("foxtrot"), "345")
+    check(rfor("all"), "upgrade", rfor("india"), "45612378")
+    check(rfor("charlie"), "upgrade_and_extend", rfor("echo"), "23814")
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1
