@@ -313,6 +313,11 @@ def test_combine_reference_shapes(spark):
         getattr(r1, method)(r2)
         assert idsof(r1) == ids, (method, idsof(r1))
 
+    # estimated_length counts ALL matches even under a tighter limit
+    r_lim = s.search_results(Term("all"), limit=3)
+    assert len(r_lim) == 3 and r_lim.scored_length() == 3
+    assert r_lim.estimated_length() == 8
+
     assert idsof(rfor("foxtrot")) == "345"
     check(rfor("foxtrot"), "extend", rfor("charlie"), "345812")
     check(rfor("foxtrot"), "filter", rfor("juliet"), "5")

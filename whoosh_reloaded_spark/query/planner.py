@@ -1264,6 +1264,8 @@ class Results:
         self.searcher = searcher
         self._matched: Optional[Dict[int, List[str]]] = None
         self._groups: Optional[Dict[str, dict]] = None
+        self._q = None
+        self._total: Optional[int] = None
         self.fragmenter = ContextFragmenter()
         self.formatter = HtmlFormatter(tagname="b")
         self.scorer = BasicFragmentScorer()
@@ -1300,6 +1302,21 @@ class Results:
     def scored_length(self):
         return len(self._hits)
 
+    def estimated_length(self) -> int:
+        """Total number of matching documents (Results.estimated_length,
+        searching.py:1157-1165 — exact here).  NOTE: unlike the
+        reference, ``len(results)`` is the SCORED length (the collected
+        top-k), because counting every match is a separate distributed
+        job at scale; this method runs that job lazily and caches it."""
+        if getattr(self, "_total", None) is None:
+            if self.searcher is None or self._q is None:
+                self._total = len(self._hits)
+            else:
+                self._total = self.searcher._eval(
+                    self._q.normalize()
+                ).count()
+        return self._total
+
     def _renumber(self):
         for i, h in enumerate(self._hits):
             h.rank = i
@@ -1322,6 +1339,7 @@ class Results:
         )
         r.fragmenter, r.formatter = self.fragmenter, self.formatter
         r.scorer, r.order = self.scorer, self.order
+        r._q, r._total = self._q, self._total
         r._matched = (
             {k: list(v) for k, v in self._matched.items()}
             if self._matched is not None
@@ -1507,6 +1525,7 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
         terms={t for _, t in _leaf_terms(q)},
         searcher=self,
     )
+    r._q = q
     if terms:
         if len(r):
             docnums = list(r.docs())
