@@ -327,6 +327,34 @@ def test_combine_reference_shapes(spark):
     check(rfor("charlie"), "upgrade_and_extend", rfor("echo"), "23814")
 
 
+def test_pages_reference_shapes(spark):
+    """Mirrors tests/test_results.py::test_pages: Frequency weighting,
+    page slicing, and the past-the-end clamping semantics."""
+    from whoosh_reloaded_spark.scoring import Frequency
+
+    docs = [(str(i), "alfa " * (7 - i)) for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "url string, text string")
+    s = Searcher(build_index(df), Frequency())
+
+    r = s.search_results(Term("alfa"), limit=10)
+    assert [h["uid"] for h in r] == ["1", "2", "3", "4", "5", "6"]
+
+    p = s.search_page_results(Term("alfa"), 2, pagelen=2)
+    assert [h["uid"] for h in p] == ["3", "4"]
+    assert p.offset == 2 and not p.is_last_page()
+
+    p2 = s.search_page_results(Term("alfa"), 2, pagelen=4)
+    assert p2.total == 6
+    assert p2.pagenum == 2
+    assert p2.pagelen == 2
+    assert [h["uid"] for h in p2] == ["5", "6"]
+    assert p2.is_last_page() and p2.pagecount == 2
+    assert p2.docnum(0) == p2[0].docnum
+
+    with pytest.raises(ValueError):
+        s.search_page_results(Term("alfa"), 0)
+
+
 def test_highlights_explicit_text(searcher):
     r = searcher.search_results(Term("dragon"), limit=5)
     assert len(r) == 1

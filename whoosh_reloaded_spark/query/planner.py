@@ -1450,6 +1450,72 @@ class Results:
         self._renumber()
 
 
+class ResultsPage:
+    """One page of a longer result list (searching.py:1612-1700): same
+    clamping semantics — a pagenum past the end returns the LAST page,
+    and ``pagelen`` is the count actually on this page."""
+
+    def __init__(self, results: "Results", pagenum: int, pagelen: int = 10,
+                 total: Optional[int] = None):
+        import math
+
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        self.results = results
+        # reference total = ALL matches, not just the collected window
+        self.total = total if total is not None else len(results)
+        self.pagecount = int(math.ceil(self.total / pagelen))
+        self.pagenum = min(self.pagecount, pagenum)
+        offset = (self.pagenum - 1) * pagelen
+        if offset + pagelen > self.total:
+            pagelen = self.total - offset
+        self.offset = offset
+        self.pagelen = pagelen
+
+    def __getitem__(self, n):
+        if isinstance(n, slice):
+            start, stop, step = n.indices(self.pagelen)
+            return self.results[
+                slice(start + self.offset, stop + self.offset, step)
+            ]
+        return self.results[n + self.offset]
+
+    def __iter__(self):
+        return iter(
+            self.results[self.offset:self.offset + self.pagelen]
+        )
+
+    def __len__(self):
+        return self.total
+
+    def is_last_page(self) -> bool:
+        return self.pagecount == 0 or self.pagenum == self.pagecount
+
+    def score(self, n):
+        return self.results.score(n + self.offset)
+
+    def docnum(self, n):
+        return self.results.docnum(n + self.offset)
+
+
+def _search_page_results(self, q, pagenum: int, pagelen: int = 10,
+                         **kw) -> ResultsPage:
+    """ResultsPage search (Searcher.search_page, searching.py:617-669):
+    collects the top pagenum*pagelen hits once and slices the page."""
+    if pagenum < 1:
+        raise ValueError("pagenum must be >= 1")
+    r = self.search_results(q, limit=pagenum * pagelen, **kw)
+    # the reference's ResultsPage.total is the FULL match count; run the
+    # lazy count only when the collected window filled up (otherwise the
+    # window already saw every match)
+    total = (
+        r.estimated_length()
+        if len(r) == pagenum * pagelen
+        else len(r)
+    )
+    return ResultsPage(r, pagenum, pagelen, total=total)
+
+
 def _search_results(self, q, limit=10, stored_cols=None, terms=False,
                     groupedby=None, filter=None, mask=None,
                     sortedby=None, reverse=False, collapse=None,
@@ -1592,3 +1658,4 @@ def _search_results(self, q, limit=10, stored_cols=None, terms=False,
 
 
 Searcher.search_results = _search_results
+Searcher.search_page_results = _search_page_results
