@@ -1149,7 +1149,7 @@ SELECT doc_id, round(sum(s), 6) AS score
 FROM scored
 WHERE term IN (
   SELECT term FROM stats
-  WHERE term LIKE 's%' AND damerau_levenshtein(term, 'sparc') <= 1
+  WHERE term LIKE 's%' AND levenshtein(term, 'sparc') <= 1
 )
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
@@ -1967,7 +1967,7 @@ WHERE term IN ('spark', 'join')
 SELECT CAST(row_number() OVER (ORDER BY f DESC, term ASC) AS INT) AS rank,
        term
 FROM cand
-WHERE term <> 'sprak' AND damerau_levenshtein(term, 'sprak') <= 2
+WHERE levenshtein(term, 'sprak') <= 2
 ORDER BY rank
 LIMIT 5
 """

@@ -538,3 +538,93 @@ def test_results_wrapper(spark):
     assert "uid" in f and "lang" in f
     assert "uid" in res[0] and res[0]["lang"] == f["lang"]
     assert [h.rank for h in res] == [0, 1, 2, 3, 4]
+
+
+def test_constant_score_parity(whoosh_ix, our_ix):
+    """ConstantScoreQuery golden parity (reference query/wrappers.py:146-181):
+    fixed score for every matching doc, standalone and as an Or clause."""
+    from whoosh.query import ConstantScoreQuery as WCSQ
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    from whoosh_reloaded_spark.query import ConstantScoreQuery, Or, Term
+
+    s = Searcher(our_ix)
+    with whoosh_ix.searcher() as ws_:
+        for ours_q, theirs_q in [
+            (
+                ConstantScoreQuery(Term("render"), 2.5),
+                WCSQ(WT("text", "render"), 2.5),
+            ),
+            (
+                Or((ConstantScoreQuery(Term("render"), 1.5), Term("yellow"))),
+                WOr([WCSQ(WT("text", "render"), 1.5), WT("text", "yellow")]),
+            ),
+        ]:
+            ours = [
+                (uid, score) for _, uid, score in s.search_list(ours_q, 10)
+            ]
+            theirs = [
+                (h["url"], h.score) for h in ws_.search(theirs_q, limit=10)
+            ]
+            _assert_same(ours, theirs, repr(ours_q))
+
+
+def test_weighting_query_parity(whoosh_ix, our_ix):
+    """WeightingQuery golden parity (reference query/wrappers.py:184-199).
+
+    The reference's ``WeightingQuery.matcher`` has a state bug: it calls
+    ``context.set(weighting=...)`` but ``SearchContext.set`` returns a
+    *copy* (searching.py:90-93) which is discarded, so the wrapper is a
+    silent no-op — the child scores with the searcher's model.  Per this
+    repo's document-and-deviate convention we implement the *intended*
+    semantics (subtree scored under the wrapped model) and build the
+    golden from the reference's own per-child scores: a standalone
+    WeightingQuery(child, W) must equal the reference searching `child`
+    with ``weighting=W``, and an Or composition must equal the sum of the
+    reference's per-child scores under each child's model."""
+    from whoosh import scoring as wsc
+    from whoosh.query import Term as WT
+
+    import whoosh_reloaded_spark.scoring as ss
+    from whoosh_reloaded_spark.query import Or, Term, WeightingQuery
+
+    s = Searcher(our_ix)
+
+    # standalone: equal to the reference under weighting=TF_IDF
+    ours = [
+        (uid, score)
+        for _, uid, score in s.search_list(
+            WeightingQuery(Term("render"), ss.TF_IDF()), 10
+        )
+    ]
+    with whoosh_ix.searcher(weighting=wsc.TF_IDF()) as ws_:
+        theirs = [
+            (h["url"], h.score)
+            for h in ws_.search(WT("text", "render"), limit=10)
+        ]
+    _assert_same(ours, theirs, "weighting_query standalone")
+
+    # Or composition: reference per-child scores under each child's model
+    with whoosh_ix.searcher(weighting=wsc.TF_IDF()) as ws_:
+        tfidf_scores = {
+            h["url"]: h.score
+            for h in ws_.search(WT("text", "render"), limit=None)
+        }
+    with whoosh_ix.searcher() as ws_:
+        bm25_scores = {
+            h["url"]: h.score
+            for h in ws_.search(WT("text", "yellow"), limit=None)
+        }
+    expected = {}
+    for u, sc in tfidf_scores.items():
+        expected[u] = expected.get(u, 0.0) + sc
+    for u, sc in bm25_scores.items():
+        expected[u] = expected.get(u, 0.0) + sc
+    got = s.search_list(
+        Or((WeightingQuery(Term("render"), ss.TF_IDF()), Term("yellow"))),
+        limit=None,
+    )
+    assert len(got) == len(expected)
+    for _, uid, score in got:
+        assert score == pytest.approx(expected[uid], rel=1e-9), uid

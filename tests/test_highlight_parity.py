@@ -211,3 +211,93 @@ def test_top_and_order():
     assert ours in ("alfa BRAVO charlie", "hotel INDIA juliet")
     assert highlight(_DOC, {"zulu"}, None, WholeFragmenter(),
                      UppercaseFormatter()) == ""
+
+
+# -- GenshiEventFormatter (event-stream) ---------------------------------------
+
+
+def test_genshi_event_formatter_token_events():
+    """format_token emits the reference's START/TEXT/END triple
+    (highlight.py:881-891) with the (None,-1,-1) placeholder pos."""
+    from whoosh_reloaded_spark.highlight import (
+        STREAM_END,
+        STREAM_START,
+        STREAM_TEXT,
+        GenshiEventFormatter,
+        Tok,
+    )
+
+    f = GenshiEventFormatter()
+    text = "alpha beta gamma"
+    tok = Tok("beta", 6, 10, True)
+    assert f.format_token(text, tok) == [
+        (STREAM_START, ("strong", ()), (None, -1, -1)),
+        (STREAM_TEXT, "beta", (None, -1, -1)),
+        (STREAM_END, "strong", (None, -1, -1)),
+    ]
+
+
+def test_genshi_event_formatter_fragment_and_merge():
+    """Fragment events: plain text between matches becomes merged TEXT
+    events (reference _add_text, highlight.py:874-878); the `between`
+    separator merges into the next fragment's leading TEXT."""
+    from whoosh_reloaded_spark.highlight import (
+        STREAM_END,
+        STREAM_START,
+        STREAM_TEXT,
+        Fragment,
+        GenshiEventFormatter,
+        Tok,
+        render_event_stream,
+    )
+
+    text = "alpha beta gamma beta tail"
+    toks = [Tok("beta", 6, 10, True), Tok("beta", 17, 21, True)]
+    frag = Fragment(text, toks)
+    f = GenshiEventFormatter(qname="em", between="|")
+    ev = f.format_fragment(frag)
+    assert ev == [
+        (STREAM_TEXT, "alpha ", (None, -1, -1)),
+        (STREAM_START, ("em", ()), (None, -1, -1)),
+        (STREAM_TEXT, "beta", (None, -1, -1)),
+        (STREAM_END, "em", (None, -1, -1)),
+        (STREAM_TEXT, " gamma ", (None, -1, -1)),
+        (STREAM_START, ("em", ()), (None, -1, -1)),
+        (STREAM_TEXT, "beta", (None, -1, -1)),
+        (STREAM_END, "em", (None, -1, -1)),
+        (STREAM_TEXT, " tail", (None, -1, -1)),
+    ]
+    assert render_event_stream(ev) == (
+        "alpha <em>beta</em> gamma <em>beta</em> tail"
+    )
+
+    # two fragments: "| " separator TEXT merges with the next fragment's
+    # leading text into ONE event, like Stream concatenation
+    f2 = Fragment("beta again", [Tok("beta", 0, 4, True)])
+    ev2 = f.format([frag, f2])
+    # the separator merges into the PREVIOUS fragment's trailing TEXT
+    # (the reference adds `between` via the same shared _add_text)
+    assert (STREAM_TEXT, " tail|", (None, -1, -1)) in ev2
+    f3 = Fragment("x beta", [Tok("beta", 2, 6, True)])
+    ev3 = f.format([frag, f3])
+    assert (STREAM_TEXT, " tail|x ", (None, -1, -1)) in ev3
+    assert render_event_stream(ev3) == (
+        "alpha <em>beta</em> gamma <em>beta</em> tail|x <em>beta</em>"
+    )
+
+
+def test_genshi_event_formatter_windowed_fragment():
+    """Documented deviation: the tail TEXT stops at fragment.endchar (the
+    reference's text[index:] would leak the rest of the document)."""
+    from whoosh_reloaded_spark.highlight import (
+        Fragment,
+        GenshiEventFormatter,
+        Tok,
+        render_event_stream,
+    )
+
+    text = "aa bb match cc dd THIS MUST NOT APPEAR"
+    frag = Fragment(text, [Tok("match", 6, 11, True)], startchar=3,
+                    endchar=14)
+    ev = GenshiEventFormatter(qname="b").format_fragment(frag)
+    assert render_event_stream(ev) == "bb <b>match</b> cc"

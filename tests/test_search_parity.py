@@ -276,6 +276,31 @@ def _q13():
     return FuzzyTerm("rendar"), WFuzzy("text", "rendar")
 
 
+@case("q13b_fuzzy_transposition")
+def _q13b():
+    # "redner" is OSA/Damerau distance 1 but PLAIN Levenshtein distance 2
+    # from "render": the reference's lev automaton has no transposition
+    # edges, so maxdist=1 must NOT match render (round-4 metric fix; the
+    # old OSA-based expansion wrongly matched here)
+    from whoosh.query import FuzzyTerm as WFuzzy
+
+    return (
+        FuzzyTerm("redner", maxdist=1),
+        WFuzzy("text", "redner", maxdist=1),
+    )
+
+
+@case("q13c_fuzzy_transposition_d2")
+def _q13c():
+    # at maxdist=2 both metrics admit "render" — rank parity must hold
+    from whoosh.query import FuzzyTerm as WFuzzy
+
+    return (
+        FuzzyTerm("redner", maxdist=2),
+        WFuzzy("text", "redner", maxdist=2),
+    )
+
+
 @case("q14_every")
 def _q14():
     from whoosh.query import Every as WEvery

@@ -400,6 +400,105 @@ class HtmlFormatter(Formatter):
         self.seen = {}
 
 
+# event-stream formatter (Genshi equivalent) ----------------------------------
+
+# event kind markers, standing in for genshi.core START/END/TEXT
+STREAM_START = "START"
+STREAM_END = "END"
+STREAM_TEXT = "TEXT"
+_NOPOS = (None, -1, -1)
+
+
+class GenshiEventFormatter(Formatter):
+    """The reference's GenshiFormatter (highlight.py:850-914) without the
+    Genshi dependency: emits the same ``(kind, data, pos)`` event-tuple
+    stream its Genshi ``Stream`` would carry — ``(START, (qname, attrs),
+    pos)`` / ``(TEXT, text, pos)`` / ``(END, qname, pos)`` with the
+    reference's ``(None, -1, -1)`` placeholder pos — as a plain list.
+    Adjacent TEXT events merge exactly like the reference's ``_add_text``
+    (highlight.py:874-878).
+
+    Documented deviation: the reference's ``format_fragment`` appends the
+    raw ``(text, token, replace)`` TUPLE to the stream (highlight.py:900)
+    instead of the token's START/TEXT/END events, producing a malformed
+    stream that Genshi cannot serialize; we emit the events its own
+    ``format_token`` builds (highlight.py:881-891), which is the
+    documented intent ("HTML formatting around the matched terms").
+    Second deviation: the reference's tail slice is ``text[index:]`` — the
+    remainder of the ENTIRE document, not the fragment window
+    (highlight.py:902-903) — which would dump everything after the last
+    match of a Context/Sentence fragment into its stream; we honor
+    ``fragment.endchar`` like every string formatter in the module."""
+
+    def __init__(self, qname: str = "strong", between: str = "..."):
+        self.qname = qname
+        self.between = between
+
+    def _add_text(self, text: str, output: list) -> None:
+        if output and output[-1][0] == STREAM_TEXT:
+            output[-1] = (STREAM_TEXT, output[-1][1] + text, _NOPOS)
+        else:
+            output.append((STREAM_TEXT, text, _NOPOS))
+
+    def format_token(self, text: str, token: Tok) -> list:
+        txt = text[token.startchar:token.endchar]
+        return [
+            (STREAM_START, (self.qname, ()), _NOPOS),
+            (STREAM_TEXT, txt, _NOPOS),
+            (STREAM_END, self.qname, _NOPOS),
+        ]
+
+    def format_fragment(self, fragment: Fragment) -> list:
+        output: list = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in fragment.matches:
+            if t.startchar > index:
+                self._add_text(text[index:t.startchar], output)
+            output.extend(self.format_token(text, t))
+            index = t.endchar
+        if index < len(text):
+            self._add_text(text[index:fragment.endchar], output)
+        return output
+
+    def format(self, fragments) -> list:
+        output: list = []
+        first = True
+        for fragment in fragments:
+            if not first:
+                self._add_text(self.between, output)
+            # extend + re-merge: a fragment-leading TEXT event merges into
+            # the trailing `between` text, like Stream concatenation after
+            # the reference's _add_text
+            for ev in self.format_fragment(fragment):
+                if ev[0] == STREAM_TEXT:
+                    self._add_text(ev[1], output)
+                else:
+                    output.append(ev)
+            first = False
+        return output
+
+    def __call__(self, text, fragments):
+        return self.format(fragments)
+
+
+def render_event_stream(stream) -> str:
+    """Serialize a :class:`GenshiEventFormatter` stream to HTML markup —
+    what ``genshi.core.Stream.render('html')`` would produce for these
+    events (convenience; not part of the reference surface)."""
+    out = []
+    for kind, data, _ in stream:
+        if kind == STREAM_START:
+            qn, attrs = data
+            a = "".join(f' {k}="{_htmlescape(v)}"' for k, v in attrs)
+            out.append(f"<{qn}{a}>")
+        elif kind == STREAM_END:
+            out.append(f"</{data}>")
+        else:
+            out.append(_htmlescape(data, quote=False))
+    return "".join(out)
+
+
 # -- entry points --------------------------------------------------------------
 
 

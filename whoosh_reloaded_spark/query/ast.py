@@ -152,6 +152,44 @@ class Not(Query):
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Wraps a query; every matching doc gets the fixed `score` instead of
+    the child's scores (reference query/wrappers.py:146-181: matcher is a
+    ListMatcher over the child's doc ids with ``all_weights=score``) — the
+    filter-clause optimization where scoring a branch is wasted work.  In
+    the DataFrame plan the child's score column is simply replaced by a
+    literal, which lets Catalyst prune the scoring expressions from the
+    child's scan."""
+
+    child: Query
+    score: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if isinstance(c, NullQuery):
+            return NullQuery()
+        return ConstantScoreQuery(c, self.score)
+
+
+@dataclass(frozen=True)
+class WeightingQuery(Query):
+    """Wraps a query; the subtree is scored with `weighting` (a
+    WeightingModel) instead of the searcher's model (reference
+    query/wrappers.py:184-199: matcher() re-plans the child with
+    ``context.set(weighting=...)``) — per-clause weighting, complementing
+    MultiWeighting's per-field dispatch."""
+
+    child: Query
+    weighting: object = None  # scoring.WeightingModel
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if isinstance(c, NullQuery):
+            return NullQuery()
+        return WeightingQuery(c, self.weighting)
+
+
+@dataclass(frozen=True)
 class AndNot(Query):
     """In a but not b; scored by a (compound.py:548-577) → left-anti join."""
 
@@ -330,7 +368,10 @@ class Variations(_MultiTerm):
 
 @dataclass(frozen=True)
 class FuzzyTerm(_MultiTerm):
-    """Terms within Damerau-Levenshtein maxdist (terms.py:436-520)."""
+    """Terms within plain-Levenshtein maxdist (terms.py:436-520).  The
+    reference's docstrings say Damerau-Levenshtein, but its expansion
+    (terms_within -> automata/lev.py) builds no transposition edges —
+    see planner.levenshtein_distance."""
 
     text: str
     fieldname: str = "text"

@@ -47,10 +47,40 @@ PHRASE_BROADCAST_DF = 2_000_000  # rare-word docid frames below this df are
 # broadcast for the phrase pre-prune semi-join (~16 MB of longs)
 
 
+def levenshtein_distance(a: str, b: str, limit: Optional[int] = None) -> int:
+    """Plain Levenshtein (insert/delete/substitute — NO transposition): the
+    metric the reference actually applies to fuzzy expansion and spelling.
+    Its levenshtein_automaton (automata/lev.py:4-27) builds only
+    deletion/insertion/substitution edges, so ``terms_within`` — the engine
+    behind FuzzyTerm._btexts (query/terms.py:511-513) and ReaderCorrector
+    (spelling.py:110) — never matches transposition-only neighbors, despite
+    docstrings that say "Damerau-Levenshtein" (the shipped
+    support/levenshtein.damerau_levenshtein has no runtime callers).
+    Verified live: FuzzyTerm("abdc", maxdist=1) does NOT match "abcd".
+    Banded DP with early exit at `limit`."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if limit is not None and abs(la - lb) > limit:
+        return limit + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if limit is not None and min(cur) > limit:
+            return limit + 1
+        prev = cur
+    return prev[lb]
+
+
 def osa_distance(a: str, b: str, limit: Optional[int] = None) -> int:
     """Restricted Damerau-Levenshtein (optimal string alignment) distance —
-    the classic public DP algorithm; matches the reference's fuzzy expansion
-    semantics (support/levenshtein.py behavior, re-implemented)."""
+    the classic public DP algorithm, equivalent to the reference's shipped
+    support/levenshtein.damerau_levenshtein.  NOT used on the fuzzy/spelling
+    paths (see :func:`levenshtein_distance` for why); kept for users who
+    want the transposition-aware metric explicitly."""
     la, lb = len(a), len(b)
     if limit is not None and abs(la - lb) > limit:
         return limit + 1
@@ -76,8 +106,8 @@ def osa_distance(a: str, b: str, limit: Optional[int] = None) -> int:
     return prev[lb]
 
 
-def _make_osa_match_udf(qtext: str, maxdist: int):
-    """Arrow-batched predicate: osa_distance(qtext, term) <= maxdist.
+def _make_lev_match_udf(qtext: str, maxdist: int):
+    """Arrow-batched predicate: levenshtein_distance(qtext, term) <= maxdist.
     Runs the DP on executors so fuzzy expansion never collects the
     un-filtered lexicon slice to the driver."""
     from pyspark.sql.functions import pandas_udf
@@ -85,10 +115,14 @@ def _make_osa_match_udf(qtext: str, maxdist: int):
     @pandas_udf("boolean")
     def within(terms):
         return terms.map(
-            lambda t: osa_distance(qtext, t, maxdist) <= maxdist
+            lambda t: levenshtein_distance(qtext, t, maxdist) <= maxdist
         )
 
     return within
+
+
+# backwards-compat alias for external callers of the pre-round-4 name
+_make_osa_match_udf = _make_lev_match_udf
 
 
 def range_condition(q) -> "F.Column":
@@ -304,12 +338,12 @@ class Searcher:
         """EXACT matching lexicon slice as a DataFrame (term, df,
         total_weight) — the relational counterpart of the reference's full
         expansion (terms.py:293-307), with no driver round-trip.  Fuzzy
-        adds the distributed OSA Arrow-UDF filter on top of the pushed
-        superset window."""
+        adds the distributed Levenshtein Arrow-UDF filter on top of the
+        pushed superset window."""
         pred = self._pattern_predicate(q)
         c = self.ix.term_stats.where(pred(F.col("term")))
         if isinstance(q, Q.FuzzyTerm):
-            within = _make_osa_match_udf(q.text, q.maxdist)
+            within = _make_lev_match_udf(q.text, q.maxdist)
             c = c.where(within(F.col("term")))
         return c.select("term", "df", "total_weight")
 
@@ -352,10 +386,11 @@ class Searcher:
                 out = sorted(
                     t
                     for t in cand
-                    if osa_distance(q.text, t, q.maxdist) <= q.maxdist
+                    if levenshtein_distance(q.text, t, q.maxdist)
+                    <= q.maxdist
                 )
                 return out if len(out) <= TOO_MANY_CLAUSES else None
-            within = _make_osa_match_udf(q.text, q.maxdist)
+            within = _make_lev_match_udf(q.text, q.maxdist)
             matches = (
                 c.select("term")
                 .where(within(F.col("term")))
@@ -688,6 +723,22 @@ class Searcher:
             return self._all_docs(q.boost).join(
                 self._eval(q.child), "docid", "left_anti"
             )
+        if isinstance(q, Q.ConstantScoreQuery):
+            # ListMatcher(all_ids, all_weights=score) (wrappers.py:170-181):
+            # the child contributes only its doc set; replacing its score
+            # column with a literal lets Catalyst prune the idf/length
+            # scoring expressions out of the child's plan entirely
+            return self._eval(q.child).select(
+                "docid", F.lit(float(q.score)).alias("score")
+            )
+        if isinstance(q, Q.WeightingQuery):
+            # re-plan the subtree under the wrapped model
+            # (wrappers.py:193-199: context.set(weighting=...)); the
+            # sub-searcher shares ix (stats already cached) so this adds
+            # no extra Spark jobs
+            if q.weighting is None or q.weighting is self.weighting:
+                return self._eval(q.child)
+            return Searcher(self.ix, q.weighting)._eval(q.child)
         if isinstance(q, Q.Otherwise):
             a = self._eval(q.a)
             return a if a.limit(1).count() > 0 else self._eval(q.b)
@@ -1133,6 +1184,15 @@ class Searcher:
         from whoosh_reloaded_spark.spelling import suggest as _suggest
 
         return _suggest(self, text, limit=limit, maxdist=maxdist)
+
+    def corrector(self, fieldname: Optional[str] = None):
+        """A composable spelling :class:`~whoosh_reloaded_spark.spelling.
+        ReaderCorrector` over this index's lexicon (Searcher.corrector,
+        reference searching.py:485-492) — combine with ListCorrector /
+        MultiCorrector from the spelling module."""
+        from whoosh_reloaded_spark.spelling import ReaderCorrector
+
+        return ReaderCorrector(self, fieldname)
 
     def correct_query(self, q, qstring, terms=None, maxdist: int = 2,
                       prefix: int = 0):

@@ -1,7 +1,9 @@
 """Spelling suggestions ("did you mean") — reference spelling.py semantics.
 
 ReaderCorrector ranking (spelling.py:94-115): candidates are lexicon terms
-within Damerau-Levenshtein `maxdist` sharing a `prefix`; each scores
+within plain-Levenshtein `maxdist` sharing a `prefix` (the metric of the
+reference's lev automaton — no transposition edges; see
+planner.levenshtein_distance for the evidence); each scores
 ``-(maxdist + 0.5/frequency)`` (NOTE: the reference uses the *parameter*
 maxdist, not the term's actual distance — ranking is therefore frequency
 descending, then alphabetical; we replicate that exactly) and the top
@@ -22,8 +24,8 @@ from pyspark.sql import functions as F
 from whoosh_reloaded_spark.query.planner import (
     FUZZY_DRIVER_LIMIT,
     Searcher,
-    _make_osa_match_udf,
-    osa_distance,
+    _make_lev_match_udf,
+    levenshtein_distance,
 )
 
 
@@ -42,14 +44,14 @@ def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
     )
     # bounded probe (same pattern as fuzzy expansion, planner.py): a small
     # windowed slice runs the DP driver-side with no extra Python-worker
-    # job; a head-size slice (prefix=0 over a huge lexicon) runs the OSA DP
-    # DISTRIBUTED in an Arrow-batched pandas UDF and collects only the
-    # matches — no path collects an unbounded lexicon slice.
+    # job; a head-size slice (prefix=0 over a huge lexicon) runs the
+    # Levenshtein DP DISTRIBUTED in an Arrow-batched pandas UDF and
+    # collects only the matches — no path collects an unbounded slice.
     probe = c.select("term", "total_weight").limit(
         FUZZY_DRIVER_LIMIT + 1
     ).collect()
     if len(probe) > FUZZY_DRIVER_LIMIT:
-        within = _make_osa_match_udf(text, maxdist)
+        within = _make_lev_match_udf(text, maxdist)
         probe = (
             c.where(within(F.col("term")))
             .select("term", "total_weight")
@@ -60,16 +62,140 @@ def suggest(searcher: Searcher, text: str, limit: int = 5, maxdist: int = 2,
         pairs = [
             (r["term"], float(r["total_weight"]))
             for r in probe
-            if osa_distance(text, r["term"], maxdist) <= maxdist
+            if levenshtein_distance(text, r["term"], maxdist) <= maxdist
         ]
+    # NOTE: the word itself IS suggested when present — the reference's
+    # Corrector.suggest docstring (spelling.py:48-52) claims otherwise, but
+    # terms_within yields distance-0 matches and the reference's own
+    # test_reader_corrector asserts suggest("koala") == ["koala", "zoala"];
+    # observed behavior wins (document-and-mirror convention)
     scored = []
     for t, f in pairs:
-        if t == text:
-            continue  # the word itself is never suggested (spelling.py:52)
         score = 0.0 - (maxdist + (1.0 / (f or 1.0) * 0.5))
         scored.append((score, t))
     scored.sort(key=lambda x: (0 - x[0], x[1]))
     return [t for _, t in scored[:limit]]
+
+
+# -- corrector objects (reference spelling.py:39-173) -------------------------
+
+
+class Corrector:
+    """Base of the corrector family (reference spelling.py:39-87):
+    subclasses yield ``(score, suggestion)`` via ``_suggestions``; higher
+    scores are better.  ``suggest`` keeps the `limit` best by (score,
+    word) tuple order — the reference uses a bounded min-heap, which at a
+    score tie on the cut boundary retains the lexicographically LARGER
+    words; ``nlargest`` over unique tuples keeps the identical set — then
+    orders by (score desc, word asc)."""
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 0) -> List[str]:
+        from heapq import nlargest
+
+        best = nlargest(limit, self._suggestions(text, maxdist, prefix))
+        best.sort(key=lambda t: (0 - t[0], t[1]))
+        return [w for _, w in best]
+
+    def _suggestions(self, text, maxdist, prefix):
+        raise NotImplementedError
+
+
+class ReaderCorrector(Corrector):
+    """Index-lexicon corrector (reference spelling.py:90-115) bound to a
+    Searcher: candidates within plain-Levenshtein `maxdist`, scored
+    ``-(maxdist + 0.5/frequency)`` — the distributed bounded-probe scan
+    of :func:`suggest` packaged as a composable Corrector."""
+
+    def __init__(self, searcher: "Searcher",
+                 fieldname: Optional[str] = None):
+        self.searcher = searcher
+        self.fieldname = fieldname
+
+    def _suggestions(self, text, maxdist, prefix):
+        ts = self.searcher.ix.term_stats
+        c = ts
+        if self.fieldname is not None:
+            c = c.where(F.col("field") == self.fieldname)
+        if prefix:
+            c = c.where(F.col("term").startswith(text[:prefix]))
+        c = c.where(
+            (F.length("term") >= len(text) - maxdist)
+            & (F.length("term") <= len(text) + maxdist)
+        )
+        probe = c.select("term", "total_weight").limit(
+            FUZZY_DRIVER_LIMIT + 1
+        ).collect()
+        if len(probe) > FUZZY_DRIVER_LIMIT:
+            within = _make_lev_match_udf(text, maxdist)
+            probe = (
+                c.where(within(F.col("term")))
+                .select("term", "total_weight")
+                .collect()
+            )
+            pairs = [(r["term"], float(r["total_weight"])) for r in probe]
+        else:
+            pairs = [
+                (r["term"], float(r["total_weight"]))
+                for r in probe
+                if levenshtein_distance(text, r["term"], maxdist)
+                <= maxdist
+            ]
+        for t, f in pairs:
+            yield (0.0 - (maxdist + (1.0 / (f or 1.0) * 0.5)), t)
+
+
+class ListCorrector(Corrector):
+    """Static sorted-word-list corrector (reference spelling.py:117-152):
+    for each distance 1..maxdist, words whose *plain Levenshtein* distance
+    (the lev-automaton metric — no transposition) first falls within that
+    bound score ``-distance``; `prefix` chars must match exactly.  The
+    reference walks a DFA over the sorted list; a direct banded-DP scan
+    of the same list yields the identical (score, word) set — this is a
+    driver-side utility over a static list, never a distributed path."""
+
+    def __init__(self, wordlist):
+        self.wordlist = wordlist
+
+    def _suggestions(self, text, maxdist, prefix):
+        pre = text[:prefix]
+        rest = text[prefix:]
+        seen = set()
+        for mxd in range(1, maxdist + 1):
+            for w in self.wordlist:
+                if w in seen or not w.startswith(pre):
+                    continue
+                if levenshtein_distance(rest, w[prefix:], mxd) <= mxd:
+                    seen.add(w)
+                    yield (0 - mxd, w)
+
+
+class MultiCorrector(Corrector):
+    """Merges sub-corrector suggestions (reference spelling.py:155-173):
+    scores for a word seen by several correctors combine via `op`
+    (e.g. ``max``).
+
+    NOTE: the reference's version is broken — its ``_suggestions`` returns
+    ``seen.items()``, i.e. ``(sug, score)`` pairs, into a protocol that
+    expects ``(score, sug)``, so ``suggest`` crashes with a TypeError on
+    every call (``0 - x[0]`` on a string).  We yield the protocol order;
+    the golden test reuses the reference's own merge with the tuple order
+    corrected."""
+
+    def __init__(self, correctors, op):
+        self.correctors = correctors
+        self.op = op
+
+    def _suggestions(self, text, maxdist, prefix):
+        merged: Dict[str, float] = {}
+        for corr in self.correctors:
+            for score, sug in corr._suggestions(text, maxdist, prefix):
+                if sug in merged:
+                    merged[sug] = self.op(merged[sug], score)
+                else:
+                    merged[sug] = score
+        for sug, score in merged.items():
+            yield (score, sug)
 
 
 # -- query correction (reference spelling.py:170-345, searching.py:863-977) --
