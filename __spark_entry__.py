@@ -929,7 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def spelling_suggest(spark, sf):
         """ReaderCorrector.suggest ranking: frequency desc, term asc over
-        the maxdist=2 Damerau-Levenshtein neighborhood."""
+        the maxdist=2 plain-Levenshtein neighborhood (the reference's lev
+        automaton has no transposition edges)."""
         from whoosh_reloaded_spark.spelling import suggest
 
         s = _searcher(spark, sf)
@@ -940,6 +941,190 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spelling_suggest"] = spelling_suggest
 
+    def constant_score_topk(spark, sf):
+        """ConstantScoreQuery (wrappers.py:146-181) as an Or clause: the
+        filter branch contributes a fixed 2.5 instead of BM25."""
+        from whoosh_reloaded_spark.query import ConstantScoreQuery
+
+        return _topk(
+            spark, sf,
+            Or([Term("spark"), ConstantScoreQuery(Term("join"), 2.5)]),
+        )
+
+    q["constant_score_topk"] = constant_score_topk
+
+    def weighting_query_topk(spark, sf):
+        """WeightingQuery (wrappers.py:184-199, intended semantics — the
+        reference discards its context copy): the 'spark' clause scores
+        TF_IDF while 'join' keeps the searcher's BM25."""
+        from whoosh_reloaded_spark.query import WeightingQuery
+        from whoosh_reloaded_spark.scoring import TF_IDF
+
+        return _topk(
+            spark, sf,
+            Or([WeightingQuery(Term("spark"), TF_IDF()), Term("join")]),
+        )
+
+    q["weighting_query_topk"] = weighting_query_topk
+
+    # ---- round-4: consolidate to <=50 maximally-distinct entries ----------
+    # The driver records only the first 50 oracle entries (VERDICT r3
+    # "what's wrong" #1), so near-duplicate plan families merge into tagged
+    # unions / wide joins: every SURVEY §2 operator family keeps a
+    # driver-checked entry, and each merged operator still runs its own
+    # full plan (the tag column marks which).
+
+    def _union_q(tag_col, *pairs):
+        fns = [(q.pop(name), tag) for name, tag in pairs]
+
+        def run(spark, sf, _fns=fns, _tc=tag_col):
+            frames = [
+                fn(spark, sf).withColumn(_tc, F.lit(t)) for fn, t in _fns
+            ]
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return out
+
+        return run
+
+    q["bm25_multiterm"] = _union_q(
+        "op",
+        ("bm25_prefix", "prefix"),
+        ("bm25_wildcard", "wildcard"),
+        ("bm25_termrange", "termrange"),
+    )
+    q["bm25_require_andmaybe"] = _union_q(
+        "op", ("bm25_require", "require"), ("bm25_andmaybe", "andmaybe")
+    )
+    q["lexicon_expand_topk"] = _union_q(
+        "op", ("bm25_fuzzy", "fuzzy"), ("variations_topk", "variations")
+    )
+    q["alt_models_topk"] = _union_q(
+        "model", ("pl2_topk", "pl2"), ("tfidf_topk", "tfidf")
+    )
+    q["wrapped_models_topk"] = _union_q(
+        "model",
+        ("reverse_topk", "reverse"),
+        ("function_pos_topk", "function_pos"),
+    )
+    q["span_near_before"] = _union_q(
+        "op", ("span_near", "near"), ("span_before", "before")
+    )
+    q["span_first_or"] = _union_q(
+        "op", ("span_first", "first"), ("span_or", "or")
+    )
+    q["parsed_nl_dates"] = _union_q(
+        "shape",
+        ("parsed_nl_daterange", "daterange"),
+        ("parsed_nl_plusdelta", "plusdelta"),
+    )
+    q["nested_topk"] = _union_q(
+        "op",
+        ("nested_parent_topk", "parent"),
+        ("nested_children_topk", "children"),
+    )
+    q["docmeta_predicates"] = _union_q(
+        "op",
+        ("numeric_range", "numeric_range"),
+        ("column_query", "column_query"),
+    )
+    q["ann_cosine"] = _union_q(
+        "method", ("ann_cosine", "exact"), ("ann_ivf_full_probe", "ivf")
+    )
+
+    _mf, _md = q.pop("most_frequent_terms"), q.pop("most_distinctive_terms")
+
+    def reader_term_rankings(spark, sf):
+        a = (
+            _mf(spark, sf)
+            .select(F.col("frequency").alias("score"), "term")
+            .withColumn("ranking", F.lit("frequency"))
+        )
+        b = _md(spark, sf).withColumn("ranking", F.lit("distinctive"))
+        return a.unionByName(b.select("score", "term", "ranking"))
+
+    q["reader_term_rankings"] = reader_term_rankings
+
+    _dl, _tc, _tb = (
+        q.pop("doc_lengths"),
+        q.pop("token_counts"),
+        q.pop("token_counts_bpe"),
+    )
+
+    def doc_stats(spark, sf):
+        return (
+            _dl(spark, sf)
+            .join(_tc(spark, sf), "doc_id")
+            .join(_tb(spark, sf), "doc_id")
+        )
+
+    q["doc_stats"] = doc_stats
+
+    _tq, _rep = q.pop("text_quality"), q.pop("repetition_scores")
+
+    def text_quality(spark, sf):
+        return _tq(spark, sf).join(_rep(spark, sf), "doc_id")
+
+    q["text_quality"] = text_quality
+
+    _ff, _rf = q.pop("facet_function_buckets"), q.pop("facet_range_counts")
+
+    def facet_buckets(spark, sf):
+        a = (
+            _ff(spark, sf)
+            .select(
+                F.col("bucket").alias("bucket_lo"),
+                F.col("bucket").alias("bucket_hi"),
+                "n_docs",
+            )
+            .withColumn("facet", F.lit("function"))
+        )
+        b = _rf(spark, sf).withColumn("facet", F.lit("range"))
+        return a.unionByName(
+            b.select("bucket_lo", "bucket_hi", "n_docs", "facet")
+        )
+
+    q["facet_buckets"] = facet_buckets
+
+    q.pop("fingerprint")
+    q.pop("dedup_fingerprint")
+
+    def fingerprint_dedup(spark, sf):
+        """doc_fingerprint per doc + its duplicate-group size/canonical —
+        fingerprint and dedup-by-fingerprint in one 500-row frame."""
+        from pyspark.sql import Window
+
+        from whoosh_reloaded_spark.textops import doc_fingerprint
+
+        fp = doc_fingerprint(spark.read.parquet(f"{sf}/documents.parquet"))
+        w = Window.partitionBy("fingerprint")
+        return fp.select(
+            "doc_id",
+            "fingerprint",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_dups"),
+            F.min("doc_id").over(w).alias("keep_doc"),
+        )
+
+    q["fingerprint_dedup"] = fingerprint_dedup
+
+    q.pop("bm25_every")
+    q.pop("otherwise_fallback")
+
+    def otherwise_every(spark, sf):
+        """Otherwise falling back to Every: both operators in one plan
+        (empty a -> b = all docs at score 1.0)."""
+        from whoosh_reloaded_spark.query import Every, Otherwise
+
+        return _topk(spark, sf, Otherwise(Term("qqqnomatchqqq"), Every()))
+
+    q["otherwise_every"] = otherwise_every
+
+    # the jvmdelta entry runs the identical positional-payload check
+    # through a save/load roundtrip under the codec — superset coverage
+    q.pop("postings_positions")
+
+    assert len(q) <= 50, f"driver window exceeded: {len(q)}"
     return q
 
 
@@ -1973,4 +2158,150 @@ LIMIT 5
 """
     )
 
+    # Or([Term(spark), ConstantScoreQuery(Term(join), 2.5)]):
+    # score = bm25(spark) [if present] + 2.5 [if join present]
+    o["constant_score_topk"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(v), 6) AS score FROM (
+  SELECT doc_id, s AS v FROM scored WHERE term = 'spark'
+  UNION ALL
+  SELECT doc_id, 2.5 AS v FROM tf WHERE term = 'join'
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    # Or([WeightingQuery(Term(spark), TF_IDF()), Term(join)]):
+    # tfidf(spark) = w * (ln(N/(df+1)) + 1); join keeps BM25
+    o["weighting_query_topk"] = (
+        _BASE_CTE
+        + """
+SELECT doc_id, round(sum(v), 6) AS score FROM (
+  SELECT tf.doc_id, tf.w * (ln(g.n / (stats.df + 1)) + 1) AS v
+  FROM tf JOIN stats USING (term) CROSS JOIN g
+  WHERE tf.term = 'spark'
+  UNION ALL
+  SELECT doc_id, s AS v FROM scored WHERE term = 'join'
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+    # ---- round-4 consolidation (mirrors queries(); same keys, same tags) --
+
+    def _sql_union(tag_col, *pairs):
+        return "\nUNION ALL\n".join(
+            f"SELECT *, '{t}' AS {tag_col} FROM (\n{o.pop(k)}\n)"
+            for k, t in pairs
+        )
+
+    o["bm25_multiterm"] = _sql_union(
+        "op",
+        ("bm25_prefix", "prefix"),
+        ("bm25_wildcard", "wildcard"),
+        ("bm25_termrange", "termrange"),
+    )
+    o["bm25_require_andmaybe"] = _sql_union(
+        "op", ("bm25_require", "require"), ("bm25_andmaybe", "andmaybe")
+    )
+    o["lexicon_expand_topk"] = _sql_union(
+        "op", ("bm25_fuzzy", "fuzzy"), ("variations_topk", "variations")
+    )
+    o["alt_models_topk"] = _sql_union(
+        "model", ("pl2_topk", "pl2"), ("tfidf_topk", "tfidf")
+    )
+    o["wrapped_models_topk"] = _sql_union(
+        "model",
+        ("reverse_topk", "reverse"),
+        ("function_pos_topk", "function_pos"),
+    )
+    o["span_near_before"] = _sql_union(
+        "op", ("span_near", "near"), ("span_before", "before")
+    )
+    o["span_first_or"] = _sql_union(
+        "op", ("span_first", "first"), ("span_or", "or")
+    )
+    o["parsed_nl_dates"] = _sql_union(
+        "shape",
+        ("parsed_nl_daterange", "daterange"),
+        ("parsed_nl_plusdelta", "plusdelta"),
+    )
+    o["nested_topk"] = _sql_union(
+        "op",
+        ("nested_parent_topk", "parent"),
+        ("nested_children_topk", "children"),
+    )
+    o["docmeta_predicates"] = _sql_union(
+        "op",
+        ("numeric_range", "numeric_range"),
+        ("column_query", "column_query"),
+    )
+    o["ann_cosine"] = _sql_union(
+        "method", ("ann_cosine", "exact"), ("ann_ivf_full_probe", "ivf")
+    )
+
+    o["reader_term_rankings"] = (
+        "SELECT frequency AS score, term, 'frequency' AS ranking FROM (\n"
+        + o.pop("most_frequent_terms")
+        + "\n)\nUNION ALL\nSELECT score, term, 'distinctive' AS ranking FROM (\n"
+        + o.pop("most_distinctive_terms")
+        + "\n)"
+    )
+    o["doc_stats"] = (
+        "SELECT doc_id, doclen, n_tokens, n_bpe_tokens FROM (\n"
+        + o.pop("doc_lengths")
+        + "\n) JOIN (\n"
+        + o.pop("token_counts")
+        + "\n) USING (doc_id) JOIN (\n"
+        + o.pop("token_counts_bpe")
+        + "\n) USING (doc_id)"
+    )
+    o["text_quality"] = (
+        "SELECT * FROM (\n"
+        + o.pop("text_quality")
+        + "\n) JOIN (\n"
+        + o.pop("repetition_scores")
+        + "\n) USING (doc_id)"
+    )
+    o["facet_buckets"] = (
+        "SELECT bucket AS bucket_lo, bucket AS bucket_hi, n_docs, "
+        "'function' AS facet FROM (\n"
+        + o.pop("facet_function_buckets")
+        + "\n)\nUNION ALL\nSELECT bucket_lo, bucket_hi, n_docs, "
+        "'range' AS facet FROM (\n"
+        + o.pop("facet_range_counts")
+        + "\n)"
+    )
+
+    o.pop("fingerprint")
+    o.pop("dedup_fingerprint")
+    o["fingerprint_dedup"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_*]+(\.?[a-z0-9_*]+)*', 0) AS toks
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM t
+)
+SELECT doc_id, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_dups,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc
+FROM fp
+"""
+
+    _every_sql = o.pop("bm25_every")
+    o.pop("otherwise_fallback")
+    o["otherwise_every"] = _every_sql
+
+    o.pop("postings_positions")
+
+    assert len(o) <= 50, f"driver window exceeded: {len(o)}"
     return o
