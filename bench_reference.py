@@ -34,20 +34,30 @@ def main(n_docs: int = 20000):
 
     from whoosh_reloaded_spark.corpus import generate_rows
 
-    rows = list(generate_rows(n_docs))
-    schema = fields.Schema(
-        url=fields.ID(stored=True, unique=True), text=fields.TEXT
-    )
-    d = tempfile.mkdtemp(prefix="whoosh_baseline_")
-    ix = index.create_in(d, schema)
-    t0 = time.perf_counter()
-    w = ix.writer(limitmb=256)
-    for url, ts, html, text, lang in rows:
-        w.add_document(url=url, text=text)
-    w.commit()
-    build_sec = time.perf_counter() - t0
+    # WRS_REF_IX_DIR: persist/reuse the reference index across runs so the
+    # (hours-long at 8M) build isn't repeated for query-latency refreshes
+    ix_dir = os.environ.get("WRS_REF_IX_DIR")
+    build_sec = None
+    if ix_dir and os.path.exists(os.path.join(ix_dir, "_whoosh_done")):
+        ix = index.open_dir(ix_dir)
+    else:
+        schema = fields.Schema(
+            url=fields.ID(stored=True, unique=True), text=fields.TEXT
+        )
+        d = ix_dir or tempfile.mkdtemp(prefix="whoosh_baseline_")
+        os.makedirs(d, exist_ok=True)
+        ix = index.create_in(d, schema)
+        t0 = time.perf_counter()
+        w = ix.writer(limitmb=int(os.environ.get("WRS_REF_LIMITMB", "256")))
+        for url, ts, html, text, lang in generate_rows(n_docs):
+            w.add_document(url=url, text=text)
+        w.commit()
+        build_sec = time.perf_counter() - t0
+        if ix_dir:
+            with open(os.path.join(d, "_whoosh_done"), "w") as f:
+                f.write(str(n_docs))
 
-    from whoosh.query import Phrase
+    from whoosh.query import Phrase, Prefix, Wildcard
 
     queries = {
         "q1_term": Term("text", "render"),
@@ -55,6 +65,10 @@ def main(n_docs: int = 20000):
         "q3_and2": And([Term("text", "render"), Term("text", "town")]),
         "q4_phrase": Phrase("text", ["render", "yellow"]),
         "q8_head_term": Term("text", "data"),
+        # multiterm expansion family (round-4 weak-item measurement):
+        # same patterns as scripts/bench_1m_queries.py
+        "q_prefix_re": Prefix("text", "re"),
+        "q_wildcard_mid": Wildcard("text", "re*er"),
     }
     lat = {}
     with ix.searcher() as s:

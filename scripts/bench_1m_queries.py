@@ -32,6 +32,7 @@ def main():
         Prefix,
         Searcher,
         Term,
+        Wildcard,
     )
 
     build_sec = None
@@ -65,6 +66,7 @@ def main():
         "phrase_render_yellow": Phrase(["render", "yellow"]),
         "phrase_data_spark": Phrase(["data", "spark"]),
         "prefix_re": Prefix("re"),
+        "wildcard_mid": Wildcard("re*er"),
     }
     out = {}
     for name, q in qs.items():
