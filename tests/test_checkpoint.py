@@ -141,3 +141,22 @@ def test_build_determinism(spark, corpus, single):
     assert _postings_set(again) == _postings_set(single)
     repart = _bi(corpus.repartition(13), num_partitions=7)
     assert _postings_set(repart) == _postings_set(single)
+
+
+def test_load_multi_rejects_overlapping_docids(spark, tmp_path):
+    """Independently-built segments each start at docid 0; load_multi must
+    refuse to combine them (round-4 guard: silent document mixing)."""
+    import pytest as _pytest
+
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index, save_index
+    from whoosh_reloaded_spark.index.segments import load_multi
+
+    rows = list(generate_rows(40))
+    a = spark.createDataFrame(rows[:20], PAGES_SCHEMA)
+    b = spark.createDataFrame(rows[20:], PAGES_SCHEMA)
+    pa, pb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    save_index(build_index(a), pa)
+    save_index(build_index(b), pb)
+    with _pytest.raises(ValueError, match="docid ranges overlap"):
+        load_multi(spark, [pa, pb])

@@ -37,10 +37,39 @@ MERGE_SMALL = "merge_small"
 OPTIMIZE = "optimize"
 
 
-def load_multi(spark: SparkSession, seg_paths: List[str]) -> InvertedIndex:
-    """Open several segments as one logical index (union + stat re-agg)."""
+def load_multi(spark: SparkSession, seg_paths: List[str],
+               check_docid_ranges: bool = True) -> InvertedIndex:
+    """Open several segments as one logical index (union + stat re-agg).
+
+    PRECONDITION: docids are globally unique across segments — what
+    `checkpoint.build_partitioned` produces (disjoint docid ranges per
+    slice), mirroring the reference's per-segment doc-offset stitching
+    (reading.py MultiReader).  Independently-built indexes each start at
+    docid 0 and MUST NOT be combined (scores silently mix documents).
+    `check_docid_ranges` guards against that misuse with one cheap
+    min/max aggregation per segment (columnar scan of one column) and
+    raises on overlap; pass False only for layouts that interleave
+    globally-unique non-contiguous docids."""
     assert seg_paths, "no segments"
     parts = [load_index(spark, p) for p in seg_paths]
+    if check_docid_ranges and len(parts) > 1:
+        spans = []
+        for path, p in zip(seg_paths, parts):
+            r = p.docmeta.agg(
+                F.min("docid").alias("lo"), F.max("docid").alias("hi")
+            ).collect()[0]
+            spans.append((path, int(r["lo"]), int(r["hi"])))
+        spans.sort(key=lambda s: s[1])
+        for (pa, _, hi_a), (pb, lo_b, _) in zip(spans, spans[1:]):
+            if lo_b <= hi_a:
+                raise ValueError(
+                    f"segment docid ranges overlap: {pa} ends at {hi_a}, "
+                    f"{pb} starts at {lo_b} — segments must carry globally "
+                    "unique docids (build them with "
+                    "checkpoint.build_partitioned, which slices one global "
+                    "docid assignment); combining independently-built "
+                    "indexes silently mixes documents"
+                )
     postings = parts[0].postings
     docmeta = parts[0].docmeta
     for p in parts[1:]:
