@@ -88,3 +88,56 @@ def test_correct_query_shapes(searcher):
     # already-correct query: no tokens, string unchanged
     c3 = searcher.correct_query(Term("delta"), "delta")
     assert c3.tokens == [] and c3.string == "delta"
+
+
+def test_correct_query_custom_correctors_golden(searcher):
+    """`correctors` / `aliases` parity (searching.py:908-977): a custom
+    ListCorrector overrides the index lexicon for the default field."""
+    import tempfile
+
+    from whoosh_reloaded_spark.spelling import ListCorrector
+
+    wordlist = sorted(["aaa", "alpine", "brovado", "dolphin", "detailed"])
+
+    # reference
+    from whoosh import fields, index, spelling as wsp
+    from whoosh.qparser import QueryParser as RefQP
+
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True), text=fields.TEXT()
+    )
+    d = tempfile.mkdtemp()
+    wix = index.create_in(d, schema)
+    w = wix.writer()
+    for i, t in enumerate(DOCS):
+        w.add_document(url=f"doc{i}", text=t)
+    w.commit()
+    with wix.searcher() as s:
+        q = RefQP("text", schema).parse(QTEXT)
+        ref = s.correct_query(
+            q, QTEXT, correctors={"text": wsp.ListCorrector(wordlist)}
+        )
+        ref_string = ref.string
+
+    p = QueryParser("text")
+    ours = searcher.correct_query(
+        p.parse(QTEXT), QTEXT,
+        correctors={"text": ListCorrector(wordlist)},
+    )
+    assert ours.string == ref_string
+
+
+def test_correct_query_aliases(searcher):
+    """`aliases` routes a query field to another suggestion field: an
+    aliased custom corrector fires for the aliased field's words."""
+    from whoosh_reloaded_spark.spelling import ListCorrector
+
+    p = QueryParser("text")
+    q = p.parse("alpha")
+    # alias 'text' -> 'body'; corrector registered under 'body' pre-alias
+    out = searcher.correct_query(
+        q, "alpha",
+        correctors={"body": ListCorrector(["aaa", "alpina"])},
+        aliases={"text": "body"},
+    )
+    assert out.string == "alpina"

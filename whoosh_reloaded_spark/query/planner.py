@@ -1194,15 +1194,18 @@ class Searcher:
 
         return ReaderCorrector(self, fieldname)
 
-    def correct_query(self, q, qstring, terms=None, maxdist: int = 2,
-                      prefix: int = 0):
+    def correct_query(self, q, qstring, correctors=None, terms=None,
+                      maxdist: int = 2, prefix: int = 0, aliases=None):
         """Corrected version of `q`/`qstring` — words absent from the
         index replaced by their top suggestion (Searcher.correct_query,
-        searching.py:863-977).  Returns a spelling.Correction."""
+        searching.py:863-977).  `correctors` maps field names to custom
+        spelling.Corrector objects; `aliases` maps query fields to the
+        field used as the suggestion source.  Returns a
+        spelling.Correction."""
         from whoosh_reloaded_spark.spelling import correct_query as _cq
 
         return _cq(self, q, qstring, terms=terms, maxdist=maxdist,
-                   prefix=prefix)
+                   prefix=prefix, correctors=correctors, aliases=aliases)
 
     def key_terms(self, docids, numterms: int = 5, model=None):
         from whoosh_reloaded_spark.classify import Bo1Model, key_terms as _kt

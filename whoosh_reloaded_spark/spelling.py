@@ -330,15 +330,23 @@ def _rewrite(q, repl: Dict[Tuple[str, str], str]):
 def correct_query(searcher: Searcher, q, qstring: Optional[str],
                   terms: Optional[List[Tuple[str, str]]] = None,
                   maxdist: int = 2, prefix: int = 0,
-                  analyzer=None) -> Correction:
+                  analyzer=None, correctors: Optional[Dict] = None,
+                  aliases: Optional[Dict[str, str]] = None) -> Correction:
     """Correct the words of `q` that don't appear in the index
     (Searcher.correct_query, searching.py:863-977 + SimpleQueryCorrector,
     spelling.py:270-345): each missing (field, word) is replaced by its
     top :func:`suggest` candidate, in the query tree AND in `qstring`.
 
+    `correctors` maps field names to :class:`Corrector` objects that
+    override the index-lexicon default for those fields (searching.py:
+    911-916); `aliases` maps query field names to the field used as the
+    SOURCE of suggestions (searching.py:931-933) — the correctors dict is
+    keyed by the post-alias name, like the reference's remap
+    (searching.py:946-951).
+
     Missing-term detection is ONE pushed `term IN (...)` scan over
     term_stats (never a lexicon collect); suggestions reuse the bounded
-    probe / distributed-OSA path of :func:`suggest`.
+    probe / distributed-Levenshtein path of :func:`suggest`.
 
     String correction scans `qstring` with the analyzer token pattern and
     replaces every occurrence of a corrected word, so a word appearing
@@ -348,8 +356,15 @@ def correct_query(searcher: Searcher, q, qstring: Optional[str],
     """
     from whoosh_reloaded_spark.analysis import StandardAnalyzer
 
+    aliases = aliases or {}
+    # remap custom correctors through the aliases, like the reference
+    custom: Dict[str, object] = {}
+    for f, c in (correctors or {}).items():
+        custom[aliases.get(f, f)] = c
+
     leaf = _leaf_terms(q)
     if terms is None:
+        # presence is checked on the ALIAS field (searching.py:960-967)
         texts = sorted({t for _, t in leaf})
         present = set()
         if texts:
@@ -360,18 +375,33 @@ def correct_query(searcher: Searcher, q, qstring: Optional[str],
                 .collect()
             )
             present = {(r["field"], r["term"]) for r in rows}
+
+        def _present(fieldname: str, text: str) -> bool:
+            if fieldname == searcher.ix.fieldname:
+                return any(text == t for _, t in present)
+            return (fieldname, text) in present
+
         terms = [
-            (f, t) for f, t in dict.fromkeys(leaf) if (f, t) not in present
+            (f, t)
+            for f, t in dict.fromkeys(leaf)
+            if not _present(aliases.get(f, f), t)
         ]
     repl: Dict[Tuple[str, str], str] = {}
     for f, t in terms:
-        # per-field corrector (reader.corrector(fieldname)) — term_stats
-        # carries the field column, so the filter composes with the
-        # length-window pushdown
-        sugs = suggest(
-            searcher, t, limit=1, maxdist=maxdist, prefix=prefix,
-            fieldname=f if f != searcher.ix.fieldname else None,
-        )
+        aname = aliases.get(f, f)
+        corr = custom.get(aname)
+        if corr is not None:
+            # custom corrector: reference picks sugs[0] of the default
+            # limit (spelling.py:328-332)
+            sugs = corr.suggest(t, maxdist=maxdist, prefix=prefix)
+        else:
+            # per-field default corrector (reader.corrector(fieldname)) —
+            # term_stats carries the field column, so the filter composes
+            # with the length-window pushdown
+            sugs = suggest(
+                searcher, t, limit=1, maxdist=maxdist, prefix=prefix,
+                fieldname=aname if aname != searcher.ix.fieldname else None,
+            )
         if sugs:
             repl[(f, t)] = sugs[0]
 
