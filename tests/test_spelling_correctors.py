@@ -213,3 +213,29 @@ def test_list_corrector_first_word_quirk():
     wl2 = ["aaa"] + wl
     assert ListCorrector(wl2).suggest("kaola", maxdist=2) == \
         wsp.ListCorrector(wl2).suggest("kaola", maxdist=2) == ["koala"]
+
+
+def test_levenshtein_fuzz_vs_reference():
+    """Property fuzz: the banded DP (with and without limit) agrees with
+    the reference's published implementation on random word pairs."""
+    from hypothesis import given, settings, strategies as st
+
+    from whoosh.support.levenshtein import levenshtein
+
+    alphabet = "abcdez"  # small alphabet → high collision/edit density
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, max_size=12),
+        st.text(alphabet=alphabet, max_size=12),
+        st.integers(min_value=1, max_value=3),
+    )
+    def check(a, b, lim):
+        ref = levenshtein(a, b)
+        assert levenshtein_distance(a, b) == ref
+        banded = levenshtein_distance(a, b, lim)
+        assert (banded <= lim) == (ref <= lim)
+        if ref <= lim:
+            assert banded == ref
+
+    check()
