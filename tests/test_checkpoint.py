@@ -160,3 +160,21 @@ def test_load_multi_rejects_overlapping_docids(spark, tmp_path):
     save_index(build_index(b), pb)
     with _pytest.raises(ValueError, match="docid ranges overlap"):
         load_multi(spark, [pa, pb])
+
+
+def test_load_multi_tolerates_empty_segment(spark, tmp_path):
+    """An empty segment has NULL min/max docid aggregates; the range guard
+    must skip it (no docids -> cannot overlap) instead of TypeError-ing
+    (round-5 ADVICE fix)."""
+    from whoosh_reloaded_spark.corpus import PAGES_SCHEMA, generate_rows
+    from whoosh_reloaded_spark.index import build_index, save_index
+    from whoosh_reloaded_spark.index.segments import load_multi
+
+    rows = list(generate_rows(20))
+    full = spark.createDataFrame(rows, PAGES_SCHEMA)
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    pa, pb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    save_index(build_index(full), pa)
+    save_index(build_index(empty), pb)
+    ix = load_multi(spark, [pa, pb])
+    assert ix.docmeta.count() == 20

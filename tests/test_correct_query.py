@@ -141,3 +141,14 @@ def test_correct_query_aliases(searcher):
         aliases={"text": "body"},
     )
     assert out.string == "alpina"
+
+
+def test_format_string_with_event_formatter(searcher):
+    """Round-5 ADVICE fix: Correction.format_string renders event-stream
+    formatters (GenshiEventFormatter.format_token returns a list of event
+    tuples) to markup instead of TypeError-ing on ''.join."""
+    from whoosh_reloaded_spark.highlight import GenshiEventFormatter
+
+    c = searcher.correct_query(Term("alpha"), "alpha tail")
+    s = c.format_string(GenshiEventFormatter(qname="strong"))
+    assert s == "<strong>alfa</strong> tail"

@@ -301,3 +301,24 @@ def test_genshi_event_formatter_windowed_fragment():
                     endchar=14)
     ev = GenshiEventFormatter(qname="b").format_fragment(frag)
     assert render_event_stream(ev) == "bb <b>match</b> cc"
+
+
+def test_genshi_event_formatter_no_empty_tail_event():
+    """Round-5 ADVICE fix: when the last match ends at/after
+    fragment.endchar but before the end of the document, no spurious
+    empty TEXT event is appended (guard now matches the windowed
+    slice)."""
+    from whoosh_reloaded_spark.highlight import (
+        STREAM_TEXT,
+        Fragment,
+        GenshiEventFormatter,
+        Tok,
+    )
+
+    text = "aa match TRAILING DOCUMENT TEXT"
+    # window ends exactly where the match ends; document continues
+    frag = Fragment(text, [Tok("match", 3, 8, True)], startchar=0,
+                    endchar=8)
+    ev = GenshiEventFormatter(qname="b").format_fragment(frag)
+    assert all(not (k == STREAM_TEXT and t == "") for k, t, _ in ev)
+    assert ev[-1][0] != STREAM_TEXT or ev[-1][1] != ""

@@ -457,7 +457,7 @@ class GenshiEventFormatter(Formatter):
                 self._add_text(text[index:t.startchar], output)
             output.extend(self.format_token(text, t))
             index = t.endchar
-        if index < len(text):
+        if index < fragment.endchar:
             self._add_text(text[index:fragment.endchar], output)
         return output
 

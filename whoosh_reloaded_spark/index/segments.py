@@ -58,6 +58,8 @@ def load_multi(spark: SparkSession, seg_paths: List[str],
             r = p.docmeta.agg(
                 F.min("docid").alias("lo"), F.max("docid").alias("hi")
             ).collect()[0]
+            if r["lo"] is None or r["hi"] is None:
+                continue  # empty segment: no docids, cannot overlap
             spans.append((path, int(r["lo"]), int(r["hi"])))
         spans.sort(key=lambda s: s[1])
         for (pa, _, hi_a), (pb, lo_b, _) in zip(spans, spans[1:]):

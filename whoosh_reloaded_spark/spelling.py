@@ -259,11 +259,19 @@ class Correction:
                 # replace=True adapter: hand the formatter the corrected
                 # word as the whole "text" so its span read yields the
                 # replacement; seen-numbering lives in the formatter
-                out.append(
-                    formatter.format_token(
-                        tok.text, Tok(tok.text, 0, len(tok.text), True)
-                    )
+                part = formatter.format_token(
+                    tok.text, Tok(tok.text, 0, len(tok.text), True)
                 )
+                if isinstance(part, list):
+                    # event-stream formatters (GenshiEventFormatter)
+                    # return lists of event tuples — render them to
+                    # markup so the return stays a string
+                    from whoosh_reloaded_spark.highlight import (
+                        render_event_stream,
+                    )
+
+                    part = render_event_stream(part)
+                out.append(part)
             cursor = tok.endchar
         out.append(self.original_string[cursor:])
         return "".join(out)
@@ -377,8 +385,11 @@ def correct_query(searcher: Searcher, q, qstring: Optional[str],
             present = {(r["field"], r["term"]) for r in rows}
 
         def _present(fieldname: str, text: str) -> bool:
-            if fieldname == searcher.ix.fieldname:
-                return any(text == t for _, t in present)
+            # field-scoped, like the reference's `(aname, text) not in
+            # reader` (searching.py:960-967); term_stats' field column is
+            # the constant ix.fieldname for build_index output, so no
+            # default-field special case is needed (and one would deviate
+            # for multi-fieldname unions)
             return (fieldname, text) in present
 
         terms = [
