@@ -1061,12 +1061,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_stats"] = doc_stats
 
-    _tq, _rep = q.pop("text_quality"), q.pop("repetition_scores")
+    # round-5: lang_id joins in too (same doc_id-keyed 500-row frame),
+    # freeing the 50th slot for multimodal_decode
+    _tq, _rep, _li = (
+        q.pop("text_quality"),
+        q.pop("repetition_scores"),
+        q.pop("lang_id"),
+    )
 
     def text_quality(spark, sf):
-        return _tq(spark, sf).join(_rep(spark, sf), "doc_id")
+        return (
+            _tq(spark, sf)
+            .join(_rep(spark, sf), "doc_id")
+            .join(_li(spark, sf), "doc_id")
+        )
 
     q["text_quality"] = text_quality
+
+    def multimodal_decode(spark, sf):
+        """REAL image decode end-to-end (multimodal.py decode_images +
+        imaging.py PNG codec): deterministic synthetic PNGs from doc_id
+        (cycling all 5 scanline filter types), decoded executor-side in
+        mapInPandas; dims + integer pixel/luma checksums + sniffed
+        container kind are checked against the closed-form pixel
+        formula in SQL."""
+        from whoosh_reloaded_spark.multimodal import (
+            decode_images,
+            media_metadata,
+            synthetic_media,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id")
+            .where(F.col("doc_id") < 64)
+        )
+        media = synthetic_media(docs)
+        meta = media_metadata(media).select("media_id", "kind")
+        dec = decode_images(media).select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            "pixel_sum",
+            "luma_sum",
+        )
+        return dec.join(meta, "media_id").orderBy("media_id")
+
+    q["multimodal_decode"] = multimodal_decode
 
     _ff, _rf = q.pop("facet_function_buckets"), q.pop("facet_range_counts")
 
@@ -2266,8 +2308,38 @@ LIMIT 10
         + o.pop("text_quality")
         + "\n) JOIN (\n"
         + o.pop("repetition_scores")
+        + "\n) USING (doc_id) JOIN (\n"
+        + o.pop("lang_id")
         + "\n) USING (doc_id)"
     )
+
+    # round-5: real PNG decode — expected dims/checksums in closed form
+    # from synthetic_media's pixel formula (multimodal.py):
+    # pixel(y,x,c) = (d*7 + x*5 + y*3 + c*11) % 256, w=8*(1+d%2),
+    # h=8*(1+(d//2)%2); luma = (299R+587G+114B)//1000 (imaging.py)
+    o["multimodal_decode"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 * (1 + doc_id % 2) AS w,
+         8 * (1 + (doc_id // 2) % 2) AS h
+  FROM documents WHERE doc_id < 64
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(list_sum(list_transform(range(w * h * 3),
+            i -> (media_id*7 + ((i // 3) % w)*5 + (i // (3*w))*3
+                  + (i % 3)*11) % 256)) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (299 * ((media_id*7 + (i % w)*5 + (i // w)*3) % 256)
+                + 587 * ((media_id*7 + (i % w)*5 + (i // w)*3 + 11) % 256)
+                + 114 * ((media_id*7 + (i % w)*5 + (i // w)*3 + 22) % 256))
+                 // 1000)) AS BIGINT) AS luma_sum,
+       'png' AS kind
+FROM m
+ORDER BY media_id
+"""
     o["facet_buckets"] = (
         "SELECT bucket AS bucket_lo, bucket AS bucket_hi, n_docs, "
         "'function' AS facet FROM (\n"
