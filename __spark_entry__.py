@@ -636,9 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def parsed_gtlt(spark, sf):
         """GtLtPlugin surface (qparser/plugins.py:1081): the query STRING
-        'spark n_chars:>=200 n_chars:<400' parses to And[Term, NumericRange,
-        NumericRange] and runs through the normal planner.  Score = BM25
-        term score + 1.0 per constant-score range child."""
+        'spark n_chars:>=200 n_chars:<400' parses to And[Term,
+        NumericRange, NumericRange], whose normalize MERGES the two
+        same-field overlapping ranges into one [200, 400) (reference
+        compound.py:137-152 + ranges.py:113-150, mirrored since round 5).
+        Score = BM25 term score + 1.0 for the single constant-score
+        merged range child."""
         from whoosh_reloaded_spark.query.parser import QueryParser
 
         p = QueryParser("text", schema={"text": "text", "n_chars": "numeric"})
@@ -1927,7 +1930,7 @@ LIMIT 10
     o["parsed_gtlt"] = (
         _BASE_CTE
         + """
-SELECT s.doc_id, round(sum(s.s) + 2.0, 6) AS score
+SELECT s.doc_id, round(sum(s.s) + 1.0, 6) AS score
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.term = 'spark' AND d.n_chars >= 200 AND d.n_chars < 400
 GROUP BY s.doc_id

@@ -22,7 +22,13 @@ def test_parse_structures():
     assert p.parse("re?der") == Q.Wildcard("re?der")
     assert p.parse("[re TO rf]") == Q.TermRange("re", "rf")
     assert p.parse("{re TO rf}") == Q.TermRange("re", "rf", startexcl=True, endexcl=True)
-    assert p.parse("render~") == Q.FuzzyTerm("render")
+    # parsed fuzzies use the reference FuzzyTermPlugin defaults
+    # (plugins.py:543-545): maxdist 1, prefixlength 0 — NOT the FuzzyTerm
+    # class default prefixlength=1
+    assert p.parse("render~") == Q.FuzzyTerm("render", prefixlength=0)
+    assert p.parse("render~2/3") == Q.FuzzyTerm(
+        "render", maxdist=2, prefixlength=3
+    )
     assert p.parse("render ANDNOT yellow") == Q.AndNot(Q.Term("render"), Q.Term("yellow"))
     assert p.parse("render ANDMAYBE yellow") == Q.AndMaybe(Q.Term("render"), Q.Term("yellow"))
     assert p.parse("(render OR yellow) red") == Q.And(
@@ -51,6 +57,19 @@ PARSE_CASES = [
     "(yellow OR alpha) AND red",
     "red ANDNOT yellow",
     "red ANDMAYBE yellow",
+    # round-5 fuzz-found precedence shapes: explicit AND/OR bind tighter
+    # than ANDNOT/ANDMAYBE; implicit juxtaposition binds loosest
+    "red OR yellow ANDNOT render",
+    "red ANDNOT yellow OR render",
+    "red yellow ANDNOT render",
+    "red ANDNOT render yellow",
+    "red ANDMAYBE yellow ANDNOT render",
+    "red ANDNOT text:(red)",
+    "text:(red OR yellow) ANDNOT render",
+    # duplicate term at different boosts: each duplicate child adds its
+    # own matcher score (round-5 fuzz fix: fused plans now SUM boosts)
+    "red AND red^2",
+    "red OR red^2",
 ]
 
 
@@ -141,3 +160,59 @@ def test_variations_generator_parity():
               "analysis", "fully", "spy", "betray", "fix", "unflag", "bed",
               "toccata", "full", "spoon", "business", "kiss", "crisis"]:
         assert set(ref_var(w)) == set(our_var(w)), w
+
+
+def test_range_merge_normalize_parity():
+    """Round-5 fuzz finding: the reference's And/Or normalize merges
+    same-field overlapping ranges (compound.py:137-152) via
+    RangeMixin.merge (ranges.py:113-150), whose containment branch
+    returns the ENCLOSING range even under intersect — And of a nested
+    range pair normalizes to the WIDER range.  We mirror it exactly."""
+    p = QueryParser()
+    # containment under And: reference quirk -> wider range survives
+    q = p.parse("[alfa TO bravo] AND [alfa TO charlie]")
+    assert q == Q.TermRange("alfa", "charlie")
+    # partial overlap under And: true intersection
+    q = p.parse("[alfa TO charlie] AND [bravo TO delta]")
+    assert q == Q.TermRange("bravo", "charlie")
+    # union under Or
+    q = p.parse("[alfa TO bravo] OR [bravo TO delta]")
+    assert q == Q.TermRange("alfa", "delta")
+    # disjoint ranges do NOT merge (overlaps() is false)
+    q = p.parse("[alfa TO bravo] OR [delta TO echo]")
+    assert q == Q.Or((Q.TermRange("alfa", "bravo"),
+                      Q.TermRange("delta", "echo")))
+    # exclusivity carried through comparable keys: {a TO c} vs [b TO d]
+    # -> [bravo TO charlie} (exclusive end wins the min())
+    q = p.parse("{alfa TO charlie} AND [bravo TO delta]")
+    assert q == Q.TermRange("bravo", "charlie", endexcl=True)
+    # non-range children untouched
+    q = p.parse("kilo AND [alfa TO bravo] AND [alfa TO charlie]")
+    assert q == Q.And((Q.Term("kilo"), Q.TermRange("alfa", "charlie")))
+
+
+def test_range_merge_golden_vs_reference(engines):
+    """Merged-range parse results match the reference end-to-end on its
+    own parser + searcher (the fuzz-found shape, pinned)."""
+    if not reference_importable():
+        pytest.skip("reference not importable")
+    from whoosh.qparser import QueryParser as WQP
+    from whoosh.query import Or as WOr
+
+    WOr.matcher_type = WOr.DEFAULT_MATCHER
+    wix, ours = engines
+    for qs in [
+        "[re TO rf] AND [re TO rg]",
+        "[ra TO re] OR [rd TO rg]",
+        "yellow AND [re TO rf] AND [re TO rg]",
+    ]:
+        with wix.searcher() as s:
+            wq = WQP("text", wix.schema).parse(qs)
+            expected = {h["url"]: h.score for h in s.search(wq, limit=None)}
+        got = {
+            u: sc
+            for _, u, sc in ours.search_list(QueryParser().parse(qs), 300)
+        }
+        assert set(got) == set(expected), qs
+        for u, sc in expected.items():
+            assert got[u] == pytest.approx(sc, rel=1e-9), (qs, u)

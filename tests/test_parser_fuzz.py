@@ -1,0 +1,202 @@
+"""Parser property fuzz vs the reference (VERDICT r4 #4): random query
+strings from the grammar (fields, quotes, AND/OR/NOT/ANDNOT/ANDMAYBE,
+ranges, boosts, wildcards, fuzzy) parsed by BOTH parsers and searched on
+the same small corpus — url sets and per-url scores must match.
+
+Score comparison is per-url (rel 1e-6) rather than rank-sequence, so
+tie ORDER differences cannot flake the test while any real scoring or
+matching divergence still fails it.  Reference quirks encountered by the
+fuzz are pinned in test_parser.py-style goldens once found; none are
+currently known for the grammar below.
+"""
+
+import pytest
+from hypothesis import HealthCheck, event, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import reference_importable
+
+pytestmark = pytest.mark.skipif(
+    not reference_importable(), reason="reference not importable"
+)
+
+VOCAB = [
+    "alfa", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima",
+]
+OOV = ["zebra", "quux"]
+
+# deterministic 30-doc corpus over a small vocabulary: every generated
+# term has a real chance of matching, phrases occur, df varies
+DOCS = [
+    " ".join(
+        VOCAB[(i * 7 + j * 3) % len(VOCAB)]
+        for j in range(4 + (i % 5))
+    )
+    for i in range(30)
+]
+
+word = st.sampled_from(VOCAB + OOV)
+
+leaf = st.one_of(
+    word,
+    word.map(lambda w: w + "~"),
+    word.map(lambda w: w[:3] + "*"),
+    word.map(lambda w: w[0] + "?" + w[2:4] + "*"),
+    st.tuples(word, st.integers(1, 3)).map(lambda t: f"{t[0]}^{t[1]}"),
+    st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+    st.tuples(word, word).map(
+        lambda t: f"[{min(t)} TO {max(t)}]"
+    ),
+    st.tuples(word, word).map(
+        lambda t: f"{{{min(t)} TO {max(t)}}}"
+    ),
+)
+
+expr = st.recursive(
+    leaf,
+    lambda inner: st.one_of(
+        st.tuples(
+            inner,
+            st.sampled_from(
+                [" AND ", " OR ", " ANDNOT ", " ANDMAYBE ", " NOT ", " "]
+            ),
+            inner,
+        ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
+        inner.map(lambda s: f"({s})"),
+        # only the real field: our parser routes unknown fields to the
+        # default (test_known_fields_routing), the reference keeps them
+        # and matches nothing — a documented deviation, not fuzz target
+        inner.map(lambda s: f"text:({s})"),
+    ),
+    max_leaves=5,
+)
+
+
+def _patch_reference_andnot():
+    """Work around a REFERENCE bug so fuzz comparisons check intended
+    semantics: AndNotMatcher._find_first (matching/binary.py:573-575)
+    only runs the exclusion check when a.id() == b.id() at init — when
+    the prohibited matcher starts at a LOWER docid than the required
+    one, the first required document is never checked against b and
+    leaks through (e.g. AndNot(Term(bravo), Or([alfa, bravo])) returns
+    the first bravo doc).  Single-Term b-sides usually escape by luck.
+    Pinned by test_reference_andnot_first_doc_leak below; our planner's
+    anti-join implements the intended semantics."""
+    from whoosh.matching.binary import AndNotMatcher
+
+    def _find_first(self):
+        if self.a.is_active() and self.b.is_active():
+            if self.b.id() < self.a.id():
+                self.b.skip_to(self.a.id())
+            if self.b.is_active() and self.a.id() == self.b.id():
+                self._find_next()
+
+    AndNotMatcher._find_first = _find_first
+
+
+@pytest.fixture(scope="module")
+def fuzz_engines(spark, tmp_path_factory):
+    from whoosh import fields, index
+
+    from whoosh_reloaded_spark.index import build_index
+    from whoosh_reloaded_spark.query import Searcher
+
+    schema = fields.Schema(
+        url=fields.ID(stored=True, unique=True), text=fields.TEXT
+    )
+    d = tmp_path_factory.mktemp("whoosh_fuzz_ix")
+    wix = index.create_in(str(d), schema)
+    w = wix.writer()
+    for i, text in enumerate(DOCS):
+        w.add_document(url=f"d{i:02d}", text=text)
+    w.commit()
+
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in enumerate(DOCS)],
+        "url string, text string",
+    )
+    ours = Searcher(build_index(df).persist())
+    return wix, ours
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(qs=expr)
+def test_parsed_search_parity_fuzz(qs, fuzz_engines):
+    from whoosh.qparser import FuzzyTermPlugin
+    from whoosh.qparser import QueryParser as WQP
+    from whoosh.query import Or as WOr
+
+    from whoosh_reloaded_spark.query.parser import QueryParser
+
+    WOr.matcher_type = WOr.DEFAULT_MATCHER
+    _patch_reference_andnot()
+    wix, ours = fuzz_engines
+
+    # ours must never crash on a grammar-generated string
+    q = QueryParser().parse(qs)
+    got = {u: s for _, u, s in ours.search_list(q, 100)}
+
+    with wix.searcher() as s:
+        # FuzzyTermPlugin: our parser supports ~ syntax natively; the
+        # reference needs the plugin enabled for the same grammar
+        wqp = WQP("text", wix.schema)
+        wqp.add_plugin(FuzzyTermPlugin())
+        wq = wqp.parse(qs)
+        try:
+            hits = s.search(wq, limit=None)
+            expected = {h["url"]: h.score for h in hits}
+        except AssertionError:
+            hits = s.search(wq, limit=None, optimize=False)
+            expected = {h["url"]: h.score for h in hits}
+        except Exception as e:  # reference itself crashed: record, skip
+            event(f"reference raised {type(e).__name__}")
+            return
+
+    assert set(got) == set(expected), qs
+    for u, sc in expected.items():
+        assert got[u] == pytest.approx(sc, rel=1e-6), (qs, u)
+
+
+def test_reference_andnot_first_doc_leak(fuzz_engines):
+    """Pin the reference bug _patch_reference_andnot works around: with
+    an Or b-side starting at a lower docid, the reference's unpatched
+    AndNotMatcher leaks the first required-side document; our anti-join
+    returns the intended empty set.  (If upstream ever fixes this, the
+    first assertion fails and the workaround can be dropped.)"""
+    from whoosh.matching.binary import AndNotMatcher
+    from whoosh.query import AndNot as WAndNot
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    from whoosh_reloaded_spark.query.ast import AndNot, Or, Term
+
+    wix, ours = fuzz_engines
+    # restore the original method for this test
+    orig = AndNotMatcher._find_first
+    try:
+        def _unpatched(self):
+            if (
+                self.a.is_active()
+                and self.b.is_active()
+                and self.a.id() == self.b.id()
+            ):
+                self._find_next()
+
+        AndNotMatcher._find_first = _unpatched
+        with wix.searcher() as s:
+            wq = WAndNot(
+                WT("text", "bravo"),
+                WOr([WT("text", "alfa"), WT("text", "bravo")]),
+            )
+            leaked = [h["url"] for h in s.search(wq, limit=None)]
+        assert leaked == ["d01"]  # the bug: first bravo doc escapes
+    finally:
+        AndNotMatcher._find_first = orig
+
+    q = AndNot(Term("bravo"), Or((Term("alfa"), Term("bravo"))))
+    assert ours.search_list(q, 10) == []  # intended semantics

@@ -70,6 +70,87 @@ def _flatten(cls, children: Tuple[Query, ...], boost: float) -> List[Query]:
     return dedup
 
 
+def _range_cmp_start(r):
+    """Comparable start key mirroring the reference's _comparable_start
+    (ranges.py:81-86): None = Lowest; exclusive sorts after inclusive."""
+    if r.start is None:
+        return ((0,), 0)
+    return ((1, r.start), 1 if r.startexcl else 0)
+
+
+def _range_cmp_end(r):
+    """ranges.py:88-93: None = Highest; exclusive sorts before inclusive."""
+    if r.end is None:
+        return ((2,), 0)
+    return ((1, r.end), -1 if r.endexcl else 0)
+
+
+def _ranges_overlap(a, b) -> bool:
+    """ranges.py:95-111 (same class + same field only)."""
+    if type(a) is not type(b) or a.fieldname != b.fieldname:
+        return False
+    s1, e1 = _range_cmp_start(a), _range_cmp_end(a)
+    s2, e2 = _range_cmp_start(b), _range_cmp_end(b)
+    return (
+        (s2 <= s1 <= e2)
+        or (s2 <= e1 <= e2)
+        or (s1 <= s2 <= e1)
+        or (s1 <= e2 <= e1)
+    )
+
+
+def _merge_two_ranges(a, b, intersect: bool):
+    """Mirror of RangeMixin.merge (ranges.py:113-150) INCLUDING its
+    containment branch, which returns the ENCLOSING range even when
+    intersect=True — so ``And([a TO b], [a TO c])`` normalizes to the
+    WIDER ``[a TO c]`` exactly like the reference (quirk kept for parse
+    parity; callers wanting true intersection keep the un-normalized
+    And).  Found by the round-5 parser fuzz."""
+    s1, e1 = _range_cmp_start(a), _range_cmp_end(a)
+    s2, e2 = _range_cmp_start(b), _range_cmp_end(b)
+    if s1 >= s2 and e1 <= e2:
+        s, e = s2, e2
+    elif s2 >= s1 and e2 <= e1:
+        s, e = s1, e1
+    elif intersect:
+        s, e = max(s1, s2), min(e1, e2)
+    else:
+        s, e = min(s1, s2), max(e1, e2)
+    return replace(
+        a,
+        start=None if s[0] == (0,) else s[0][1],
+        startexcl=s[1] == 1,
+        end=None if e[0] == (2,) else e[0][1],
+        endexcl=e[1] == -1,
+        boost=max(a.boost, b.boost),
+    )
+
+
+def _merge_ranges(kids: List[Query], intersect: bool) -> List[Query]:
+    """compound.py:137-152: within an And/Or, same-field overlapping
+    TermRange/NumericRange children collapse into one merged range
+    (intersect for And, union for Or), then re-normalize; a merged range
+    that normalizes to NullQuery is dropped like any Null child."""
+    out = list(kids)
+    i = 0
+    while i < len(out):
+        q = out[i]
+        if isinstance(q, (TermRange, NumericRange)):
+            j = i + 1
+            while j < len(out):
+                if _ranges_overlap(q, out[j]):
+                    q = _merge_two_ranges(q, out.pop(j), intersect)
+                else:
+                    j += 1
+            q = q.normalize()
+            if isinstance(q, NullQuery):
+                out.pop(i)
+                continue
+            out[i] = q
+        i += 1
+    return out
+
+
 @dataclass(frozen=True)
 class And(_Compound):
     children: Tuple[Query, ...]
@@ -80,7 +161,9 @@ class And(_Compound):
         object.__setattr__(self, "boost", boost)
 
     def normalize(self) -> Query:
-        kids = _flatten(And, self.children, self.boost)
+        kids = _merge_ranges(
+            _flatten(And, self.children, self.boost), intersect=True
+        )
         if not kids:
             return NullQuery()
         if len(kids) == 1 and not isinstance(kids[0], Not):
@@ -103,7 +186,9 @@ class Or(_Compound):
         object.__setattr__(self, "scale", scale)
 
     def normalize(self) -> Query:
-        kids = _flatten(Or, self.children, self.boost)
+        kids = _merge_ranges(
+            _flatten(Or, self.children, self.boost), intersect=False
+        )
         if not kids:
             return NullQuery()
         if len(kids) == 1 and not isinstance(kids[0], Not):

@@ -66,7 +66,10 @@ _TOKEN_RE = re.compile(
 )
 
 _BOOST_RE = re.compile(r"\^(\d+(\.\d+)?)$")
-_FUZZY_RE = re.compile(r"~(\d*)$")
+# reference FuzzyTermPlugin expr (plugins.py:478-485): ~[maxdist][/prefix];
+# parsed fuzzies default to maxdist=1, prefixlength=0 (NOT the FuzzyTerm
+# class default of 1 — plugins.py:543-545 passes 0 when no /prefix given)
+_FUZZY_RE = re.compile(r"~(\d*)(?:/([1-9]\d*))?$")
 _GTLT_RE = re.compile(r"^(<=|>=|=<|=>|<|>)")
 
 TEXT, NUMERIC, DATE = "text", "numeric", "date"
@@ -306,56 +309,83 @@ class QueryParser:
         self._i += 1
         return t
 
-    def _or_expr(self) -> Q.Query:
-        left = self._and_expr()
-        parts = [left]
-        while True:
-            t = self._peek()
-            if t is not None and t.kind == "op" and t.op == "Or":
-                self._next()
-                parts.append(self._and_expr())
-            else:
-                break
-        return parts[0] if len(parts) == 1 else Q.Or(tuple(parts))
-
     _BINOPS = {"AndNot": Q.AndNot, "AndMaybe": Q.AndMaybe, "Require": Q.Require}
 
-    def _and_expr(self) -> Q.Query:
-        parts = [self._not_expr()]
-        ops: List[str] = []
+    def _or_expr(self) -> Q.Query:
+        """Reference operator application (OperatorsPlugin.do_operators,
+        plugins.py:954-989 + syntax.py InfixOperator.replace_self:614-641,
+        behavior verified empirically against the reference parser):
+        collect a FLAT list of queries and operator tokens up to the group
+        boundary, then run passes in the reference's op-registration order
+        — Not (prefix), And, Or, AndNot, AndMaybe, Require — each pass
+        replacing an op with a group of its IMMEDIATE neighbors, And/Or
+        merging left-associatively within a pass.  Net precedence (the
+        round-5 fuzz finding): explicit AND/OR bind TIGHTER than
+        ANDNOT/ANDMAYBE/REQUIRE ("a OR b ANDNOT c" is (a OR b) ANDNOT c),
+        while implicit juxtaposition binds loosest ("a b ANDNOT c" is
+        a AND (b ANDNOT c))."""
+        items: List[tuple] = []
         while True:
             t = self._peek()
             if t is None or t.kind == ")":
                 break
-            if t.kind == "op" and t.op == "Or":
-                break
-            if t.kind == "op" and t.op in ("And", "AndNot", "AndMaybe",
-                                           "Require"):
-                ops.append(t.op)
+            if t.kind == "op":
                 self._next()
-                parts.append(self._not_expr())
-                continue
-            ops.append("And")
-            parts.append(self._not_expr())
-        if len(parts) == 1:
-            return parts[0]
-        # fold left, honoring the binary ops (ANDNOT / ANDMAYBE / REQUIRE)
-        out = parts[0]
-        pending_and: List[Q.Query] = [out]
-        for op, rhs in zip(ops, parts[1:]):
-            if op == "And":
-                pending_and.append(rhs)
+                items.append(("op", t.op))
             else:
-                left = (
-                    pending_and[0]
-                    if len(pending_and) == 1
-                    else Q.And(tuple(pending_and))
-                )
-                left = self._BINOPS[op](left, rhs)
-                pending_and = [left]
-        return (
-            pending_and[0] if len(pending_and) == 1 else Q.And(tuple(pending_and))
+                items.append(("q", self._primary()))
+        return self._apply_op_passes(items)
+
+    def _apply_op_passes(self, items: List[tuple]) -> Q.Query:
+        # Not: prefix pass, left-to-right (syntax.py:597-603)
+        i = 0
+        while i < len(items):
+            if items[i] == ("op", "Not"):
+                del items[i]
+                if i < len(items) and items[i][0] == "q":
+                    items[i] = ("q", Q.Not(items[i][1]))
+            else:
+                i += 1
+        # infix passes in registration order (plugins.py:921-934)
+        passes = (
+            ("And", lambda ch: Q.And(ch), True),
+            ("Or", lambda ch: Q.Or(ch), True),
+            ("AndNot", lambda ch: Q.AndNot(ch[0], ch[1]), False),
+            ("AndMaybe", lambda ch: Q.AndMaybe(ch[0], ch[1]), False),
+            ("Require", lambda ch: Q.Require(ch[0], ch[1]), False),
         )
+        for opname, make, merging in passes:
+            built: set = set()
+            i = 0
+            while i < len(items):
+                if items[i] != ("op", opname):
+                    i += 1
+                    continue
+                if (
+                    0 < i < len(items) - 1
+                    and items[i - 1][0] == "q"
+                    and items[i + 1][0] == "q"
+                ):
+                    left, right = items[i - 1][1], items[i + 1][1]
+                    if merging and id(left) in built:
+                        # left-assoc merge: "a OR b OR c" appends into the
+                        # pass-built group instead of nesting
+                        newq = make(tuple(left.children) + (right,))
+                    else:
+                        newq = make((left, right))
+                    built.add(id(newq))
+                    items[i - 1:i + 2] = [("q", newq)]
+                    # continue at the element after the new group, like
+                    # replace_self returning `position`
+                else:
+                    # op at a boundary: dropped (syntax.py:638-639)
+                    del items[i]
+        qs = [q for kind, q in items if kind == "q"]
+        if not qs:
+            return Q.NullQuery()
+        if len(qs) == 1:
+            return qs[0]
+        return Q.And(tuple(qs))  # default AndGroup
 
     def _not_expr(self) -> Q.Query:
         t = self._peek()
@@ -432,6 +462,36 @@ class QueryParser:
             # operator with no operand position (e.g. leading AND) — the
             # reference degrades it to a plain term of its text
             return self._word(t.value)
+        if t.kind == "word" and t.value.endswith(":"):
+            nxt = self._peek()
+            if nxt is not None and nxt.kind == "(":
+                # fielded group "field:(...)": the reference FieldsPlugin
+                # pushes the fieldname onto the following group's
+                # unfielded nodes (round-5 fuzz fix — previously the
+                # field prefix was silently dropped)
+                rf = self._resolve_field(t.value[:-1]) or self.fieldname
+                saved = self.fieldname
+                self.fieldname = rf
+                try:
+                    self._next()  # consume "("
+                    q = self._or_expr()
+                    if self._peek() is not None and self._peek().kind == ")":
+                        self._next()
+                finally:
+                    self.fieldname = saved
+                nxt = self._peek()
+                if (
+                    nxt is not None
+                    and nxt.kind == "word"
+                    and nxt.value.startswith("^")
+                ):
+                    try:
+                        boost = float(nxt.value[1:])
+                        self._next()
+                        return self._boosted(q, boost)
+                    except ValueError:
+                        pass
+                return q
         return self._word(t.value)
 
     def _function_call(self, raw: str) -> Q.Query:
@@ -681,9 +741,11 @@ class QueryParser:
                 else self._unfielded_leaf(leaf)
             )
         maxdist = None
+        prefixlength = 0
         m = _FUZZY_RE.search(raw)
         if m and not raw.endswith('~"'):
             maxdist = int(m.group(1)) if m.group(1) else 1
+            prefixlength = int(m.group(2)) if m.group(2) else 0
             raw = raw[: m.start()]
         if "*" in raw or "?" in raw:
             leaf = Q.Wildcard(raw.lower(), fieldname, boost)
@@ -696,7 +758,10 @@ class QueryParser:
         if not terms:
             return Q.NullQuery()
         if maxdist is not None:
-            leaf = Q.FuzzyTerm(terms[0], fieldname, boost, maxdist=maxdist)
+            leaf = Q.FuzzyTerm(
+                terms[0], fieldname, boost, maxdist=maxdist,
+                prefixlength=prefixlength,
+            )
         elif len(terms) == 1:
             leaf = Q.Term(terms[0], fieldname, boost)
         else:

@@ -520,9 +520,15 @@ class Searcher:
             isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname
             for c in q.children
         ):
-            # fused fast path: one scan, no per-child union
-            boosts = {c.text: c.boost for c in q.children}
-            df = self._scored_postings([c.text for c in q.children], boosts=boosts)
+            # fused fast path: one scan, no per-child union.  Duplicate
+            # term children SUM their boosts (round-5 fuzz fix: the
+            # reference's Or sums each duplicate matcher's score, and
+            # BM25 is linear in boost — a dict keyed by term was silently
+            # keeping only the last boost)
+            boosts: Dict[str, float] = {}
+            for c in q.children:
+                boosts[c.text] = boosts.get(c.text, 0.0) + c.boost
+            df = self._scored_postings(list(boosts), boosts=boosts)
             if q.scale:
                 # coordination bonus: the SQR function (CoordMatcher,
                 # matching/wrappers.py — from the published V-Twin paper):
@@ -557,10 +563,13 @@ class Searcher:
             isinstance(c, Q.Term) and c.fieldname == self.ix.fieldname
             for c in q.children
         ):
-            # fused: one scan + single aggregation with match-count filter
-            boosts = {c.text: c.boost for c in q.children}
-            n = len({c.text for c in q.children})
-            df = self._scored_postings([c.text for c in q.children], boosts=boosts)
+            # fused: one scan + single aggregation with match-count filter.
+            # Duplicate term children sum their boosts (see the Or path)
+            boosts = {}
+            for c in q.children:
+                boosts[c.text] = boosts.get(c.text, 0.0) + c.boost
+            n = len(boosts)
+            df = self._scored_postings(list(boosts), boosts=boosts)
             # postings are unique per (term, docid): row count == distinct
             # terms matched, so the coverage check needs no count_distinct
             # (which would plan an extra (docid, term) exchange — measured
