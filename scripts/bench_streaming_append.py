@@ -77,27 +77,39 @@ def main():
     from whoosh_reloaded_spark.query import And, Or, Phrase, Searcher, Term
     from whoosh_reloaded_spark.streaming.append import append_batch
 
-    shutil.rmtree(ROOT, ignore_errors=True)
-    os.makedirs(ROOT, exist_ok=True)
-    scratch = os.path.join(ROOT, "batches")
-
-    # micro-batch arrival simulation: slice the 1M corpus into NB
-    # ~equal batches by uid hash, materialized so each append reads only
-    # its own input (like a real stream source)
-    corpus = spark.read.parquet(CORPUS).select("url", "text")
-    corpus.withColumn(
-        "b", F.abs(F.crc32("url")) % NB
-    ).write.partitionBy("b").mode("overwrite").parquet(scratch)
-
     seg_root = os.path.join(ROOT, "ix")
-    os.makedirs(seg_root, exist_ok=True)
+    resume = len(
+        [
+            r
+            for r in read_manifest(seg_root).values()
+            if r.get("status") == "complete"
+        ]
+    ) >= NB
+    if not resume:
+        shutil.rmtree(ROOT, ignore_errors=True)
+        os.makedirs(ROOT, exist_ok=True)
+        scratch = os.path.join(ROOT, "batches")
+
+        # micro-batch arrival simulation: slice the 1M corpus into NB
+        # ~equal batches by uid hash, materialized so each append reads
+        # only its own input (like a real stream source)
+        corpus = spark.read.parquet(CORPUS).select("url", "text")
+        corpus.withColumn(
+            "b", F.abs(F.crc32("url")) % NB
+        ).write.partitionBy("b").mode("overwrite").parquet(scratch)
+        os.makedirs(seg_root, exist_ok=True)
+
     appends = []
     latency_curve = {}
     for i in range(NB):
-        bdf = spark.read.parquet(f"{scratch}/b={i}")
-        t0 = time.perf_counter()
-        row = append_batch(bdf, seg_root, batch_id=i)
-        wall = time.perf_counter() - t0
+        if resume:
+            row = read_manifest(seg_root)[i]
+            wall = row["wall_sec"]
+        else:
+            bdf = spark.read.parquet(f"{ROOT}/batches/b={i}")
+            t0 = time.perf_counter()
+            row = append_batch(bdf, seg_root, batch_id=i)
+            wall = time.perf_counter() - t0
         appends.append(
             {
                 "batch": i,
@@ -109,8 +121,13 @@ def main():
         )
         n_segs = i + 1
         if n_segs in MEASURE_AT:
-            ix = open_partitioned(spark, seg_root)
-            s = Searcher(ix)
+            manifest = read_manifest(seg_root)
+            paths = [
+                manifest[j]["segment_path"] for j in range(n_segs)
+            ]
+            from whoosh_reloaded_spark.index.segments import load_multi
+
+            s = Searcher(load_multi(spark, paths))
             latency_curve[str(n_segs)] = p50_query(
                 s, Term, And, Or, Phrase
             )
@@ -123,7 +140,18 @@ def main():
         if r.get("status") == "complete"
     }
     to_merge = pick_merge(sizes, MERGE_SMALL)
+    policy = MERGE_SMALL
+    if not to_merge:
+        # equal-sized micro-batch segments are never "small" relative to
+        # each other — the compaction cadence for a steady stream is the
+        # periodic full fold (OPTIMIZE), the BufferedWriter-commit
+        # analogue
+        from whoosh_reloaded_spark.index.segments import OPTIMIZE
+
+        policy = OPTIMIZE
+        to_merge = pick_merge(sizes, OPTIMIZE)
     merged_path = os.path.join(ROOT, "merged")
+    shutil.rmtree(merged_path, ignore_errors=True)
     t0 = time.perf_counter()
     merge_segments(spark, to_merge, merged_path)
     merge_wall = time.perf_counter() - t0
@@ -147,10 +175,12 @@ def main():
                 "appends": appends,
                 "query_p50_by_segments": latency_curve,
                 "compaction": {
+                    "policy": policy,
                     "n_merged": len(to_merge),
                     "wall_sec": round(merge_wall, 1),
                     "post_merge_query_p50": post,
                 },
+                "resumed_appends": resume,
                 "loadavg_end": loadavg(),
             }
         )
