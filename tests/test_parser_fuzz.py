@@ -45,6 +45,9 @@ leaf = st.one_of(
     word.map(lambda w: w[0] + "?" + w[2:4] + "*"),
     st.tuples(word, st.integers(1, 3)).map(lambda t: f"{t[0]}^{t[1]}"),
     st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+    st.tuples(word, word, st.integers(1, 3)).map(
+        lambda t: f'"{t[0]} {t[1]}"~{t[2]}'
+    ),
     st.tuples(word, word).map(
         lambda t: f"[{min(t)} TO {max(t)}]"
     ),
@@ -59,7 +62,8 @@ expr = st.recursive(
         st.tuples(
             inner,
             st.sampled_from(
-                [" AND ", " OR ", " ANDNOT ", " ANDMAYBE ", " NOT ", " "]
+                [" AND ", " OR ", " ANDNOT ", " ANDMAYBE ", " NOT ",
+                 " REQUIRE ", " "]
             ),
             inner,
         ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
