@@ -1082,15 +1082,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = text_quality
 
     def multimodal_decode(spark, sf):
-        """REAL image decode end-to-end (multimodal.py decode_images +
-        imaging.py PNG codec): deterministic synthetic PNGs from doc_id
-        (cycling all 5 scanline filter types), decoded executor-side in
-        mapInPandas; dims + integer pixel/luma checksums + sniffed
-        container kind are checked against the closed-form pixel
-        formula in SQL."""
+        """REAL image + audio decode end-to-end (multimodal.py
+        decode_images/decode_audio over the imaging.py PNG codec and
+        audio.py RIFF/PCM parser): deterministic synthetic PNGs (cycling
+        all 5 scanline filter types) and WAVs from doc_id, decoded
+        executor-side in mapInPandas; dims / sample counts / integer
+        pixel + luma + sum-of-squares checksums / sniffed container are
+        checked against the closed-form generator formulas in SQL, as a
+        tagged union (modality column)."""
         from whoosh_reloaded_spark.multimodal import (
+            decode_audio,
             decode_images,
             media_metadata,
+            synthetic_audio,
             synthetic_media,
         )
 
@@ -1101,15 +1105,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         media = synthetic_media(docs)
         meta = media_metadata(media).select("media_id", "kind")
-        dec = decode_images(media).select(
-            "media_id",
-            F.col("width").cast("long").alias("width"),
-            F.col("height").cast("long").alias("height"),
-            F.col("channels").cast("long").alias("channels"),
-            "pixel_sum",
-            "luma_sum",
+        img = (
+            decode_images(media)
+            .join(meta, "media_id")
+            .select(
+                "media_id",
+                F.lit("image").alias("modality"),
+                F.col("width").cast("long").alias("dim1"),
+                F.col("height").cast("long").alias("dim2"),
+                F.col("channels").cast("long").alias("channels"),
+                F.col("pixel_sum").alias("checksum_a"),
+                F.col("luma_sum").alias("checksum_b"),
+                F.col("kind").alias("container"),
+            )
         )
-        return dec.join(meta, "media_id").orderBy("media_id")
+        wavs = synthetic_audio(docs)
+        ameta = media_metadata(wavs).select("media_id", "kind")
+        aud = (
+            decode_audio(wavs)
+            .join(ameta, "media_id")
+            .select(
+                "media_id",
+                F.lit("audio").alias("modality"),
+                F.col("sample_rate").cast("long").alias("dim1"),
+                F.col("n_frames").cast("long").alias("dim2"),
+                F.col("channels").cast("long").alias("channels"),
+                F.col("sum_sq").alias("checksum_a"),
+                F.col("duration_ms").alias("checksum_b"),
+                F.col("kind").alias("container"),
+            )
+        )
+        return img.unionByName(aud).orderBy("modality", "media_id")
 
     q["multimodal_decode"] = multimodal_decode
 
@@ -2316,32 +2342,48 @@ LIMIT 10
         + "\n) USING (doc_id)"
     )
 
-    # round-5: real PNG decode — expected dims/checksums in closed form
-    # from synthetic_media's pixel formula (multimodal.py):
-    # pixel(y,x,c) = (d*7 + x*5 + y*3 + c*11) % 256, w=8*(1+d%2),
-    # h=8*(1+(d//2)%2); luma = (299R+587G+114B)//1000 (imaging.py)
+    # round-5: real PNG + WAV decode — expected dims/checksums in closed
+    # form from the synthetic generator formulas (multimodal.py):
+    # image pixel(y,x,c) = (d*7 + x*5 + y*3 + c*11) % 256, w=8*(1+d%2),
+    # h=8*(1+(d//2)%2), luma = (299R+587G+114B)//1000 (imaging.py);
+    # audio sample(i) = (d*13 + i*7) % 201 - 100, n=800+(d%5)*200,
+    # rate=8000*(1+d%3) (audio.py)
     o["multimodal_decode"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
          8 * (1 + doc_id % 2) AS w,
-         8 * (1 + (doc_id // 2) % 2) AS h
+         8 * (1 + (doc_id // 2) % 2) AS h,
+         800 + (doc_id % 5) * 200 AS n,
+         8000 * (1 + doc_id % 3) AS rate
   FROM documents WHERE doc_id < 64
 )
-SELECT media_id,
-       CAST(w AS BIGINT) AS width,
-       CAST(h AS BIGINT) AS height,
+SELECT media_id, 'image' AS modality,
+       CAST(w AS BIGINT) AS dim1,
+       CAST(h AS BIGINT) AS dim2,
        CAST(3 AS BIGINT) AS channels,
        CAST(list_sum(list_transform(range(w * h * 3),
             i -> (media_id*7 + ((i // 3) % w)*5 + (i // (3*w))*3
-                  + (i % 3)*11) % 256)) AS BIGINT) AS pixel_sum,
+                  + (i % 3)*11) % 256)) AS BIGINT) AS checksum_a,
        CAST(list_sum(list_transform(range(w * h),
             i -> (299 * ((media_id*7 + (i % w)*5 + (i // w)*3) % 256)
                 + 587 * ((media_id*7 + (i % w)*5 + (i // w)*3 + 11) % 256)
                 + 114 * ((media_id*7 + (i % w)*5 + (i // w)*3 + 22) % 256))
-                 // 1000)) AS BIGINT) AS luma_sum,
-       'png' AS kind
+                 // 1000)) AS BIGINT) AS checksum_b,
+       'png' AS container
 FROM m
-ORDER BY media_id
+UNION ALL
+SELECT media_id, 'audio' AS modality,
+       CAST(rate AS BIGINT) AS dim1,
+       CAST(n AS BIGINT) AS dim2,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(list_sum(list_transform(range(n),
+            i -> ((media_id*13 + i*7) % 201 - 100)
+               * ((media_id*13 + i*7) % 201 - 100))) AS BIGINT)
+         AS checksum_a,
+       CAST(n * 1000 // rate AS BIGINT) AS checksum_b,
+       'riff' AS container
+FROM m
+ORDER BY modality, media_id
 """
     o["facet_buckets"] = (
         "SELECT bucket AS bucket_lo, bucket AS bucket_hi, n_docs, "
