@@ -1,0 +1,169 @@
+"""Lovins / Paice-Husk stemmer parity vs the reference: full
+english-words.10.gz sweep plus random-string fuzz — identical output
+wherever the reference doesn't crash; crash paths documented."""
+
+import gzip
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import reference_importable
+from whoosh_reloaded_spark.lang_stem import (
+    PaiceHuskStemmer,
+    lovins_stem,
+    paicehusk_stem,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_importable(), reason="reference not importable"
+)
+
+WORDS_GZ = "/root/reference/tests/english-words.10.gz"
+
+
+def _words():
+    with gzip.open(WORDS_GZ, "rt", encoding="latin-1") as f:
+        return [w.strip().lower() for w in f if w.strip()]
+
+
+def test_lovins_wordlist_parity():
+    from whoosh.lang import lovins as ref
+
+    mismatches = []
+    crashes = 0
+    for w in _words():
+        try:
+            expect = ref.stem(w)
+        except Exception:
+            crashes += 1
+            assert isinstance(lovins_stem(w), str)  # we degrade, not crash
+            continue
+        got = lovins_stem(w)
+        if got != expect:
+            mismatches.append((w, got, expect))
+    assert not mismatches, mismatches[:10]
+
+
+def test_paicehusk_wordlist_parity():
+    from whoosh.lang import paicehusk as ref
+
+    mismatches = []
+    crashes = 0
+    for w in _words():
+        try:
+            expect = ref.stem(w)
+        except Exception:
+            crashes += 1
+            assert isinstance(paicehusk_stem(w), str)
+            continue
+        got = paicehusk_stem(w)
+        if got != expect:
+            mismatches.append((w, got, expect))
+    assert not mismatches, mismatches[:10]
+
+
+def test_quirk_goldens():
+    """Pinned observed-behavior quirks (module docstring): Paice-Husk
+    protect rules wipe the stem; Lovins condition S is 'ends with t'."""
+    from whoosh.lang import lovins as rlov
+    from whoosh.lang import paicehusk as rph
+
+    # protect-rule wipe, verified against the reference itself
+    for w in ["seen", "keen", "classification"]:
+        assert rph.stem(w) == ""
+        assert paicehusk_stem(w) == ""
+    # crash-path deviations: reference raises, we degrade
+    with pytest.raises(ValueError):
+        rph.stem("grrr")
+    assert isinstance(paicehusk_stem("grrr"), str)
+    with pytest.raises(IndexError):
+        rlov.stem("")
+    assert lovins_stem("") == ""
+    # sanity on real stems
+    assert lovins_stem("nationally") == rlov.stem("nationally")
+    assert paicehusk_stem("happiness") == "happy"
+
+
+def test_custom_ruletable():
+    s = PaiceHuskStemmer("gni3>\ne1>\n")
+    assert s.stem("hiking") == "hik"
+    with pytest.raises(ValueError, match="bad Paice-Husk rule"):
+        PaiceHuskStemmer("???")
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    w=st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=1,
+              max_size=14)
+)
+def test_fuzz_random_strings(w):
+    from whoosh.lang import lovins as rlov
+    from whoosh.lang import paicehusk as rph
+
+    try:
+        expect = rlov.stem(w)
+    except Exception:
+        expect = None
+    if expect is not None:
+        assert lovins_stem(w) == expect, ("lovins", w)
+    else:
+        assert isinstance(lovins_stem(w), str)
+
+    try:
+        expect = rph.stem(w)
+    except Exception:
+        expect = None
+    if expect is not None:
+        assert paicehusk_stem(w) == expect, ("paicehusk", w)
+    else:
+        assert isinstance(paicehusk_stem(w), str)
+
+
+# -- ISRI Arabic stemmer -------------------------------------------------------
+
+_ARABIC = (
+    "ابتثجحخدذرزسشصضطظعغفقكلمنهوي"
+    "ةىئؤأإآء"
+    "ًٌٍَُِّْ"  # diacritics
+)
+
+
+def test_isri_known_roots():
+    from whoosh_reloaded_spark.isri import ISRIStemmer, isri_stem
+
+    assert isri_stem("الكتاب") == "كتب"
+    assert isri_stem("يكتبون") == "كتب"
+    assert ISRIStemmer().stem("استخراج") == "خرج"
+
+
+def test_isri_wordlike_parity():
+    """Parity on structured word-like inputs: every prefix x root x
+    suffix combination from the reference's own affix tables."""
+    from whoosh.lang.isri import ISRIStemmer as Ref
+
+    from whoosh_reloaded_spark.isri import isri_stem
+
+    ref = Ref()
+    roots = ["كتب", "درس", "خرج", "عمل", "فهم"]
+    prefixes = ["", "ال", "وال", "بال", "لل", "م", "ت", "است"]
+    suffixes = ["", "ة", "ون", "ين", "ات", "تين", "كمل", "ها"]
+    mismatches = []
+    for r in roots:
+        for p in prefixes:
+            for s in suffixes:
+                w = p + r + s
+                expect, got = ref.stem(w), isri_stem(w)
+                if got != expect:
+                    mismatches.append((w, got, expect))
+    assert not mismatches, mismatches[:10]
+
+
+@settings(max_examples=500, deadline=None)
+@given(w=st.text(alphabet=_ARABIC, min_size=1, max_size=10))
+def test_isri_fuzz(w):
+    from whoosh.lang.isri import ISRIStemmer as Ref
+
+    from whoosh_reloaded_spark.isri import isri_stem
+
+    assert isri_stem(w) == Ref().stem(w), w
