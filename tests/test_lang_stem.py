@@ -167,3 +167,63 @@ def test_isri_fuzz(w):
     from whoosh_reloaded_spark.isri import isri_stem
 
     assert isri_stem(w) == Ref().stem(w), w
+
+
+# -- soundex variants (reference lang/phonetic.py) -----------------------------
+
+
+def test_soundex_parity():
+    from whoosh.lang.phonetic import soundex_ar as ref_ar
+    from whoosh.lang.phonetic import soundex_en as ref_en
+    from whoosh.lang.phonetic import soundex_esp as ref_esp
+
+    from whoosh_reloaded_spark.soundex import (
+        soundex_ar,
+        soundex_en,
+        soundex_esp,
+    )
+
+    for w in _words():
+        assert soundex_en(w) == ref_en(w), w
+        assert soundex_esp(w) == ref_esp(w), w
+
+    ar_words = ["الكتاب", "محمد", "مهند", "كلمة", "درس", "ورد"]
+    for w in ar_words:
+        assert soundex_ar(w) == ref_ar(w), w
+
+
+@settings(max_examples=300, deadline=None)
+@given(w=st.text(alphabet="abcdefghijklmnñopqrstuvwxyzáéíóúü0123456789",
+                 min_size=0, max_size=12))
+def test_soundex_fuzz_latin(w):
+    from whoosh.lang.phonetic import soundex_en as ref_en
+    from whoosh.lang.phonetic import soundex_esp as ref_esp
+
+    from whoosh_reloaded_spark.soundex import soundex_en, soundex_esp
+
+    try:
+        expect = ref_en(w)
+    except Exception:
+        expect = None
+    if expect is not None:
+        assert soundex_en(w) == expect, ("en", w)
+    else:
+        assert isinstance(soundex_en(w), str)
+    assert soundex_esp(w) == ref_esp(w), ("esp", w)
+
+
+@settings(max_examples=300, deadline=None)
+@given(w=st.text(alphabet=_ARABIC + "x7", min_size=0, max_size=10))
+def test_soundex_fuzz_arabic(w):
+    from whoosh.lang.phonetic import soundex_ar as ref_ar
+
+    from whoosh_reloaded_spark.soundex import soundex_ar
+
+    try:
+        expect = ref_ar(w)
+    except Exception:
+        expect = None
+    if expect is not None:
+        assert soundex_ar(w) == expect, w
+    else:
+        assert isinstance(soundex_ar(w), str)
