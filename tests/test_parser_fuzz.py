@@ -204,3 +204,107 @@ def test_reference_andnot_first_doc_leak(fuzz_engines):
 
     q = AndNot(Term("bravo"), Or((Term("alfa"), Term("bravo"))))
     assert ours.search_list(q, 10) == []  # intended semantics
+
+
+# -- MultifieldParser fuzz (second surface: unfielded Or-expansion) ------------
+
+MF_DOCS = [
+    (f"m{i:02d}",
+     " ".join(VOCAB[(i * 5 + j) % len(VOCAB)] for j in range(3)),
+     " ".join(VOCAB[(i * 3 + j * 2) % len(VOCAB)] for j in range(5)))
+    for i in range(25)
+]
+
+mf_leaf = st.one_of(
+    word,
+    st.tuples(st.sampled_from(["name", "value"]), word).map(
+        lambda t: f"{t[0]}:{t[1]}"
+    ),
+    st.tuples(word, st.integers(1, 3)).map(lambda t: f"{t[0]}^{t[1]}"),
+    st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+)
+
+mf_expr = st.recursive(
+    mf_leaf,
+    lambda inner: st.one_of(
+        st.tuples(
+            inner,
+            st.sampled_from([" AND ", " OR ", " ANDNOT ", " NOT ", " "]),
+            inner,
+        ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
+        inner.map(lambda s: f"({s})"),
+    ),
+    max_leaves=4,
+)
+
+
+@pytest.fixture(scope="module")
+def mf_engines(spark, tmp_path_factory):
+    from whoosh import fields, index
+
+    from whoosh_reloaded_spark.multifield import (
+        FieldSpec,
+        MultiFieldSearcher,
+        build_multi_index,
+    )
+
+    schema = fields.Schema(
+        key=fields.ID(stored=True, unique=True),
+        name=fields.TEXT,
+        value=fields.TEXT,
+    )
+    d = tmp_path_factory.mktemp("whoosh_mf_fuzz")
+    wix = index.create_in(str(d), schema)
+    w = wix.writer()
+    for key, name, value in MF_DOCS:
+        w.add_document(key=key, name=name, value=value)
+    w.commit()
+
+    df = spark.createDataFrame(MF_DOCS, "key string, name string, value string")
+    idx = build_multi_index(
+        df,
+        {"name": FieldSpec("name"), "value": FieldSpec("value")},
+        uid_col="key",
+    )
+    for ix in idx.values():
+        ix.persist()
+    return wix, MultiFieldSearcher(idx, default_field="value")
+
+
+@settings(
+    max_examples=150,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(qs=mf_expr)
+def test_multifield_parsed_parity_fuzz(qs, mf_engines):
+    from whoosh.qparser import MultifieldParser as WMFP
+    from whoosh.query import Or as WOr
+
+    from whoosh_reloaded_spark.query.parser import MultifieldParser
+
+    WOr.matcher_type = WOr.DEFAULT_MATCHER
+    _patch_reference_andnot()
+    wix, ours = mf_engines
+
+    q = MultifieldParser(["name", "value"]).parse(qs)
+    got = {u: s for _, u, s in ours.search_list(q, 100)}
+
+    with wix.searcher() as s:
+        wq = WMFP(["name", "value"], wix.schema).parse(qs)
+        try:
+            expected = {
+                h["key"]: h.score for h in s.search(wq, limit=None)
+            }
+        except AssertionError:
+            expected = {
+                h["key"]: h.score
+                for h in s.search(wq, limit=None, optimize=False)
+            }
+        except Exception as e:
+            event(f"reference raised {type(e).__name__}")
+            return
+
+    assert set(got) == set(expected), qs
+    for u, sc in expected.items():
+        assert got[u] == pytest.approx(sc, rel=1e-6), (qs, u)
