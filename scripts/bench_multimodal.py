@@ -65,46 +65,74 @@ def main():
         results["generate_sec"] = round(time.perf_counter() - t0, 1)
         spark.stop()
 
+    audio_path = os.path.join(ROOT, f"audio_{N}")
+    if not os.path.isdir(audio_path):
+        spark = session(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        from whoosh_reloaded_spark.multimodal import synthetic_audio
+
+        ids = spark.range(0, N).withColumnRenamed("id", "doc_id")
+        t0 = time.perf_counter()
+        synthetic_audio(ids).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(audio_path)
+        results["generate_audio_sec"] = round(time.perf_counter() - t0, 1)
+        spark.stop()
+
     import subprocess
 
     # decode at each level in a fresh process/JVM
     for cores in (8, 32):
-        out = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--decode-worker",
-                str(cores),
-                media_path,
-            ],
-            capture_output=True,
-            text=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        assert line, out.stderr[-2000:]
-        results[f"decode_{cores}"] = json.loads(line[-1])
+        for kind, path in (("", media_path), ("audio_", audio_path)):
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--decode-worker",
+                    str(cores),
+                    path,
+                    "audio" if kind else "image",
+                ],
+                capture_output=True,
+                text=True,
+            )
+            line = [
+                l for l in out.stdout.splitlines() if l.startswith("{")
+            ]
+            assert line, out.stderr[-2000:]
+            results[f"{kind}decode_{cores}"] = json.loads(line[-1])
 
     d8, d32 = results["decode_8"], results["decode_32"]
     results["eff_8_to_32"] = round(
         (d32["images_per_sec"] / d8["images_per_sec"]) / 4.0, 3
     )
+    a8, a32 = results["audio_decode_8"], results["audio_decode_32"]
+    results["audio_eff_8_to_32"] = round(
+        (a32["images_per_sec"] / a8["images_per_sec"]) / 4.0, 3
+    )
     print(json.dumps(results))
 
 
-def decode_worker(cores, media_path):
+def decode_worker(cores, media_path, kind="image"):
     spark = session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
-    from whoosh_reloaded_spark.multimodal import decode_images
+    from whoosh_reloaded_spark.multimodal import decode_audio, decode_images
 
     media = spark.read.parquet(media_path)
     n_bytes = media.select(F.sum(F.length("payload"))).collect()[0][0]
     la0 = loadavg()
     t0 = time.perf_counter()
-    agg = decode_images(media, with_thumbnail=False).agg(
+    if kind == "audio":
+        dec = decode_audio(media)
+        checksum_col = "sum_sq"
+    else:
+        dec = decode_images(media, with_thumbnail=False)
+        checksum_col = "pixel_sum"
+    agg = dec.agg(
         F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
-        F.sum("pixel_sum").alias("checksum"),
+        F.sum(checksum_col).alias("checksum"),
     ).collect()[0]
     wall = time.perf_counter() - t0
     print(
@@ -125,6 +153,10 @@ def decode_worker(cores, media_path):
 if __name__ == "__main__":
     if "--decode-worker" in sys.argv:
         i = sys.argv.index("--decode-worker")
-        decode_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
+        decode_worker(
+            int(sys.argv[i + 1]),
+            sys.argv[i + 2],
+            sys.argv[i + 3] if len(sys.argv) > i + 3 else "image",
+        )
     else:
         main()
