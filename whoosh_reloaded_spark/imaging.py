@@ -174,21 +174,30 @@ def png_decode(data: bytes) -> np.ndarray:
             rec %= 256
         elif ft == 2:  # Up
             rec = (line + prev) % 256
-        elif ft == 3:  # Average: left-dependency forces a scan
-            rec = np.empty(stride, dtype=np.int32)
+        elif ft == 3:  # Average: the left-dependency forces a scan;
+            # a plain-int list loop beats tiny-vector numpy ~10x here
+            lb = raw[off + 1:off + 1 + stride]
+            pv = prev.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                rec[x] = (line[x] + (a + prev[x]) // 2) % 256
-        elif ft == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.int32)
+                a = rl[x - ch] if x >= ch else 0
+                rl[x] = (lb[x] + ((a + pv[x]) >> 1)) & 255
+            rec = np.array(rl, dtype=np.int32)
+        elif ft == 4:  # Paeth: same scan, plain-int loop
+            lb = raw[off + 1:off + 1 + stride]
+            pv = prev.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                c = prev[x - ch] if x >= ch else 0
-                b = prev[x]
+                a = rl[x - ch] if x >= ch else 0
+                c = pv[x - ch] if x >= ch else 0
+                b = pv[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pr) % 256
+                rl[x] = (lb[x] + pr) & 255
+            rec = np.array(rl, dtype=np.int32)
         else:
             raise ValueError(f"bad scanline filter {ft}")
         out[y] = rec
