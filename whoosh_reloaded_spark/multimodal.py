@@ -281,16 +281,19 @@ def decode_images(
     return src.mapInPandas(run, DECODE_SCHEMA)
 
 
-def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthetic_media(df: DataFrame, id_col: str = "doc_id",
+                    scale: int = 1) -> DataFrame:
     """Deterministic synthetic PNG per id — the test/benchmark media
     table (no external data; the brief's input is text-only).
 
-    For id d: width = 8*(1 + d%2), height = 8*(1 + (d//2)%2), RGB pixel
-    (y, x, c) = (d*7 + x*5 + y*3 + c*11) % 256, encoded with scanline
-    filter d%5 (cycling all five PNG filter types across rows of the
-    table, so decoding the table exercises every unfilter path).  The
-    pixel formula is closed-form, so an SQL oracle can compute the
-    expected dims/checksums without any image library.
+    For id d: width = 8*scale*(1 + d%2), height = 8*scale*(1 +
+    (d//2)%2), RGB pixel (y, x, c) = (d*7 + x*5 + y*3 + c*11) % 256,
+    encoded with scanline filter d%5 (cycling all five PNG filter types
+    across rows of the table, so decoding the table exercises every
+    unfilter path).  The pixel formula is closed-form, so an SQL oracle
+    can compute the expected dims/checksums without any image library
+    (the oracle pins scale=1; larger scales are for throughput benches
+    at realistic image sizes).
     """
     import numpy as np
 
@@ -304,8 +307,8 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, payloads = [], []
             for mid in pdf["media_id"]:
                 d = int(mid)
-                w = 8 * (1 + d % 2)
-                h = 8 * (1 + (d // 2) % 2)
+                w = 8 * scale * (1 + d % 2)
+                h = 8 * scale * (1 + (d // 2) % 2)
                 y, x, c = np.indices((h, w, 3))
                 arr = ((d * 7 + x * 5 + y * 3 + c * 11) % 256).astype(
                     "uint8"
