@@ -142,3 +142,73 @@ def test_queryparser_nl_dates():
     assert isinstance(q, Q.DateRange)
     assert q.start == datetime.datetime(2010, 9, 20, 15, 0, 0, 0)
     assert q.end == datetime.datetime(2010, 9, 20, 15, 59, 59, 999999)
+
+
+# -- hypothesis fuzz over the composable date grammar (round 5) ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_MONTHS = ["january", "jan", "february", "feb", "march", "mar", "april",
+           "apr", "may", "june", "jun", "july", "jul", "august", "aug",
+           "september", "sept", "sep", "october", "oct", "november",
+           "nov", "december", "dec"]
+_DAYNAMES = ["monday", "mon", "tuesday", "tue", "wednesday", "wed",
+             "thursday", "thu", "th", "friday", "fri", "saturday", "sat",
+             "sunday", "sun"]
+_UNITS = ["y", "yr", "yrs", "mo", "mon", "mons", "w", "wk", "wks", "d",
+          "dy", "days", "h", "hr", "hrs", "m", "min", "mins", "s",
+          "sec", "secs"]
+
+_atom = hst.one_of(
+    hst.integers(1000, 9999).map(str),                       # year
+    hst.integers(0, 40).map(str),                            # day-ish
+    hst.sampled_from(_MONTHS),
+    hst.sampled_from(["today", "tomorrow", "yesterday", "now",
+                      "this month", "this year", "noon", "midnight"]),
+    hst.tuples(hst.integers(0, 30), hst.integers(0, 70)).map(
+        lambda t: f"{t[0]}:{t[1]:02d}"
+    ),
+    hst.tuples(hst.integers(1, 15), hst.sampled_from(["am", "pm"])).map(
+        lambda t: f"{t[0]}{t[1]}"
+    ),
+    hst.tuples(
+        hst.sampled_from(["+", "-"]),
+        hst.integers(1, 500),
+        hst.sampled_from(_UNITS),
+    ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
+    hst.tuples(hst.sampled_from(["next", "last"]),
+               hst.sampled_from(_DAYNAMES)).map(lambda t: f"{t[0]} {t[1]}"),
+)
+
+_bag = hst.lists(_atom, min_size=1, max_size=4).map(" ".join)
+_datestr = hst.one_of(
+    _bag,
+    hst.tuples(_bag, _bag).map(lambda t: f"{t[0]} to {t[1]}"),
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(text=_datestr)
+def test_dateparse_fuzz(text):
+    """Random compositions of the grammar's atoms (dates, times,
+    relative deltas, daynames, bags, ranges) parse to the same span as
+    the reference English engine — or both reject."""
+    from whoosh.qparser.dateparse import timespan
+
+    eng = _ref_engine()
+    base_aware = BASE.replace(tzinfo=datetime.timezone.utc)
+    try:
+        ref = eng.date_from(text, base_aware)
+    except Exception:
+        ref = None
+    ours = parse_span(text, BASE)
+    if ref is None:
+        assert ours is None, f"{text!r}: ours={ours} ref=None"
+        return
+    assert ours is not None, f"{text!r}: ours=None ref={ref}"
+    if isinstance(ref, timespan):
+        want = (_naive(ref.start), _naive(ref.end))
+    else:
+        want = (_naive(ref), _naive(ref))
+    assert ours == want, f"{text!r}: ours={ours} want={want}"
