@@ -93,3 +93,42 @@ def test_tokenize_udf_matches_python(spark):
         expect = standard_tokens(r["text"])
         got = [(t["term"], t["pos"]) for t in r["toks"]]
         assert got == expect, r["text"]
+
+
+def test_tokenizer_unicode_fuzz():
+    """800-example hypothesis fuzz of the BYTE-IDENTICAL tokenization
+    contract (the north-star invariant): random unicode text — letters,
+    digits, punctuation, CJK, Cyrillic, emoji, combining marks,
+    whitespace varieties — must produce the exact (term, pos) stream the
+    reference StandardAnalyzer yields."""
+    import pytest
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from tests.conftest import reference_importable
+
+    if not reference_importable():
+        pytest.skip("reference not importable")
+    from whoosh.analysis import StandardAnalyzer as RefSA
+
+    from whoosh_reloaded_spark.analysis import StandardAnalyzer
+
+    ours = StandardAnalyzer()
+    ref = RefSA()
+
+    alphabet = hst.sampled_from(
+        list("abcXYZ012._*-'\"()[]{}t \t\néßЖ中文")
+        + ["\U0001f600", "é", " ", " ", "the", "a.b",
+           "word*", "*glob", "1.2.3", "__dunder__"]
+    )
+    text_strategy = hst.lists(alphabet, min_size=0, max_size=30).map("".join)
+
+    @settings(max_examples=800, deadline=None)
+    @given(text=text_strategy)
+    def check(text):
+        expect = [(t.text, t.pos) for t in ref(text, positions=True)]
+        got = ours(text)
+        assert got == expect, repr(text)
+
+    check()

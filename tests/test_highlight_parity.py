@@ -322,3 +322,64 @@ def test_genshi_event_formatter_no_empty_tail_event():
     ev = GenshiEventFormatter(qname="b").format_fragment(frag)
     assert all(not (k == STREAM_TEXT and t == "") for k, t, _ in ev)
     assert ev[-1][0] != STREAM_TEXT or ev[-1][1] != ""
+
+
+# -- hypothesis fuzz (round 5): random text x terms x fragmenter x formatter --
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_HVOCAB = ["alfa", "bravo", "charlie", "delta", "echo", "foxtrot",
+           "golf", "hotel", "india", "juliet", "kilo", "lima", "the",
+           "and", "renders", "rendering"]
+
+_hsentence = hst.lists(
+    hst.sampled_from(_HVOCAB), min_size=1, max_size=9
+).map(lambda ws: " ".join(ws))
+
+_htext = hst.lists(_hsentence, min_size=1, max_size=4).map(
+    lambda ss: ". ".join(ss) + "."
+)
+
+_hterms = hst.sets(hst.sampled_from(_HVOCAB), min_size=1, max_size=3)
+
+_hfragmenter = hst.one_of(
+    hst.just(("WholeFragmenter", {})),
+    hst.just(("SentenceFragmenter", {})),
+    hst.tuples(hst.integers(10, 60), hst.integers(2, 20)).map(
+        lambda t: ("ContextFragmenter", {"maxchars": t[0], "surround": t[1]})
+    ),
+)
+
+_hformatter = hst.one_of(
+    hst.just(("UppercaseFormatter", {})),
+    hst.just(("HtmlFormatter", {"classname": "m"})),
+)
+
+
+@needs_ref
+@settings(max_examples=600, deadline=None)
+@given(text=_htext, terms=_hterms, frag=_hfragmenter, fmt=_hformatter,
+       top=hst.integers(1, 4))
+def test_highlight_fuzz(text, terms, frag, fmt, top):
+    """Byte-identical highlight output vs the live reference across
+    random text/term/fragmenter/formatter/top combinations (Pinpoint
+    excluded: documented reference token-aliasing bug)."""
+    import whoosh_reloaded_spark.highlight as oh
+
+    fragmenter = getattr(oh, frag[0])(**frag[1])
+    formatter = getattr(oh, fmt[0])(**fmt[1])
+    ours = highlight(text, terms, None, fragmenter, formatter, top=top)
+
+    from whoosh import analysis
+    from whoosh import highlight as rh
+
+    ref = rh.highlight(
+        text,
+        frozenset(terms),
+        analysis.StandardAnalyzer(),
+        getattr(rh, frag[0])(**frag[1]),
+        getattr(rh, fmt[0])(**fmt[1]),
+        top=top,
+    )
+    assert ours == ref, (text, terms, frag, fmt, top)
