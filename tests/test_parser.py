@@ -216,3 +216,75 @@ def test_range_merge_golden_vs_reference(engines):
         assert set(got) == set(expected), qs
         for u, sc in expected.items():
             assert got[u] == pytest.approx(sc, rel=1e-9), (qs, u)
+
+
+def test_merging_splice_goldens():
+    """InfixOperator.replace_self merging splice (reference
+    syntax.py:629-631), pinned live against the reference parser: a
+    boosted left group of the op's own syntax type swallows the right
+    operand — a MultifieldParser OrGroup expansion under OR, a
+    parenthesized AndGroup under AND — while mismatched group types
+    flatten without splicing.  Round-5 fuzz finding."""
+    from whoosh_reloaded_spark.query import ast as Q
+    from whoosh_reloaded_spark.query.parser import MultifieldParser
+
+    mp = MultifieldParser(["name", "value"])
+
+    def T(f, t, b=1.0):
+        return Q.Term(t, f, b)
+
+    # OR splice + dedup: reference -> Or([name:a, value:a], boost=2)
+    assert mp.parse("alfa^2 OR alfa") == Q.Or(
+        (T("name", "alfa"), T("value", "alfa")), boost=2.0
+    )
+    # OR splice: first operand's boost covers the whole disjunction
+    assert mp.parse("alfa^2 OR bravo OR charlie") == Q.Or(
+        (
+            T("name", "alfa"), T("value", "alfa"),
+            T("name", "bravo"), T("value", "bravo"),
+            T("name", "charlie"), T("value", "charlie"),
+        ),
+        boost=2.0,
+    )
+    # unboosted left, boosted right: boost stays on the right terms only
+    assert mp.parse("alfa OR bravo^2") == Q.Or(
+        (
+            T("name", "alfa"), T("value", "alfa"),
+            T("name", "bravo", 2.0), T("value", "bravo", 2.0),
+        )
+    )
+    # AND does not splice into an OrGroup: boost stays on the left group
+    assert mp.parse("alfa^2 AND bravo") == Q.And(
+        (
+            Q.Or((T("name", "alfa"), T("value", "alfa")), boost=2.0),
+            Q.Or((T("name", "bravo"), T("value", "bravo"))),
+        )
+    )
+    # AND splices into a boosted parenthesized AndGroup: charlie boosted
+    got = mp.parse("(alfa bravo)^2 AND charlie")
+    assert isinstance(got, Q.And) and got.boost == 2.0
+    assert got.children[-1] == Q.Or(
+        (T("name", "charlie"), T("value", "charlie"))
+    )
+    # ...but implicit juxtaposition does not splice: charlie unboosted
+    got = mp.parse("(alfa bravo)^2 charlie")
+    assert isinstance(got, Q.And) and got.boost == 1.0
+    # OR does not splice into a parenthesized AndGroup
+    got = mp.parse("(alfa bravo)^2 OR charlie")
+    assert isinstance(got, Q.Or) and got.boost == 1.0
+    assert isinstance(got.children[0], Q.And)
+    assert got.children[0].boost == 2.0
+    # paren AndGroup wrapper keeps (alfa OR bravo)^2 from OR-splicing:
+    # boost distributes to the inner terms, charlie unboosted
+    assert mp.parse("(alfa OR bravo)^2 OR charlie") == Q.Or(
+        (
+            T("name", "alfa", 2.0), T("value", "alfa", 2.0),
+            T("name", "bravo", 2.0), T("value", "bravo", 2.0),
+            T("name", "charlie"), T("value", "charlie"),
+        )
+    )
+    # fielded group members are NOT multifield-expanded
+    got = mp.parse("name:(alfa bravo)^2 AND charlie")
+    assert got.children[0] == T("name", "alfa")
+    assert got.children[1] == T("name", "bravo")
+    assert got.boost == 2.0

@@ -147,6 +147,17 @@ DEFAULT_OPERATORS = {
 _OP_ORDER = ("AndNot", "AndMaybe", "Not", "And", "Or", "Require")
 
 
+def _mark_group(q: Q.Query, kind: str) -> Q.Query:
+    """Tag a query with the whoosh-syntax group type it represents
+    ("Or" = MultifieldPlugin OrGroup expansion, "And" = parenthesized /
+    default AndGroup, or an infix-built group) so _apply_op_passes can
+    mirror InfixOperator.replace_self's merging splice (syntax.py:629-631).
+    The tag is parser-internal and not a dataclass field, so normalize()
+    and dataclasses.replace() shed it naturally."""
+    object.__setattr__(q, "_syntax_group", kind)
+    return q
+
+
 def _map_tree(q: Q.Query, fn) -> Q.Query:
     """Apply fn bottom-up over a Query tree (children first, then node)."""
     from dataclasses import replace
@@ -199,6 +210,9 @@ class QueryParser:
             self.copy_fields.update(
                 {v: k for k, v in list(self.copy_fields.items())}
             )
+        # >0 while parsing inside a "field:(...)" group — leaves there are
+        # explicitly fielded, so MultifieldParser must not expand them
+        self._fielded_group_depth = 0
         # FieldAliasPlugin (plugins.py:1206-1238): alias -> real field
         self.field_aliases: Dict[str, str] = {}
         for real, aliases in (field_aliases or {}).items():
@@ -355,7 +369,7 @@ class QueryParser:
             ("Require", lambda ch: Q.Require(ch[0], ch[1]), False),
         )
         for opname, make, merging in passes:
-            built: set = set()
+            gcls = Q.And if opname == "And" else Q.Or
             i = 0
             while i < len(items):
                 if items[i] != ("op", opname):
@@ -367,13 +381,35 @@ class QueryParser:
                     and items[i + 1][0] == "q"
                 ):
                     left, right = items[i - 1][1], items[i + 1][1]
-                    if merging and id(left) in built:
-                        # left-assoc merge: "a OR b OR c" appends into the
-                        # pass-built group instead of nesting
-                        newq = make(tuple(left.children) + (right,))
+                    if (
+                        merging
+                        and isinstance(left, gcls)
+                        and getattr(left, "_syntax_group", None) == opname
+                    ):
+                        # InfixOperator.replace_self merging splice
+                        # (syntax.py:629-631): when the LEFT operand is
+                        # already a syntax group of this op's type — a
+                        # pass-built group ("a OR b OR c"), a multifield
+                        # OrGroup expansion, or a parenthesized AndGroup —
+                        # the right operand is appended INSIDE it, so the
+                        # left group's ^boost covers the spliced operand
+                        # too ("alfa^2 OR bravo" boosts bravo in the
+                        # MultifieldParser; "(a b)^2 AND c" boosts c).
+                        # Round-5 fuzz finding, verified live vs reference.
+                        if opname == "Or":
+                            newq = Q.Or(
+                                tuple(left.children) + (right,),
+                                boost=left.boost,
+                                scale=left.scale,
+                            )
+                        else:
+                            newq = Q.And(
+                                tuple(left.children) + (right,),
+                                boost=left.boost,
+                            )
                     else:
                         newq = make((left, right))
-                    built.add(id(newq))
+                    _mark_group(newq, opname)
                     items[i - 1:i + 2] = [("q", newq)]
                     # continue at the element after the new group, like
                     # replace_self returning `position`
@@ -385,7 +421,8 @@ class QueryParser:
             return Q.NullQuery()
         if len(qs) == 1:
             return qs[0]
-        return Q.And(tuple(qs))  # default AndGroup
+        # the enclosing group is the parser's default AndGroup
+        return _mark_group(Q.And(tuple(qs)), "And")
 
     def _not_expr(self) -> Q.Query:
         t = self._peek()
@@ -411,10 +448,10 @@ class QueryParser:
                 try:
                     boost = float(nxt.value[1:])
                     self._next()
-                    return self._boosted(q, boost)
+                    return self._paren_group(q, boost)
                 except ValueError:
                     pass
-            return q
+            return self._paren_group(q)
         if t.kind == "phrase":
             if self.sequence_plugin:
                 return self._parse_sequence_body(t.value, t.slop)
@@ -472,6 +509,12 @@ class QueryParser:
                 rf = self._resolve_field(t.value[:-1]) or self.fieldname
                 saved = self.fieldname
                 self.fieldname = rf
+                # FieldsPlugin runs at priority 100, BEFORE MultifieldPlugin
+                # (110), so members of a fielded group arrive at the
+                # multifield stage already fielded and are NOT expanded
+                # across fieldnames ("name:(alfa bravo)" stays on name —
+                # round-5 fuzz finding, verified live vs reference)
+                self._fielded_group_depth += 1
                 try:
                     self._next()  # consume "("
                     q = self._or_expr()
@@ -479,6 +522,7 @@ class QueryParser:
                         self._next()
                 finally:
                     self.fieldname = saved
+                    self._fielded_group_depth -= 1
                 nxt = self._peek()
                 if (
                     nxt is not None
@@ -488,10 +532,10 @@ class QueryParser:
                     try:
                         boost = float(nxt.value[1:])
                         self._next()
-                        return self._boosted(q, boost)
+                        return self._paren_group(q, boost)
                     except ValueError:
                         pass
-                return q
+                return self._paren_group(q)
         return self._word(t.value)
 
     def _function_call(self, raw: str) -> Q.Query:
@@ -617,6 +661,27 @@ class QueryParser:
         if hasattr(q, "boost"):
             return replace(q, boost=q.boost * boost)
         return q
+
+    @staticmethod
+    def _paren_group(q: Q.Query, boost: Optional[float] = None) -> Q.Query:
+        """GroupPlugin wraps '(...)' in the parser's default AndGroup
+        (reference default.py group=syntax.AndGroup): that WRAPPER is what
+        a trailing ^boost attaches to and what a following AND splices
+        into (_apply_op_passes merging splice).  Keeping the wrapper — an
+        inner Or is NOT re-marked — is what makes '(alfa OR bravo)^2 OR c'
+        flatten (no splice, c unboosted) while '(a b)^2 AND c' splices
+        (c boosted), exactly as verified live against the reference.
+        normalize() collapses single-child wrappers, multiplying boosts."""
+        from dataclasses import replace
+
+        if not (
+            isinstance(q, Q.And)
+            and getattr(q, "_syntax_group", None) == "And"
+        ):
+            q = Q.And((q,))
+        if boost is not None:
+            q = replace(q, boost=q.boost * boost)
+        return _mark_group(q, "And")
 
     # -- range construction by field kind ------------------------------------
 
@@ -797,14 +862,25 @@ class MultifieldParser(QueryParser):
 
         if not hasattr(q, "fieldname"):
             return self._leaf_hooks(q, None)
+        if self._fielded_group_depth > 0:
+            # inside "field:(...)" the leaf is already explicitly fielded
+            return self._leaf_hooks(q, self.fieldname)
         copies = []
         for f in self.fieldnames:
             c = replace(q, fieldname=f)
-            fb = self.fieldboosts.get(f, 1.0)
-            if fb != 1.0 and hasattr(c, "boost"):
-                c = replace(c, boost=c.boost * fb)
+            if hasattr(c, "boost"):
+                # MultifieldPlugin runs at priority 110 and sets each
+                # copy's boost TO the field boost (set_boost replaces);
+                # the leaf's own ^boost is a separate BoostNode applied at
+                # 510 — i.e. to the whole OrGroup. So "alfa^2" parses as
+                # Or([name:alfa, value:alfa], boost=2), making the group a
+                # boosted splice target for a following OR (verified live
+                # against the reference; round-5 fuzz finding).
+                c = replace(c, boost=self.fieldboosts.get(f, 1.0))
             copies.append(self._leaf_hooks(c, f))
-        return Q.Or(tuple(copies))
+        return _mark_group(
+            Q.Or(tuple(copies), boost=getattr(q, "boost", 1.0)), "Or"
+        )
 
 
 class SimpleParser(QueryParser):
