@@ -56,6 +56,7 @@ def test_sentence_parity(lang):
 @pytest.mark.parametrize(
     "lang,charset",
     [
+        ("en", "abcdefghilmnoprstuvwxyz'"),
         ("de", "abcdefghiklmnorstuwyäöüß"),
         ("es", "abcdeghilmnopqrstuvyáéíóúü"),
         ("fr", "abcdefghilmnopqrstuvyâàëéêèïîôûùç"),
@@ -86,9 +87,12 @@ def test_stemmer_fuzz_parity(lang, charset):
     from whoosh.lang.snowball.swedish import SwedishStemmer
     from whoosh.lang.snowball.spanish import SpanishStemmer
 
+    from whoosh.lang.snowball.english import EnglishStemmer
+
     from whoosh_reloaded_spark.snowball import stemmer_for
 
     ref = {
+        "en": EnglishStemmer().stem,
         "de": GermanStemmer().stem,
         "es": SpanishStemmer().stem,
         "fr": FrenchStemmer().stem,
@@ -171,3 +175,20 @@ def test_german_index_rank_parity(spark, tmp_path_factory):
         assert [u for u, _ in ours] == [u for u, _ in theirs], word
         for (u1, s1), (u2, s2) in zip(ours, theirs):
             assert s1 == pytest.approx(s2, rel=1e-9), (word, u1)
+
+
+def test_stemmer_routing_parity():
+    """stemmer_for mirrors the reference's stemmer_for_language routing
+    (lang/__init__.py:139-159): plain 'en' -> snowball English (porter2),
+    'en_porter' -> classic porter, 'ar' -> ISRI."""
+    from whoosh_reloaded_spark.porter import stem as porter_stem
+    from whoosh_reloaded_spark.snowball import stem_en, stemmer_for
+
+    assert stemmer_for("en") is stem_en
+    assert stemmer_for("en_US") is stem_en
+    assert stemmer_for("en_porter") is porter_stem
+    # porter2 vs porter discriminator: 'generously' (gener- R1 override)
+    assert stem_en("generously") == "generous"
+    assert porter_stem("generously") == "gener"
+    ar = stemmer_for("ar")
+    assert ar is not None and ar("الكتاب") == "كتب"

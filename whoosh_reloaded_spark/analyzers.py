@@ -266,7 +266,7 @@ _PYSTEMMER_LANGS = {
     "english": "en", "german": "de", "spanish": "es", "french": "fr",
     "italian": "it", "portuguese": "pt", "russian": "ru", "danish": "da",
     "norwegian": "no", "swedish": "sv", "dutch": "nl", "finnish": "fi",
-    "hungarian": "hu", "romanian": "ro", "porter": "en",
+    "hungarian": "hu", "romanian": "ro", "porter": "en_porter",
 }
 
 

@@ -1814,17 +1814,245 @@ def stem_ro(word: str) -> str:
     return word.replace("I", "i").replace("U", "u")
 
 
+# ---------------------------------------------------------------------------
+# English — snowball.tartarus.org/algorithms/english/stemmer.html (porter2)
+# ---------------------------------------------------------------------------
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = "cdeghkmnrt"
+# exceptional forms + invariants + -eed family (porter2 exception list)
+_EN_SPECIAL = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
+    "news": "news", "howe": "howe", "atlas": "atlas", "cosmos": "cosmos",
+    "bias": "bias", "andes": "andes",
+}
+for _w in ("inning", "outing", "canning", "herring", "earring"):
+    _EN_SPECIAL[_w] = _w
+    _EN_SPECIAL[_w + "s"] = _w
+for _w in ("proceed", "exceed", "succeed"):
+    for _suf in ("", "s", "ed", "ing"):
+        _EN_SPECIAL[_w + _suf] = _w
+del _w, _suf
+
+# step 2/3/4 suffix maps, in the port's match order (longest-first).
+# Each entry is (suffix, drop, replacement, r2_fallback): drop chars are
+# removed and `replacement` appended (None = plain deletion); r2_fallback
+# feeds _en_replace's region-collapse quirk.
+_EN_STEP2 = (
+    ("ization", 7, "ize", ""), ("ational", 7, "ate", "e"),
+    ("fulness", 4, None, ""), ("ousness", 7, "ous", ""),
+    ("iveness", 7, "ive", "e"), ("tional", 2, None, ""),
+    ("biliti", 6, "ble", ""), ("lessli", 2, None, ""),
+    ("entli", 2, None, ""), ("ation", 5, "ate", "e"),
+    ("alism", 5, "al", ""), ("aliti", 5, "al", ""),
+    ("ousli", 5, "ous", ""), ("iviti", 5, "ive", "e"),
+    ("fulli", 2, None, ""), ("enci", 1, "e", ""), ("anci", 1, "e", ""),
+    ("abli", 1, "e", ""), ("izer", 4, "ize", ""), ("ator", 4, "ate", "e"),
+    ("alli", 4, "al", ""), ("bli", 3, "ble", ""), ("ogi", 1, None, ""),
+    ("li", 2, None, ""),
+)
+_EN_STEP3 = (
+    ("ational", 7, "ate", ""), ("tional", 2, None, ""),
+    ("alize", 3, None, ""), ("icate", 5, "ic", ""), ("iciti", 5, "ic", ""),
+    ("ative", 5, None, ""), ("ical", 4, "ic", ""), ("ness", 4, None, ""),
+    ("ful", 3, None, ""),
+)
+_EN_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ism",
+    "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
+
+
+def _en_cut(word: str, r1: str, r2: str, n: int):
+    """Drop n chars from the word and both regions in parallel; slicing a
+    region shorter than n leaves '' (the port's unguarded r[:-n])."""
+    return word[:-n], r1[:-n], r2[:-n]
+
+
+def _en_replace(word: str, r1: str, r2: str, n: int, rep: str,
+                r2_fallback: str = ""):
+    """Replace an n-char suffix with `rep`, mirroring the port's guarded
+    parallel region updates (english.py:340-420): a region SHORTER than the
+    suffix collapses to '' for R1 but to `r2_fallback` for R2 — the port
+    hardcodes 'e' there for the ate/ive families, a quirk kept for parity."""
+    word = word[:-n] + rep
+    r1 = (r1[:-n] + rep) if len(r1) >= n else ""
+    r2 = (r2[:-n] + rep) if len(r2) >= n else r2_fallback
+    return word, r1, r2
+
+
+def stem_en(word: str) -> str:
+    """Snowball English (porter2).  Behavior-parity reimplementation of the
+    reference's NLTK port (lang/snowball/english.py:143-517), exercised by
+    a hypothesis fuzz; the reference's stemmer_for_language routes plain
+    'en' here (lang/__init__.py:139-159), while 'en_porter' keeps the
+    classic porter algorithm."""
+    word = word.lower()
+    if word in _EN_SPECIAL:
+        return _EN_SPECIAL[word]
+    word = (
+        word.replace("’", "'").replace("‘", "'")
+        .replace("‛", "'")
+    )
+    if word.startswith("'"):
+        word = word[1:]
+    # consonant-y protection: initial y and y-after-vowel become Y
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    for i in range(1, len(word)):
+        if word[i] == "y" and word[i - 1] in _EN_VOWELS:
+            word = word[:i] + "Y" + word[i + 1:]
+    # R1/R2, with the gener/commun/arsen prefix override
+    if word.startswith(("gener", "commun", "arsen")):
+        r1 = word[6:] if word.startswith("commun") else word[5:]
+        r2 = ""
+        for i in range(1, len(r1)):
+            if r1[i] not in _EN_VOWELS and r1[i - 1] in _EN_VOWELS:
+                r2 = r1[i + 1:]
+                break
+    else:
+        r1, r2 = _r1r2(word, _EN_VOWELS)
+
+    # step 0: possessives
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word, r1, r2 = _en_cut(word, r1, r2, len(suf))
+            break
+
+    # step 1a: plural-ish endings
+    for suf in ("sses", "ied", "ies", "us", "ss", "s"):
+        if not word.endswith(suf):
+            continue
+        if suf == "sses":
+            word, r1, r2 = _en_cut(word, r1, r2, 2)
+        elif suf in ("ied", "ies"):
+            n = 2 if len(word) > len(suf) + 1 else 1
+            word, r1, r2 = _en_cut(word, r1, r2, n)
+        elif suf == "s" and any(c in _EN_VOWELS for c in word[:-2]):
+            word, r1, r2 = _en_cut(word, r1, r2, 1)
+        break
+
+    # step 1b: eed/ed/ing families
+    for suf in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if not word.endswith(suf):
+            continue
+        if suf in ("eed", "eedly"):
+            if r1.endswith(suf):
+                word, r1, r2 = _en_replace(word, r1, r2, len(suf), "ee")
+        elif any(c in _EN_VOWELS for c in word[:-len(suf)]):
+            word, r1, r2 = _en_cut(word, r1, r2, len(suf))
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+                r1 += "e"
+                # port quirk: r2 only gets the 'e' on longer stems
+                # (english.py:265-268)
+                if len(word) > 5 or len(r1) >= 3:
+                    r2 += "e"
+            elif word.endswith(_EN_DOUBLES):
+                word, r1, r2 = _en_cut(word, r1, r2, 1)
+            elif (
+                r1 == ""
+                and len(word) >= 3
+                and word[-1] not in _EN_VOWELS
+                and word[-1] not in "wxY"
+                and word[-2] in _EN_VOWELS
+                and word[-3] not in _EN_VOWELS
+            ) or (
+                r1 == ""
+                and len(word) == 2
+                and word[0] in _EN_VOWELS
+                and word[1] not in _EN_VOWELS
+            ):
+                # short-word: restore the e; regions only if non-empty
+                word += "e"
+                if r1:
+                    r1 += "e"
+                if r2:
+                    r2 += "e"
+        break
+
+    # step 1c: final y -> i after a consonant
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in _EN_VOWELS:
+        word = word[:-1] + "i"
+        r1 = (r1[:-1] + "i") if r1 else ""
+        r2 = (r2[:-1] + "i") if r2 else ""
+
+    # step 2 (R1): derivational suffix map
+    for suf, drop, rep, fb in _EN_STEP2:
+        if not word.endswith(suf):
+            continue
+        if r1.endswith(suf):
+            if rep is None:
+                if suf == "ogi":
+                    if word[-4] == "l":
+                        word, r1, r2 = _en_cut(word, r1, r2, drop)
+                elif suf != "li" or word[-3] in _EN_LI_END:
+                    word, r1, r2 = _en_cut(word, r1, r2, drop)
+            else:
+                word, r1, r2 = _en_replace(word, r1, r2, drop, rep, fb)
+        break
+
+    # step 3 (R1; ative needs R2)
+    for suf, drop, rep, fb in _EN_STEP3:
+        if not word.endswith(suf):
+            continue
+        if r1.endswith(suf):
+            if rep is None:
+                if suf != "ative" or r2.endswith(suf):
+                    word, r1, r2 = _en_cut(word, r1, r2, drop)
+            else:
+                word, r1, r2 = _en_replace(word, r1, r2, drop, rep, fb)
+        break
+
+    # step 4 (R2)
+    for suf in _EN_STEP4:
+        if not word.endswith(suf):
+            continue
+        if r2.endswith(suf):
+            if suf == "ion":
+                if word[-4] in "st":
+                    word, r1, r2 = _en_cut(word, r1, r2, 3)
+            else:
+                word, r1, r2 = _en_cut(word, r1, r2, len(suf))
+        break
+
+    # step 5: trailing e / double l
+    if r2.endswith("l") and word[-2] == "l":
+        word = word[:-1]
+    elif r2.endswith("e"):
+        word = word[:-1]
+    elif r1.endswith("e") and len(word) >= 4 and (
+        word[-2] in _EN_VOWELS
+        or word[-2] in "wxY"
+        or word[-3] not in _EN_VOWELS
+        or word[-4] in _EN_VOWELS
+    ):
+        word = word[:-1]
+
+    return word.replace("Y", "y")
+
+
 STEMMERS = {"de": stem_de, "es": stem_es, "fr": stem_fr, "it": stem_it,
             "pt": stem_pt, "ru": stem_ru, "da": stem_da, "no": stem_no,
             "sv": stem_sv, "nl": stem_nl, "fi": stem_fi, "hu": stem_hu,
-            "ro": stem_ro}
+            "ro": stem_ro, "en": stem_en}
 
 
 def stemmer_for(lang: str):
     """Stemming function for a language code, or None (lang/__init__.py
-    stemmer_for_language analogue; English routes to porter.stem)."""
-    if lang in ("en", "en_US", "en_GB"):
+    stemmer_for_language:139-159 analogue): 'en' routes to the snowball
+    English stemmer (porter2), 'en_porter' to the faster classic porter,
+    'ar' to ISRI — matching the reference's routing exactly."""
+    if lang == "en_porter":
         from whoosh_reloaded_spark.porter import stem
 
         return stem
-    return STEMMERS.get(lang.split("_")[0])
+    code = lang.split("_")[0]
+    if code == "ar":
+        from whoosh_reloaded_spark.isri import ISRIStemmer
+
+        return ISRIStemmer().stem
+    return STEMMERS.get(code)
