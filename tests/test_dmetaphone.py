@@ -63,8 +63,13 @@ def test_fuzz_vs_reference():
 
 def test_pystemmer_analyzer():
     a = PyStemmerAnalyzer("english")
-    # "runn" replicates the reference porter's own quirk
-    assert a.query_terms("running jumps") == ["runn", "jump"]
+    # the py-stemmer library's "english" algorithm is snowball (porter2):
+    # running -> run; its "porter" algorithm is the classic porter, whose
+    # own quirk yields "runn"
+    assert a.query_terms("running jumps") == ["run", "jump"]
+    assert PyStemmerAnalyzer("porter").query_terms("running jumps") == [
+        "runn", "jump",
+    ]
     sp = PyStemmerAnalyzer("spanish")
     assert sp.query_terms("corriendo") != ["corriendo"]  # stemmed
     ig = PyStemmerAnalyzer("english", ignore=["running"])

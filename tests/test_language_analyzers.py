@@ -192,3 +192,32 @@ def test_stemmer_routing_parity():
     assert porter_stem("generously") == "gener"
     ar = stemmer_for("ar")
     assert ar is not None and ar("الكتاب") == "كتب"
+
+
+def test_porter2_standalone_parity():
+    """porter2_stem mirrors the reference's standalone lang/porter2.py
+    (zero callers there, public API): same core as snowball English but
+    with porter2's prologue — <=2-length early return, no lowercasing,
+    apostrophe strip before the exception lookup."""
+    import random
+    import string
+
+    from whoosh.lang.porter2 import stem as ref_p2
+
+    from whoosh_reloaded_spark.snowball import porter2_stem
+
+    for w in ["proceeding", "proceeded", "exceeds", "innings",
+              "Generously", "EARLY", "'twas", "skis", "'d", "s'"]:
+        assert porter2_stem(w) == ref_p2(w), w
+    rng = random.Random(11)
+    cs = string.ascii_letters + "'y"
+    checked = 0
+    for _ in range(6000):
+        w = "".join(rng.choice(cs) for _ in range(rng.randint(1, 14)))
+        try:
+            want = ref_p2(w)
+        except Exception:
+            continue
+        assert porter2_stem(w) == want, repr(w)
+        checked += 1
+    assert checked > 5900

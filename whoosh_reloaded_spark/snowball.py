@@ -1899,6 +1899,26 @@ def stem_en(word: str) -> str:
     )
     if word.startswith("'"):
         word = word[1:]
+    return _en_core(word)
+
+
+def porter2_stem(word: str) -> str:
+    """The reference's standalone porter2 module (lang/porter2.py:319-346;
+    zero callers there — public API kept for completeness).  Fuzz-identical
+    to the snowball English core on its reachable inputs; only the prologue
+    differs: a <=2-length early return, no lowercasing, no unicode-
+    apostrophe mapping, and the exception lookup happens after the initial
+    apostrophe strip."""
+    if len(word) <= 2:
+        return word
+    if word.startswith("'"):
+        word = word[1:]
+    if word in _EN_SPECIAL:
+        return _EN_SPECIAL[word]
+    return _en_core(word)
+
+
+def _en_core(word: str) -> str:
     # consonant-y protection: initial y and y-after-vowel become Y
     if word.startswith("y"):
         word = "Y" + word[1:]
