@@ -68,10 +68,18 @@ expr = st.recursive(
             inner,
         ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
         inner.map(lambda s: f"({s})"),
+        # boosted paren groups exercise the AndGroup merging splice
+        # ("(a b)^2 AND c" boosts c — see test_merging_splice_goldens)
+        st.tuples(inner, st.integers(1, 3)).map(
+            lambda t: f"({t[0]})^{t[1]}"
+        ),
         # only the real field: our parser routes unknown fields to the
         # default (test_known_fields_routing), the reference keeps them
         # and matches nothing — a documented deviation, not fuzz target
         inner.map(lambda s: f"text:({s})"),
+        st.tuples(inner, st.integers(1, 3)).map(
+            lambda t: f"text:({t[0]})^{t[1]}"
+        ),
     ),
     max_leaves=5,
 )
@@ -206,6 +214,57 @@ def test_reference_andnot_first_doc_leak(fuzz_engines):
     assert ours.search_list(q, 10) == []  # intended semantics
 
 
+def test_multiterm_singleton_boost_drop_golden(fuzz_engines):
+    """Pin the reference quirk the planner mirrors (planner.py _MultiTerm
+    boost): MultiTerm.matcher builds boost-LESS Terms and returns qs[0]
+    directly when the expansion is a single term (terms.py:221,227-228),
+    silently dropping the query's own boost — while a multi-term
+    expansion goes through Or(qs, boost), whose _tree_matcher applies it
+    (compound.py:232-233).  Found by the round-5 parser fuzz
+    ("(((alfa~)^2))").  If upstream ever fixes the discontinuity, the
+    reference-side assertions fail and the mirror can be dropped."""
+    from whoosh.qparser import FuzzyTermPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_reloaded_spark.query.parser import QueryParser
+
+    wix, ours = fuzz_engines
+
+    def ref_scores(qs):
+        wqp = WQP("text", wix.schema)
+        wqp.add_plugin(FuzzyTermPlugin())
+        with wix.searcher() as s:
+            return {
+                h["url"]: h.score for h in s.search(wqp.parse(qs), limit=None)
+            }
+
+    def our_scores(qs):
+        q = QueryParser().parse(qs)
+        return {u: s for _, u, s in ours.search_list(q, 100)}
+
+    # alfa~ expands to the single term {alfa} on this corpus: the
+    # reference drops the ^2 entirely
+    plain, boosted = ref_scores("alfa~"), ref_scores("(alfa~)^2")
+    assert plain and boosted == plain
+    # [alfa TO bravo] expands to {alfa, bravo}: the reference applies ^2
+    rplain, rboosted = (
+        ref_scores("[alfa TO bravo]"),
+        ref_scores("([alfa TO bravo])^2"),
+    )
+    assert rplain and rboosted == {
+        u: pytest.approx(2 * s, rel=1e-9) for u, s in rplain.items()
+    }
+    # ours mirrors both sides of the discontinuity
+    for qs, expected in [
+        ("(alfa~)^2", plain),
+        ("([alfa TO bravo])^2", rboosted),
+    ]:
+        got = our_scores(qs)
+        assert set(got) == set(expected), qs
+        for u, sc in expected.items():
+            assert got[u] == pytest.approx(sc, rel=1e-6), (qs, u)
+
+
 # -- MultifieldParser fuzz (second surface: unfielded Or-expansion) ------------
 
 MF_DOCS = [
@@ -221,6 +280,8 @@ mf_leaf = st.one_of(
         lambda t: f"{t[0]}:{t[1]}"
     ),
     st.tuples(word, st.integers(1, 3)).map(lambda t: f"{t[0]}^{t[1]}"),
+    st.tuples(st.sampled_from(["name", "value"]), word,
+              st.integers(1, 3)).map(lambda t: f"{t[0]}:{t[1]}^{t[2]}"),
     st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
 )
 
@@ -233,6 +294,14 @@ mf_expr = st.recursive(
             inner,
         ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
         inner.map(lambda s: f"({s})"),
+        # boosted groups + fielded groups: the OrGroup/AndGroup merging
+        # splice surface (test_merging_splice_goldens)
+        st.tuples(inner, st.integers(1, 3)).map(
+            lambda t: f"({t[0]})^{t[1]}"
+        ),
+        st.tuples(st.sampled_from(["name", "value"]), inner).map(
+            lambda t: f"{t[0]}:({t[1]})"
+        ),
     ),
     max_leaves=4,
 )

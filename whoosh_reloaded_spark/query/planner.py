@@ -777,8 +777,17 @@ class Searcher:
                 # is plain BM25-scored Or over the expanded terms, mirrored.
                 df = self._scored_postings(terms)
             out = df.groupBy("docid").agg(F.sum("score").alias("score"))
+            # Reference quirk (round-5 parser fuzz, "(alfa~)^2"): a
+            # single-term expansion returns the bare Term matcher —
+            # MultiTerm.matcher builds boost-LESS Terms and uses qs[0]
+            # directly (terms.py:221,227-228) — so the MultiTerm's own
+            # boost is silently dropped; only multi-term expansions go
+            # through Or(qs, boost), whose _tree_matcher applies it
+            # (compound.py:232-233).  Mirrored, pinned by
+            # test_multiterm_singleton_boost_drop_golden.
+            boost = q.boost if terms is None or len(terms) > 1 else 1.0
             return out.select(
-                "docid", (F.col("score") * F.lit(q.boost)).alias("score")
+                "docid", (F.col("score") * F.lit(boost)).alias("score")
             )
         raise TypeError(f"unsupported query node: {q!r}")
 
