@@ -146,7 +146,7 @@ def test_queryparser_nl_dates():
 
 # -- hypothesis fuzz over the composable date grammar (round 5) ----------------
 
-from hypothesis import given, settings
+from hypothesis import event, given, settings
 from hypothesis import strategies as hst
 
 _MONTHS = ["january", "jan", "february", "feb", "march", "mar", "april",
@@ -193,16 +193,26 @@ _datestr = hst.one_of(
 def test_dateparse_fuzz(text):
     """Random compositions of the grammar's atoms (dates, times,
     relative deltas, daynames, bags, ranges) parse to the same span as
-    the reference English engine — or both reject."""
+    the reference English engine — or both reject.  A rejection is the
+    reference returning None; when the reference CRASHES instead (its
+    own bugs: "1am to now" hits timespan end datetimes without .ceil(),
+    "32 january" leaks ValueError from its [123][0-9] day regex past
+    date_from), there is no sane expected value — record the event,
+    require only that OURS doesn't crash, and skip (the
+    test_parser_fuzz precedent for reference-raised examples)."""
     from whoosh.qparser.dateparse import timespan
 
     eng = _ref_engine()
     base_aware = BASE.replace(tzinfo=datetime.timezone.utc)
+    ref_crashed = None
     try:
         ref = eng.date_from(text, base_aware)
-    except Exception:
-        ref = None
-    ours = parse_span(text, BASE)
+    except Exception as e:
+        ref, ref_crashed = None, type(e).__name__
+    ours = parse_span(text, BASE)  # must never raise, even on ref crashes
+    if ref_crashed is not None:
+        event(f"reference raised {ref_crashed}")
+        return
     if ref is None:
         assert ours is None, f"{text!r}: ours={ours} ref=None"
         return

@@ -260,12 +260,16 @@ def test_merging_splice_goldens():
             Q.Or((T("name", "bravo"), T("value", "bravo"))),
         )
     )
-    # AND splices into a boosted parenthesized AndGroup: charlie boosted
+    # AND splices into a boosted parenthesized AndGroup: charlie boosted.
+    # The implicit top-level AndGroup wrapper (round 5) flattens the
+    # spliced group, pushing the ^2 onto every child (compound.py:122-124)
+    # — same scores, reference-normalized shape.
     got = mp.parse("(alfa bravo)^2 AND charlie")
-    assert isinstance(got, Q.And) and got.boost == 2.0
+    assert isinstance(got, Q.And) and got.boost == 1.0
     assert got.children[-1] == Q.Or(
-        (T("name", "charlie"), T("value", "charlie"))
+        (T("name", "charlie"), T("value", "charlie")), boost=2.0
     )
+    assert all(c.boost == 2.0 for c in got.children)
     # ...but implicit juxtaposition does not splice: charlie unboosted
     got = mp.parse("(alfa bravo)^2 charlie")
     assert isinstance(got, Q.And) and got.boost == 1.0
@@ -283,8 +287,11 @@ def test_merging_splice_goldens():
             T("name", "charlie"), T("value", "charlie"),
         )
     )
-    # fielded group members are NOT multifield-expanded
+    # fielded group members are NOT multifield-expanded; the top-level
+    # flatten pushes the group ^2 onto each member (and the spliced
+    # charlie), root boost 1
     got = mp.parse("name:(alfa bravo)^2 AND charlie")
-    assert got.children[0] == T("name", "alfa")
-    assert got.children[1] == T("name", "bravo")
-    assert got.boost == 2.0
+    assert got.children[0] == T("name", "alfa", 2.0)
+    assert got.children[1] == T("name", "bravo", 2.0)
+    assert got.children[-1].boost == 2.0
+    assert got.boost == 1.0

@@ -45,6 +45,53 @@ class _Compound(Query):
     pass
 
 
+def _apply_boost(q: Query, boost: float) -> Query:
+    """Push a wrapper/group boost into q on collapse — the reference's
+    with_boost.  Binary nodes forward into their scored side(s)
+    (compound.py:527-528 both, :555-556/:610-611 a only), which is
+    OBSERVABLE when that side is a multiterm whose singleton expansion
+    drops its own boost ('(alfa ANDMAYBE alfa~)^2' scores 2*alfa +
+    1*fuzzy in the reference).  Everything else multiplies its own
+    boost (compound.py:179-181); a boost-less node keeps a single-child
+    And wrapper so the boost isn't silently dropped."""
+    if boost == 1.0 or isinstance(q, (NullQuery, Not)):
+        # Not: NotNode.has_boost is False in the reference parser, so a
+        # group boost never reaches a Not — '(alfa NOT bravo)^2' boosts
+        # only alfa, and the Not's +1.0 surviving-doc bonus is fixed
+        # (round-5 mf fuzz golden)
+        return q
+    if isinstance(q, (AndNot, Require)):
+        return replace(q, a=_set_boost(q.a, q.boost * boost), boost=1.0)
+    if isinstance(q, (AndMaybe, Otherwise)):
+        g = q.boost * boost
+        return replace(
+            q, a=_set_boost(q.a, g), b=_set_boost(q.b, g), boost=1.0
+        )
+    if hasattr(q, "boost"):
+        return replace(q, boost=q.boost * boost)
+    return And((q,), boost)
+
+
+def _set_boost(q: Query, boost: float) -> Query:
+    """The reference's qcore.Query.with_boost SETS the copy's boost
+    rather than multiplying (qcore.py:502-511) — observable when the
+    side already carries one: '(alfa^2 ANDNOT bravo)^3' ends with
+    a.boost == 3, not 6 (round-5 fuzz, verified live).  Binary nodes
+    forward into their scored side(s) (compound.py:527-528,:555-556,
+    :610-611); Not is untouched (its boost never reaches scoring)."""
+    if isinstance(q, (NullQuery, Not)):
+        return q
+    if isinstance(q, (AndNot, Require)):
+        return replace(q, a=_set_boost(q.a, boost), boost=1.0)
+    if isinstance(q, (AndMaybe, Otherwise)):
+        return replace(
+            q, a=_set_boost(q.a, boost), b=_set_boost(q.b, boost), boost=1.0
+        )
+    if hasattr(q, "boost"):
+        return replace(q, boost=boost)
+    return And((q,), boost)
+
+
 def _flatten(cls, children: Tuple[Query, ...], boost: float) -> List[Query]:
     """Flatten same-class children, multiplying boosts down
     (compound.py:116-126); dedup identical subqueries (compound.py:160-169);
@@ -56,9 +103,7 @@ def _flatten(cls, children: Tuple[Query, ...], boost: float) -> List[Query]:
             continue
         if isinstance(c, cls):
             for gc in c.children:
-                if c.boost != 1.0 and hasattr(gc, "boost"):
-                    gc = replace(gc, boost=gc.boost * c.boost)
-                out.append(gc)
+                out.append(_apply_boost(gc, c.boost))
         else:
             out.append(c)
     seen, dedup = set(), []
@@ -167,10 +212,7 @@ class And(_Compound):
         if not kids:
             return NullQuery()
         if len(kids) == 1 and not isinstance(kids[0], Not):
-            k = kids[0]
-            if self.boost != 1.0 and hasattr(k, "boost"):
-                k = replace(k, boost=k.boost * self.boost)
-            return k
+            return _apply_boost(kids[0], self.boost)
         return And(tuple(kids), self.boost)
 
 
@@ -192,10 +234,7 @@ class Or(_Compound):
         if not kids:
             return NullQuery()
         if len(kids) == 1 and not isinstance(kids[0], Not):
-            k = kids[0]
-            if self.boost != 1.0 and hasattr(k, "boost"):
-                k = replace(k, boost=k.boost * self.boost)
-            return k
+            return _apply_boost(kids[0], self.boost)
         return Or(tuple(kids), self.boost, self.scale)
 
 
@@ -218,7 +257,8 @@ class DisjunctionMax(_Compound):
         if not kids:
             return NullQuery()
         if len(kids) == 1:
-            return kids[0]
+            # single-child collapse keeps the boost (compound.py:179-181)
+            return _apply_boost(kids[0], self.boost)
         return DisjunctionMax(tuple(kids), self.boost, self.tiebreak)
 
 
@@ -276,56 +316,75 @@ class WeightingQuery(Query):
 
 @dataclass(frozen=True)
 class AndNot(Query):
-    """In a but not b; scored by a (compound.py:548-577) → left-anti join."""
+    """In a but not b; scored by a (compound.py:548-577) → left-anti join.
+
+    `boost` models the reference's AndNot.with_boost pushing a group
+    boost into the a side only (compound.py:555-556) — the b side never
+    scores, so a carried node boost scaling the final score is
+    equivalent."""
 
     a: Query
     b: Query
+    boost: float = 1.0
 
     def normalize(self) -> Query:
         a, b = self.a.normalize(), self.b.normalize()
         if isinstance(a, NullQuery):
             return NullQuery()
         if isinstance(b, NullQuery):
-            return a
-        return AndNot(a, b)
+            return _apply_boost(a, self.boost)
+        return AndNot(a, b, self.boost)
 
 
 @dataclass(frozen=True)
 class Require(Query):
-    """Docs in both, scored only by a (compound.py:592-628) → left-semi."""
+    """Docs in both, scored only by a (compound.py:592-628) → left-semi.
+
+    `boost` models Require.with_boost's a-side push (compound.py:610-611);
+    b never scores, so the node boost scales the final score."""
 
     a: Query
     b: Query
+    boost: float = 1.0
 
     def normalize(self) -> Query:
         a, b = self.a.normalize(), self.b.normalize()
         if isinstance(a, NullQuery) or isinstance(b, NullQuery):
             return NullQuery()
-        return Require(a, b)
+        return Require(a, b, self.boost)
 
 
 @dataclass(frozen=True)
 class AndMaybe(Query):
-    """Docs of a; b's score added when present (compound.py:629+) → left join."""
+    """Docs of a; b's score added when present (compound.py:629+) → left join.
+
+    `boost` models BinaryQuery.with_boost pushing into BOTH sides
+    (compound.py:527-528): (a*k) + (b*k) == (a+b)*k, so a carried node
+    boost scaling the final score is equivalent."""
 
     a: Query
     b: Query
+    boost: float = 1.0
 
     def normalize(self) -> Query:
         a, b = self.a.normalize(), self.b.normalize()
         if isinstance(a, NullQuery):
             return NullQuery()
         if isinstance(b, NullQuery):
-            return a
-        return AndMaybe(a, b)
+            return _apply_boost(a, self.boost)
+        return AndMaybe(a, b, self.boost)
 
 
 @dataclass(frozen=True)
 class Otherwise(Query):
-    """a if it has any hits, else b (compound.py:578-591)."""
+    """a if it has any hits, else b (compound.py:578-591).
+
+    `boost` models BinaryQuery.with_boost pushing into both sides
+    (compound.py:527-528): whichever branch runs is scaled by it."""
 
     a: Query
     b: Query
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)

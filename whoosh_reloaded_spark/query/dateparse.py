@@ -580,5 +580,16 @@ def disambiguate(v: ParseResult,
 
 def parse_span(text: str,
                base: datetime) -> Optional[Tuple[datetime, datetime]]:
-    """Parse + disambiguate in one step — the DateParserPlugin entry."""
-    return disambiguate(parse_date(text, base), base)
+    """Parse + disambiguate in one step — the DateParserPlugin entry.
+
+    An impossible-but-lexable date ("32 january": the reference's day
+    regex [123][0-9] admits 32-39, then timespan construction raises
+    inside date_from) is a rejection, not a crash — mirror by mapping
+    the ValueError from floor()/ceil() datetime construction to None
+    (round-5 dateparse fuzz)."""
+    try:
+        return disambiguate(parse_date(text, base), base)
+    except DateParseError:
+        raise
+    except ValueError:
+        return None

@@ -56,8 +56,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\()
   | (?P<rparen>\))
-  | (?P<phrase>(?:(?P<p_field>\w+):)?"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?)
-  | (?P<range>(?:(?P<r_field>\w+):)?[\[{]\s*(?P<r_lo>\S+)?\s+(?:TO|to)(\s+(?P<r_hi>\S+?))?\s*[\]}])
+  | (?P<phrase>(?:(?P<p_field>\w+):)?"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?(\^(?P<p_boost>\d+(\.\d+)?))?)
+  | (?P<range>(?:(?P<r_field>\w+):)?[\[{]\s*(?:(?P<r_lo>(?!(?:TO|to)[\s\]}])\S+)\s+)?(?:TO|to)(\s+(?P<r_hi>\S+?))?\s*[\]}](\^(?P<r_boost>\d+(\.\d+)?))?)
   | (?P<func>\#[A-Za-z_][A-Za-z0-9._]*(?:\[[^\]]*\])?)
   | (?P<squote>(?:(?P<s_field>\w+):)?'(?P<squote_body>[^']*)')
   | (?P<word>[^\s()]+)
@@ -99,6 +99,9 @@ def _lex(s: str) -> List[_Tok]:
                     m.group("phrase_body"),
                     field=m.group("p_field"),
                     slop=int(m.group("slop")) if m.group("slop") else 1,
+                    boost=(
+                        float(m.group("p_boost")) if m.group("p_boost") else 1.0
+                    ),
                 )
             )
         elif m.group("range") is not None:
@@ -112,7 +115,10 @@ def _lex(s: str) -> List[_Tok]:
                     lo=m.group("r_lo"),
                     hi=m.group("r_hi"),
                     loexcl=body.startswith("{"),
-                    hiexcl=body.endswith("}"),
+                    hiexcl=_BOOST_RE.sub("", body).endswith("}"),
+                    boost=(
+                        float(m.group("r_boost")) if m.group("r_boost") else 1.0
+                    ),
                 )
             )
         elif m.group("func") is not None:
@@ -313,7 +319,14 @@ class QueryParser:
         q = self._or_expr()
         for plugin in self.plugins:
             q = _map_tree(q, plugin)
-        return q.normalize()
+        # The reference wraps every parse in the implicit top-level
+        # AndGroup, so a boosted And GROUP at the root flattens into it
+        # and its boost pushes down onto each child via with_boost
+        # (compound.py:122-124) — '((alfa AND alfa~)^2)' becomes
+        # And([alfa^2, fuzzy^2]), where the fuzzy's pushed boost then
+        # dies in singleton expansion.  Mirror with the same wrapper; a
+        # non-And root (e.g. a boosted Or) just collapses back out.
+        return Q.And((q,)).normalize()
 
     def _peek(self) -> Optional[_Tok]:
         return self._toks[self._i] if self._i < len(self._toks) else None
@@ -467,13 +480,19 @@ class QueryParser:
             words = self.analyzer.query_terms(t.value)
             if not words:
                 return Q.NullQuery()
+            # '"a b"^2' keeps its boost (plugins.py PhrasePlugin node ^
+            # suffix), but a single-word phrase collapses to a plain Term
+            # BEFORE the boost attaches in the reference ('"alfa"^2' ->
+            # Term('text','alfa') with boost 1) — mirrored: boost only on
+            # true multi-word phrases (round-5 parser probe)
+            boost = t.boost if len(words) > 1 else 1.0
             pf = self._resolve_field(t.field) if t.field is not None else None
             if pf is not None:
                 return self._leaf_hooks(
-                    Q.Phrase(tuple(words), pf, slop=t.slop), pf
+                    Q.Phrase(tuple(words), pf, slop=t.slop, boost=boost), pf
                 )
             return self._unfielded_leaf(
-                Q.Phrase(tuple(words), self.fieldname, slop=t.slop)
+                Q.Phrase(tuple(words), self.fieldname, slop=t.slop, boost=boost)
             )
         if t.kind == "range":
             rf = self._resolve_field(t.field) if t.field is not None else None
@@ -484,11 +503,12 @@ class QueryParser:
                 # fieldable node including ranges (plugins.py:1139-1160)
                 return self._unfielded_leaf(
                     self._make_range(
-                        self.fieldname, t.lo, t.hi, t.loexcl, t.hiexcl
+                        self.fieldname, t.lo, t.hi, t.loexcl, t.hiexcl,
+                        t.boost,
                     )
                 )
             return self._leaf_hooks(
-                self._make_range(rf, t.lo, t.hi, t.loexcl, t.hiexcl),
+                self._make_range(rf, t.lo, t.hi, t.loexcl, t.hiexcl, t.boost),
                 explicit_field=rf,
             )
         if t.kind == "func":
@@ -674,10 +694,17 @@ class QueryParser:
         normalize() collapses single-child wrappers, multiplying boosts."""
         from dataclasses import replace
 
-        if not (
-            isinstance(q, Q.And)
-            and getattr(q, "_syntax_group", None) == "And"
-        ):
+        already_marked = isinstance(q, Q.And) and (
+            getattr(q, "_syntax_group", None) == "And"
+        )
+        if not already_marked:
+            q = Q.And((q,))
+        elif boost is None:
+            # '((...))': every paren pair is its own GroupNode in the
+            # reference, so redundant parens add a fresh UNBOOSTED wrapper
+            # — that wrapper is what a following AND sees, which is why
+            # '((a b)^2) AND c' does NOT splice-boost c while
+            # '(a b)^2 AND c' does (round-5 fuzz, verified live)
             q = Q.And((q,))
         if boost is not None:
             q = replace(q, boost=q.boost * boost)
@@ -823,8 +850,12 @@ class QueryParser:
         if not terms:
             return Q.NullQuery()
         if maxdist is not None:
+            # 'alfa~2^3' parses to FuzzyTerm(boost=1) in the reference —
+            # FuzzyTermPlugin's fuzziness node never reattaches a trailing
+            # ^boost (round-5 parser probe; contrast '(alfa~2)^3', the
+            # group path, which does boost) — mirrored
             leaf = Q.FuzzyTerm(
-                terms[0], fieldname, boost, maxdist=maxdist,
+                terms[0], fieldname, 1.0, maxdist=maxdist,
                 prefixlength=prefixlength,
             )
         elif len(terms) == 1:

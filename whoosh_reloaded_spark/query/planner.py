@@ -285,6 +285,16 @@ class Searcher:
             "docid", F.lit(float(score)).alias("score")
         )
 
+    @staticmethod
+    def _boosted_frame(df: DataFrame, boost: float) -> DataFrame:
+        """score *= boost as a plain projection; identity when boost is 1
+        so the common case adds nothing to the plan."""
+        if boost == 1.0:
+            return df
+        return df.select(
+            "docid", (F.col("score") * F.lit(boost)).alias("score")
+        )
+
     # -- lexicon expansion for multi-term queries ----------------------------
 
     def _pattern_predicate(self, q: Q.Query):
@@ -672,11 +682,14 @@ class Searcher:
                     .drop("_n")
                 )
             # anti-join each negated child; the InverseMatcher still SCORES
-            # its boost for surviving docs (wrappers.py:424-428), so add it
+            # for surviving docs — but always its default weight 1.0:
+            # Not.matcher never forwards Not.boost into InverseMatcher
+            # (wrappers.py:138-144; score() at matching/wrappers.py:424-428
+            # returns the 1.0 default), verified live round 5
             neg_bonus = 0.0
             for nq in neg:
                 out = out.join(self._eval(nq.child), "docid", "left_anti")
-                neg_bonus += nq.boost
+                neg_bonus += 1.0
             if neg_bonus:
                 out = out.select(
                     "docid", (F.col("score") + F.lit(neg_bonus)).alias("score")
@@ -715,21 +728,31 @@ class Searcher:
             if fused is not None:
                 return fused
         if isinstance(q, Q.AndNot):
-            return self._eval(q.a).join(self._eval(q.b), "docid", "left_anti")
+            return self._boosted_frame(
+                self._eval(q.a).join(self._eval(q.b), "docid", "left_anti"),
+                q.boost,
+            )
         if isinstance(q, Q.Require):
-            return self._eval(q.a).join(self._eval(q.b), "docid", "left_semi")
+            return self._boosted_frame(
+                self._eval(q.a).join(self._eval(q.b), "docid", "left_semi"),
+                q.boost,
+            )
         if isinstance(q, Q.AndMaybe):
             a = self._eval(q.a)
             b = self._eval(q.b).withColumnRenamed("score", "_bscore")
+            s = F.col("score") + F.coalesce(F.col("_bscore"), F.lit(0.0))
+            if q.boost != 1.0:
+                s = s * F.lit(q.boost)
             return a.join(b, "docid", "left").select(
-                "docid",
-                (F.col("score") + F.coalesce(F.col("_bscore"), F.lit(0.0))).alias(
-                    "score"
-                ),
+                "docid", s.alias("score")
             )
         if isinstance(q, Q.Not):
-            # complement scored at `boost` like InverseMatcher (score = weight)
-            return self._all_docs(q.boost).join(
+            # complement scored at the InverseMatcher's default weight:
+            # Not.matcher never forwards its boost (wrappers.py:138-144
+            # constructs InverseMatcher without weight=, whose score() is
+            # the fixed 1.0 default, matching/wrappers.py:340,424-428) —
+            # so surviving docs score 1.0 regardless of Not.boost
+            return self._all_docs(1.0).join(
                 self._eval(q.child), "docid", "left_anti"
             )
         if isinstance(q, Q.ConstantScoreQuery):
@@ -750,7 +773,9 @@ class Searcher:
             return Searcher(self.ix, q.weighting)._eval(q.child)
         if isinstance(q, Q.Otherwise):
             a = self._eval(q.a)
-            return a if a.limit(1).count() > 0 else self._eval(q.b)
+            return self._boosted_frame(
+                a if a.limit(1).count() > 0 else self._eval(q.b), q.boost
+            )
         if isinstance(q, Q.Phrase):
             return self._eval_phrase(q)
         if isinstance(q, Q.Ordered):
@@ -851,6 +876,10 @@ class Searcher:
         else:  # AndMaybe
             out = agg.where(F.col("_ma") == 1)
             score = F.col("_sa") + F.col("_sb")
+        if q.boost != 1.0:
+            # with_boost pushes into the scored side(s)
+            # (compound.py:527-528,555-556,610-611) == scaling the result
+            score = score * F.lit(q.boost)
         return out.select("docid", score.alias("score"))
 
     def _try_fused_and(self, q: Q.And) -> Optional[DataFrame]:
