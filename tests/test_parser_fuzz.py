@@ -41,19 +41,40 @@ word = st.sampled_from(VOCAB + OOV)
 leaf = st.one_of(
     word,
     word.map(lambda w: w + "~"),
+    # explicit maxdist / prefixlength, and the dropped trailing boost
+    st.tuples(word, st.integers(1, 2)).map(lambda t: f"{t[0]}~{t[1]}"),
+    st.tuples(word, st.integers(1, 2), st.integers(1, 2)).map(
+        lambda t: f"{t[0]}~{t[1]}/{t[2]}"
+    ),
+    st.tuples(word, st.integers(2, 3)).map(lambda t: f"{t[0]}~^{t[1]}"),
     word.map(lambda w: w[:3] + "*"),
     word.map(lambda w: w[0] + "?" + w[2:4] + "*"),
     st.tuples(word, st.integers(1, 3)).map(lambda t: f"{t[0]}^{t[1]}"),
+    st.tuples(word, st.integers(2, 3)).map(lambda t: f"{t[0][:3]}*^{t[1]}"),
     st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
     st.tuples(word, word, st.integers(1, 3)).map(
         lambda t: f'"{t[0]} {t[1]}"~{t[2]}'
     ),
+    # phrase boosts, incl. the 1-word collapse dropping its boost
+    st.tuples(word, word, st.integers(2, 3)).map(
+        lambda t: f'"{t[0]} {t[1]}"^{t[2]}'
+    ),
+    st.tuples(word, word, st.integers(1, 2), st.integers(2, 3)).map(
+        lambda t: f'"{t[0]} {t[1]}"~{t[2]}^{t[3]}'
+    ),
+    st.tuples(word, st.integers(2, 3)).map(lambda t: f'"{t[0]}"^{t[1]}'),
     st.tuples(word, word).map(
         lambda t: f"[{min(t)} TO {max(t)}]"
     ),
     st.tuples(word, word).map(
         lambda t: f"{{{min(t)} TO {max(t)}}}"
     ),
+    # boosted and open-ended ranges
+    st.tuples(word, word, st.integers(2, 3)).map(
+        lambda t: f"[{min(t[:2])} TO {max(t[:2])}]^{t[2]}"
+    ),
+    word.map(lambda w: f"[{w} TO]"),
+    word.map(lambda w: f"[TO {w}]"),
 )
 
 expr = st.recursive(
@@ -69,9 +90,16 @@ expr = st.recursive(
         ).map(lambda t: f"{t[0]}{t[1]}{t[2]}"),
         inner.map(lambda s: f"({s})"),
         # boosted paren groups exercise the AndGroup merging splice
-        # ("(a b)^2 AND c" boosts c — see test_merging_splice_goldens)
+        # ("(a b)^2 AND c" boosts c — see test_merging_splice_goldens);
+        # redundant parens make their own group and BLOCK the splice
         st.tuples(inner, st.integers(1, 3)).map(
             lambda t: f"({t[0]})^{t[1]}"
+        ),
+        st.tuples(inner, st.integers(2, 3)).map(
+            lambda t: f"(({t[0]})^{t[1]})"
+        ),
+        st.tuples(inner, st.integers(2, 3), st.integers(2, 3)).map(
+            lambda t: f"(({t[0]})^{t[1]})^{t[2]}"
         ),
         # only the real field: our parser routes unknown fields to the
         # default (test_known_fields_routing), the reference keeps them
