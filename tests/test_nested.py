@@ -66,3 +66,36 @@ def test_nested_children(searcher):
         ).collect()
     }
     assert got == {"album/2/t1", "album/2/t2"}
+
+
+def test_nested_query_classes(searcher):
+    """The NestedParent / NestedChildren Query classes (reference
+    query/nested.py surface) route through searcher.search like any other
+    query and agree with the function API."""
+    from whoosh_reloaded_spark.query import NestedChildren, NestedParent
+
+    parents = ColumnQuery("kind = 'album'")
+    via_fn = {
+        r["docid"]: r["score"]
+        for r in nested_parent(
+            searcher, parents, Term("love"), score_fn="best"
+        ).collect()
+    }
+    via_q = {
+        r["docid"]: r["score"]
+        for r in searcher.search(
+            NestedParent(parents, Term("love")), limit=10
+        ).select("docid", "score").collect()
+    }
+    assert via_q == via_fn
+
+    kids_q = searcher.search(
+        NestedChildren(ColumnQuery("kind = 'album'"), Term("bravo")), limit=10
+    )
+    got = {
+        r["uid"]
+        for r in kids_q.join(
+            searcher.ix.docmeta.select("docid", "uid"), "docid"
+        ).collect()
+    }
+    assert got == {"album/2/t1", "album/2/t2"}

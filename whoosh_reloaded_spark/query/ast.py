@@ -10,14 +10,165 @@ optimization of the physical DataFrame plan.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field, replace
-from typing import List, Optional, Tuple
+from typing import Iterator, List, Optional, Set, Tuple
+
+
+@dataclass(frozen=True)
+class Token:
+    """`analysis.Token` analogue yielded by Query.tokens()/all_tokens()
+    (reference qcore.py:454-471): fieldname/text/boost set; startchar/
+    endchar populated only where the source tracks character offsets."""
+
+    fieldname: Optional[str]
+    text: str
+    boost: float = 1.0
+    startchar: Optional[int] = None
+    endchar: Optional[int] = None
 
 
 @dataclass(frozen=True)
 class Query:
     def normalize(self) -> "Query":
         return self
+
+    # -- tree traversal / transformation surface (qcore.py:178-471).
+    # The reference implements these per-class on mutable objects; our
+    # frozen dataclasses allow ONE generic implementation driven by the
+    # dataclass fields (a Query-valued field or tuple of Querys is a
+    # child edge), with identical observable behavior.
+
+    def children(self) -> Iterator["Query"]:
+        """Iterator of direct subqueries (qcore.py:218-221)."""
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, Query):
+                yield v
+            elif isinstance(v, tuple):
+                for x in v:
+                    if isinstance(x, Query):
+                        yield x
+
+    def is_leaf(self) -> bool:
+        """True when this node has no subqueries (qcore.py:211-216)."""
+        return next(self.children(), None) is None
+
+    def is_range(self) -> bool:
+        return False
+
+    def has_terms(self) -> bool:
+        """True when this node targets specific term(s) — Term/Phrase
+        yes; patterns (Wildcard/Prefix/Fuzzy) no (qcore.py:228-236)."""
+        return False
+
+    def leaves(self) -> Iterator["Query"]:
+        """Depth-first leaf nodes (qcore.py:402-411)."""
+        if self.is_leaf():
+            yield self
+        else:
+            for c in self.children():
+                yield from c.leaves()
+
+    def apply(self, fn) -> "Query":
+        """Copy of this node with fn applied to each direct child; leaf
+        nodes return self (qcore.py:243-268)."""
+        if self.is_leaf():
+            return self
+        changes = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, Query):
+                changes[f.name] = fn(v)
+            elif isinstance(v, tuple) and any(
+                isinstance(x, Query) for x in v
+            ):
+                changes[f.name] = tuple(
+                    fn(x) if isinstance(x, Query) else x for x in v
+                )
+        return replace(self, **changes) if changes else self
+
+    def accept(self, fn) -> "Query":
+        """Bottom-up transform: fn over subqueries, then this node
+        (qcore.py:270-293)."""
+
+        def fn_wrapper(q):
+            return fn(q.apply(fn_wrapper))
+
+        return fn_wrapper(self)
+
+    def replace(self, fieldname: str, oldtext: str, newtext: str) -> "Query":
+        """Copy with oldtext -> newtext wherever (fieldname, oldtext) is
+        queried (qcore.py:295-308; terms.py:102-106 leaf rule).  Frozen
+        dataclasses make the no-op copy free."""
+        if self.is_leaf():
+            if (
+                getattr(self, "fieldname", None) == fieldname
+                and getattr(self, "text", None) == oldtext
+            ):
+                return dataclasses.replace(self, text=newtext)
+            return self
+        return self.apply(
+            lambda q: q.replace(fieldname, oldtext, newtext)
+        )
+
+    def copy(self) -> "Query":
+        """Reference parity helper (qcore.py:310-313); frozen dataclasses
+        are safely shareable, so this is the identity."""
+        return self
+
+    def with_boost(self, boost: float) -> "Query":
+        """Copy with the boost SET to the given value; boost-less nodes
+        forward into their scored children (qcore.py:502-511 + the
+        binary overrides, compound.py:527-528,555-556,610-611)."""
+        return _set_boost(self, boost)
+
+    def field(self) -> Optional[str]:
+        """The single field this query matches in, or None
+        (qcore.py:495-500)."""
+        return getattr(self, "fieldname", None)
+
+    def terms(self, phrases: bool = False) -> Iterator[Tuple[str, str]]:
+        """(fieldname, text) pairs queried by THIS node (qcore.py:327-335;
+        Phrase emits its words only when phrases=True,
+        positional.py:187-190)."""
+        return iter(())
+
+    def iter_all_terms(self, phrases: bool = True) -> Iterator[Tuple[str, str]]:
+        """Walk the tree yielding (fieldname, text) for every leaf
+        (qcore.py:413-436)."""
+        for leaf in self.leaves():
+            yield from leaf.terms(phrases=phrases)
+
+    def all_terms(self, phrases: bool = True) -> Set[Tuple[str, str]]:
+        """Set of all terms in the tree (qcore.py:315-325)."""
+        return set(self.iter_all_terms(phrases=phrases))
+
+    def tokens(self, boost: float = 1.0) -> Iterator[Token]:
+        """Token objects for the terms searched by this node
+        (qcore.py:454-471)."""
+        for fieldname, text in self.terms(phrases=True):
+            yield Token(
+                fieldname=fieldname,
+                text=text,
+                boost=boost * getattr(self, "boost", 1.0),
+            )
+
+    def all_tokens(self, boost: float = 1.0) -> Iterator[Token]:
+        """Tokens for every leaf in the tree (qcore.py:438-452)."""
+        for leaf in self.leaves():
+            yield from leaf.tokens(boost=boost)
+
+    # -- combinator operators (qcore.py:178-203)
+
+    def __or__(self, other: "Query") -> "Query":
+        return Or([self, other]).normalize()
+
+    def __and__(self, other: "Query") -> "Query":
+        return And([self, other]).normalize()
+
+    def __sub__(self, other: "Query") -> "Query":
+        return And([self, Not(other)]).normalize()
 
 
 @dataclass(frozen=True)
@@ -39,6 +190,22 @@ class Term(Query):
     text: str
     fieldname: str = "text"
     boost: float = 1.0
+
+    def has_terms(self) -> bool:
+        return True  # terms.py:85-86
+
+    def terms(self, phrases: bool = False):
+        yield (self.fieldname, self.text)  # terms.py:98-100
+
+
+class _ChildTuple(tuple):
+    """Tuple of subqueries that is ALSO callable: compound nodes store
+    children in a field named `children`, which would otherwise shadow
+    Query.children() — calling the attribute yields the reference's
+    iterator API (qcore.py:218-221) while tuple access keeps working."""
+
+    def __call__(self):
+        return iter(self)
 
 
 class _Compound(Query):
@@ -202,7 +369,7 @@ class And(_Compound):
     boost: float = 1.0
 
     def __init__(self, children, boost: float = 1.0):
-        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "children", _ChildTuple(children))
         object.__setattr__(self, "boost", boost)
 
     def normalize(self) -> Query:
@@ -223,7 +390,7 @@ class Or(_Compound):
     scale: Optional[float] = None  # coordination bonus (matching/wrappers.py:532+)
 
     def __init__(self, children, boost: float = 1.0, scale: Optional[float] = None):
-        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "children", _ChildTuple(children))
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "scale", scale)
 
@@ -247,7 +414,7 @@ class DisjunctionMax(_Compound):
     tiebreak: float = 0.0
 
     def __init__(self, children, boost: float = 1.0, tiebreak: float = 0.0):
-        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "children", _ChildTuple(children))
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "tiebreak", tiebreak)
 
@@ -412,6 +579,15 @@ class Phrase(Query):
             return Term(self.words[0], self.fieldname, self.boost)
         return self
 
+    def has_terms(self) -> bool:
+        return True  # positional.py:184-185
+
+    def terms(self, phrases: bool = False):
+        # phrase words surface only when phrases=True (positional.py:187-190)
+        if phrases:
+            for word in self.words:
+                yield (self.fieldname, word)
+
 
 @dataclass(frozen=True)
 class Sequence(Query):
@@ -436,6 +612,14 @@ class Sequence(Query):
             return Term(self.words[0], self.fieldname, self.boost)
         return Phrase(self.words, self.fieldname, self.slop, self.boost)
 
+    def has_terms(self) -> bool:
+        return True
+
+    def terms(self, phrases: bool = False):
+        if phrases:
+            for word in self.words:
+                yield (self.fieldname, word)
+
 
 @dataclass(frozen=True)
 class Ordered(Query):
@@ -457,6 +641,14 @@ class Ordered(Query):
         if len(self.words) == 1:
             return Term(self.words[0], self.fieldname, self.boost)
         return self
+
+    def has_terms(self) -> bool:
+        return True
+
+    def terms(self, phrases: bool = False):
+        if phrases:
+            for word in self.words:
+                yield (self.fieldname, word)
 
 
 # ---- multi-term (lexicon-expanding) queries (query/terms.py:150-520) --------
@@ -509,6 +701,14 @@ class Variations(_MultiTerm):
     fieldname: str = "text"
     boost: float = 1.0
 
+    # ExpandingTerm: has_terms True and terms() yields the SOURCE word
+    # (terms.py:425-433)
+    def has_terms(self) -> bool:
+        return True
+
+    def terms(self, phrases: bool = False):
+        yield (self.fieldname, self.text)
+
 
 @dataclass(frozen=True)
 class FuzzyTerm(_MultiTerm):
@@ -522,6 +722,13 @@ class FuzzyTerm(_MultiTerm):
     boost: float = 1.0
     maxdist: int = 1
     prefixlength: int = 1
+
+    # ExpandingTerm (terms.py:425-433): the source word is a term
+    def has_terms(self) -> bool:
+        return True
+
+    def terms(self, phrases: bool = False):
+        yield (self.fieldname, self.text)
 
 
 @dataclass(frozen=True)
@@ -538,6 +745,9 @@ class NumericRange(Query):
     startexcl: bool = False
     endexcl: bool = False
     boost: float = 1.0
+
+    def is_range(self) -> bool:
+        return True  # ranges.py RangeMixin
 
 
 @dataclass(frozen=True)
@@ -565,6 +775,9 @@ class TermRange(_MultiTerm):
     endexcl: bool = False
     boost: float = 1.0
 
+    def is_range(self) -> bool:
+        return True  # ranges.py RangeMixin
+
     def normalize(self) -> Query:
         if self.start is None and self.end is None:
             return Every(self.boost)  # ranges.py:190-208
@@ -573,3 +786,120 @@ class TermRange(_MultiTerm):
                 return NullQuery()
             return Term(self.start, self.fieldname, self.boost)
         return self
+
+
+# ---- nested (block-join) query classes (reference query/nested.py) ----------
+
+
+@dataclass(frozen=True)
+class NestedParent(Query):
+    """Parents (universe selected by `parents`) whose CHILDREN match q;
+    score = per-parent aggregate of child scores, default ``best``
+    (reference query/nested.py:33-208).  Class surface over
+    nested.nested_parent — the positional parent-bitset design is
+    replaced by the docmeta `parent_uid` equi-join (see nested.py)."""
+
+    parents: Query
+    q: Query
+    score_fn: str = "best"
+
+
+@dataclass(frozen=True)
+class NestedChildren(Query):
+    """CHILDREN of parents matching q (within the `parents` universe),
+    each child scored by its parent (reference query/nested.py:209+)."""
+
+    parents: Query
+    q: Query
+    boost: float = 1.0
+
+
+# ---- module-level utilities (qcore.py:48-140, compound.py:657-658) ----------
+
+
+def error_query(msg: str, q: Optional[Query] = None) -> Query:
+    """Returns q (or a NullQuery) with its `error` attribute set to msg
+    (qcore.py:48-57) — the parser surface for reporting bad syntax while
+    still returning a runnable query."""
+    if q is None:
+        q = NullQuery()
+    object.__setattr__(q, "error", msg)
+    return q
+
+
+def token_lists(q: Query, phrases: bool = True):
+    """The terms in the query tree with the hierarchy represented as
+    nested lists; single-element sublists are inlined (qcore.py:60-78)."""
+    if q.is_leaf():
+        if phrases or not isinstance(q, Phrase):
+            return list(q.tokens())
+        return []
+    ls = []
+    for qq in q.children():
+        t = token_lists(qq, phrases=phrases)
+        if len(t) == 1:
+            t = t[0]
+        if t:
+            ls.append(t)
+    return ls
+
+
+def BooleanQuery(required, should, prohibited) -> Query:
+    """required AND (maybe should) AND NOT prohibited
+    (compound.py:657-658)."""
+    return AndNot(
+        AndMaybe(And(tuple(required)), Or(tuple(should))),
+        Or(tuple(prohibited)),
+    ).normalize()
+
+
+class Lowest:
+    """Sentinel comparing lower than everything except itself
+    (qcore.py:84-111) — usable as a missing-value sort key."""
+
+    def __eq__(self, other):
+        return type(other) is Lowest
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __lt__(self, other):
+        return type(other) is not Lowest
+
+    def __gt__(self, other):
+        return False
+
+    def __le__(self, other):
+        return True
+
+    def __ge__(self, other):
+        return self.__eq__(other)
+
+    def __hash__(self):
+        return hash(Lowest)
+
+
+class Highest:
+    """Sentinel comparing higher than everything except itself
+    (qcore.py:113-140)."""
+
+    def __eq__(self, other):
+        return type(other) is Highest
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __gt__(self, other):
+        return type(other) is not Highest
+
+    def __lt__(self, other):
+        return False
+
+    def __ge__(self, other):
+        return True
+
+    def __le__(self, other):
+        return self.__eq__(other)
+
+    def __hash__(self):
+        return hash(Highest)

@@ -168,7 +168,7 @@ def _map_tree(q: Q.Query, fn) -> Q.Query:
     """Apply fn bottom-up over a Query tree (children first, then node)."""
     from dataclasses import replace
 
-    if hasattr(q, "children"):
+    if isinstance(q, Q._Compound):
         q = replace(q, children=tuple(_map_tree(c, fn) for c in q.children))
     else:
         kw = {}

@@ -477,7 +477,7 @@ class Searcher:
             (Q.Every, Q.NullQuery, Q.NumericRange, Q.DateRange, Q.ColumnQuery),
         ):
             return 0
-        if hasattr(q, "children"):
+        if isinstance(q, Q._Compound):
             return sum(self._n_term_matchers(c) for c in q.children)
         n = 0
         # `a`/`b`/`child` cover the binary/Not nodes; `q`/`qs`/`subqs`
@@ -787,6 +787,18 @@ class Searcher:
             return self.ix.docmeta.where(F.expr(q.expr)).select(
                 "docid", F.lit(float(q.boost)).alias("score")
             )
+        if isinstance(q, Q.NestedParent):
+            from whoosh_reloaded_spark.nested import nested_parent
+
+            return nested_parent(self, q.parents, q.q, score_fn=q.score_fn)
+        if isinstance(q, Q.NestedChildren):
+            from whoosh_reloaded_spark.nested import nested_children
+
+            # the sub-query runs WITHIN the parent universe without the
+            # universe filter contributing score (reference intersects
+            # q's matcher with the parent bitset, nested.py:209+)
+            pq = Q.Require(q.q, q.parents)
+            return self._boosted_frame(nested_children(self, pq), q.boost)
         if isinstance(q, Q._MultiTerm):
             terms = self.expand_terms(q)
             if terms is None:
@@ -1061,7 +1073,7 @@ class Searcher:
             small = self.expand_terms(q)
             if small:
                 out.update(small)
-        elif hasattr(q, "children"):
+        elif isinstance(q, Q._Compound):
             for c in q.children:
                 out |= self._collect_terms(c)
         else:

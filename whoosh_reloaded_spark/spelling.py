@@ -278,16 +278,12 @@ class Correction:
 
 
 def _walk(q):
-    from whoosh_reloaded_spark.query import ast as A
-
+    # Query.children() (round-5 tree API) covers every child edge —
+    # compound `children` tuples, binary a/b, Not.child, and the span
+    # wrappers' q/qs/subqs — since all are dataclass fields
     yield q
-    for attr in ("children", "qs", "subqs"):
-        for c in getattr(q, attr, ()) or ():
-            yield from _walk(c)
-    for attr in ("a", "b", "child", "q"):
-        c = getattr(q, attr, None)
-        if isinstance(c, A.Query):
-            yield from _walk(c)
+    for c in q.children():
+        yield from _walk(c)
 
 
 def _leaf_terms(q) -> List[Tuple[str, str]]:
