@@ -59,6 +59,40 @@ class InvertedIndex:
     blocks: Optional[DataFrame] = None  # field, term, block_no, stats (WAND)
     docs_raw: Optional[DataFrame] = None  # docid, uid [, stored] — no UDF lineage
 
+    # -- Index-object convenience surface (reference index.py Index class)
+
+    def searcher(self, weighting=None):
+        """A Searcher over this index (Index.searcher)."""
+        from whoosh_reloaded_spark.query.planner import Searcher
+
+        return Searcher(self, weighting)
+
+    def doc_count(self) -> int:
+        return int(self.ensure_stats()["doc_count"])
+
+    def doc_count_all(self) -> int:
+        """Tombstones are applied at load, so live == all for this
+        snapshot (see Searcher.doc_count_all)."""
+        return self.doc_count()
+
+    def is_empty(self) -> bool:
+        return self.doc_count() == 0
+
+    def field_length(self, fieldname: Optional[str] = None) -> int:
+        return int(self.ensure_stats()["field_length"])
+
+    def reader(self) -> "InvertedIndex":
+        return self  # the table bundle IS the reader analogue
+
+    def refresh(self) -> "InvertedIndex":
+        return self  # immutable snapshot
+
+    def up_to_date(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        self.is_closed = True
+
     def ensure_stats(self) -> Dict[str, float]:
         """Global aggregates, computed lazily so the build pipeline runs only
         once (searching.py:277-280 computes avgfl the same way: exact)."""
@@ -204,7 +238,10 @@ def build_index(
     else:
         run = make_invert_rows(analyzer)
         schema_str = INVERT_ROWS_SCHEMA
-    keep_cols = [uid_col, text_col] + list(stored_cols or [])
+    # dedup so text_col may ALSO be a stored col (TEXT(stored=True) in the
+    # reference, fields.py — lets Hit.highlights read the source text from
+    # docmeta instead of requiring an explicit text argument)
+    keep_cols = list(dict.fromkeys([uid_col, text_col] + list(stored_cols or [])))
     if with_docids:
         docs = corpus.select("docid", *keep_cols)
     else:
@@ -243,7 +280,10 @@ def build_index(
         ).withColumn("tf", F.lit(1))
     elif format != "positions" and not payload_flags:
         raise ValueError(f"unknown posting format: {format!r}")
-    meta_cols = [c for c in keep_cols if c != text_col and c != uid_col]
+    meta_cols = [
+        c for c in keep_cols
+        if c != uid_col and (c != text_col or c in (stored_cols or []))
+    ]
     docs_raw_inner = docs.select(
         "docid", F.col(uid_col).alias("uid"), *meta_cols
     )
@@ -465,8 +505,37 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
     with open(stats_path, "w") as f:
         json.dump(
             {"stats": stats, "uid_col": ix.uid_col,
-             "fieldname": ix.fieldname, "codec": codec}, f
+             "fieldname": ix.fieldname, "codec": codec,
+             "format_version": FORMAT_VERSION}, f
         )
+
+
+#: on-disk layout version recorded in stats.json (index.version_in
+#: analogue; the reference tracks _CURRENT_TOC_VERSION in its TOC)
+FORMAT_VERSION = 1
+
+
+def exists_in(path: str) -> bool:
+    """True when `path` holds a saved index (reference index.exists_in:
+    checks for the TOC; here the stats.json + postings dir)."""
+    return os.path.isfile(os.path.join(path, "stats.json")) and os.path.isdir(
+        os.path.join(path, "postings")
+    )
+
+
+def version_in(path: str):
+    """(library_name, format_version) of the saved index (reference
+    index.version_in returns (release, format) from the TOC)."""
+    with open(os.path.join(path, "stats.json")) as f:
+        meta = json.load(f)
+    return ("whoosh_reloaded_spark", int(meta.get("format_version", 0)))
+
+
+def last_modified(path: str) -> float:
+    """Commit time of the index snapshot (Index.last_modified): the
+    stats.json mtime — it is written last in save_index, after every
+    parquet table, so it timestamps the commit."""
+    return os.path.getmtime(os.path.join(path, "stats.json"))
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:

@@ -132,7 +132,22 @@ def _lex(s: str) -> List[_Tok]:
                 )
             )
         elif m.group("word"):
-            out.append(_Tok("word", m.group("word")))
+            w = m.group("word")
+            # A boost dangling after a fuzzy suffix is its OWN node in the
+            # reference (FuzzyTermPlugin's fuzziness node has no boost to
+            # attach to): 'alfa~^2 OR bravo' parses as And([fuzzy, bravo])
+            # because the OR binds the dangling '^2' (which queries to
+            # nothing) as its left operand, and 'x~^2 ANDMAYBE y' collapses
+            # to just x~ (AndMaybe(Null, y) -> Null).  Mirror by splitting
+            # the token; the '^2' word analyzes to NullQuery.
+            fm = re.match(
+                r"^(?P<w>.+~(?:\d*(?:/[1-9]\d*)?)?)(?P<b>\^\d+(\.\d+)?)$", w
+            )
+            if fm:
+                out.append(_Tok("word", fm.group("w")))
+                out.append(_Tok("word", fm.group("b")))
+            else:
+                out.append(_Tok("word", w))
     return out
 
 
@@ -420,6 +435,16 @@ class QueryParser:
                                 tuple(left.children) + (right,),
                                 boost=left.boost,
                             )
+                    elif not merging and isinstance(left, Q.NullQuery):
+                        # a null operand never reaches the reference's
+                        # binary group: GroupNode.query drops None subs
+                        # (syntax.py:236-239) and the single-sub group
+                        # degrades to that sub — 'alfa~^2 ANDNOT bravo'
+                        # is And([fuzzy, bravo]) with bravo POSITIVE
+                        # (round-5 fuzz, verified live)
+                        newq = right
+                    elif not merging and isinstance(right, Q.NullQuery):
+                        newq = left
                     else:
                         newq = make((left, right))
                     _mark_group(newq, opname)
@@ -850,12 +875,10 @@ class QueryParser:
         if not terms:
             return Q.NullQuery()
         if maxdist is not None:
-            # 'alfa~2^3' parses to FuzzyTerm(boost=1) in the reference —
-            # FuzzyTermPlugin's fuzziness node never reattaches a trailing
-            # ^boost (round-5 parser probe; contrast '(alfa~2)^3', the
-            # group path, which does boost) — mirrored
+            # a trailing ^boost never reaches a fuzzy: the lexer splits
+            # 'alfa~2^3' into two tokens (see _lex), so `boost` is 1 here
             leaf = Q.FuzzyTerm(
-                terms[0], fieldname, 1.0, maxdist=maxdist,
+                terms[0], fieldname, boost, maxdist=maxdist,
                 prefixlength=prefixlength,
             )
         elif len(terms) == 1:

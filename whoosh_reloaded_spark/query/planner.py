@@ -27,7 +27,7 @@ whole-stage codegen; Python appears only in driver-side planning.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1237,6 +1237,117 @@ class Searcher:
     def doc_count(self) -> int:
         return self.N
 
+    def doc_count_all(self) -> int:
+        """All documents (Searcher.doc_count_all, searching.py).  The
+        reference's reader keeps deleted docs in its doc table; here
+        tombstones are applied when the index is LOADED, so the live
+        count is the total for this snapshot."""
+        return self.N
+
+    def avg_field_length(self, fieldname: Optional[str] = None,
+                         default=None):
+        """Average field length (Searcher.avg_field_length)."""
+        return self.avgfl
+
+    def field_length_total(self, fieldname: Optional[str] = None) -> int:
+        """Total length of the indexed field (Searcher.field_length)."""
+        return self.field_length
+
+    def max_field_length(self, fieldname: Optional[str] = None) -> int:
+        """Largest per-document field length (Searcher.max_field_length);
+        one small aggregate over docmeta, cached."""
+        if not hasattr(self, "_max_fl"):
+            row = self.ix.docmeta.agg(F.max("length").alias("m")).collect()[0]
+            self._max_fl = int(row["m"] or 0)
+        return self._max_fl
+
+    def idf(self, fieldname: Optional[str], text: str) -> float:
+        """Cached IDF of a term (Searcher.idf, searching.py) — accepts
+        (fieldname, text) like the reference; the single indexed field
+        makes fieldname advisory."""
+        self._lookup_stats([text])
+        return self._idf_cache[text]
+
+    def reader(self) -> "InvertedIndex":
+        """The reference returns its IndexReader; the analogous handle
+        here is the InvertedIndex table bundle."""
+        return self.ix
+
+    def refresh(self) -> "Searcher":
+        """Parquet index frames are an immutable snapshot — this searcher
+        is always current for them (Searcher.refresh contract)."""
+        return self
+
+    def up_to_date(self) -> bool:
+        return True  # immutable snapshot, see refresh()
+
+    def close(self) -> None:
+        """Reference parity (Searcher.close): marks the searcher closed.
+        DataFrames hold no exclusive resources, so this only sets the
+        flag the reference sets."""
+        self.is_closed = True
+
+    def is_atomic(self) -> bool:
+        """True — load_multi presents merged segments as one logical
+        index, the analogue of an atomic reader."""
+        return True
+
+    def leaf_searchers(self):
+        return [(self, 0)]  # searching.py leaf_searchers, atomic case
+
+    def has_parent(self) -> bool:
+        return False
+
+    def get_parent(self) -> "Searcher":
+        return self
+
+    def docs_for_query(self, q) -> Iterator[int]:
+        """Iterator of docnums matching q (Searcher.docs_for_query) —
+        driver-side display surface; the distributed form is
+        `searcher._eval(q)` itself."""
+        for r in self._eval(q.normalize()).select("docid").collect():
+            yield int(r["docid"])
+
+    def document_numbers(self, **kw) -> Iterator[int]:
+        """Generator of docnums whose stored fields equal the keyword
+        filters; no filters yields every docnum
+        (Searcher.document_numbers)."""
+        for r in self.documents(**kw).select("docid").collect():
+            yield int(r["docid"])
+
+    def document_number(self, **kw) -> Optional[int]:
+        """First matching docnum or None (Searcher.document_number)."""
+        rows = self.documents(**kw).select("docid").limit(1).collect()
+        return int(rows[0]["docid"]) if rows else None
+
+    def find(self, defaultfield: str, querystring: str, **kwargs):
+        """Parse querystring with the default QueryParser and search
+        (Searcher.find, searching.py)."""
+        from whoosh_reloaded_spark.query.parser import QueryParser
+
+        q = QueryParser(defaultfield).parse(querystring)
+        return self.search_results(q, **kwargs)
+
+    def postings(self, fieldname: Optional[str], text: str) -> DataFrame:
+        """Scored postings frame for one term (Searcher.postings returns
+        a scored Matcher; the DataFrame of (term, docid, score) rows is
+        the relational equivalent, scoring functions already applied
+        from this searcher's weighting)."""
+        return self._scored_postings([text])
+
+    def collector(self, **kwargs) -> "_Collector":
+        """A collector capturing search arguments for
+        search_with_collector (Searcher.collector /
+        Searcher.search_with_collector, searching.py).  Wrap with
+        collectors.search_with_time_limit for the TimeLimitCollector
+        pattern."""
+        return _Collector(kwargs)
+
+    def search_with_collector(self, q, collector: "_Collector") -> None:
+        """Run q with the given collector; results land on
+        collector.results (reference contract)."""
+        collector.results = self.search_results(q, **collector.kwargs)
+
     def suggest(self, text: str, limit: int = 5, maxdist: int = 2):
         """Spelling corrections for `text` (Searcher.suggest,
         searching.py / spelling.py)."""
@@ -1303,6 +1414,20 @@ class Searcher:
         return rows[0].asDict() if rows else None
 
 
+class _Collector:
+    """Captured search arguments + result slot for
+    Searcher.collector()/search_with_collector() (reference
+    collectors.py Collector protocol, results-retrieval subset)."""
+
+    def __init__(self, kwargs):
+        self.kwargs = kwargs
+        self.results = None
+
+    def computes_count(self) -> bool:
+        # our search always knows the exact collected length
+        return True
+
+
 class Hit:
     """One search hit (searching.py Hit): stored fields by key, plus rank /
     score / docnum attributes and the highlights() display hook."""
@@ -1352,6 +1477,31 @@ class Hit:
         return self._results.searcher.more_like(
             self.docnum, numterms=numterms, model=model, limit=top
         )
+
+    # -- dict-like stored-field access (searching.py Hit keys/values/
+    # items + the iter* aliases)
+
+    def keys(self):
+        return iter(self._fields.keys())
+
+    def values(self):
+        return iter(self._fields.values())
+
+    def items(self):
+        return iter(self._fields.items())
+
+    iterkeys = keys
+    itervalues = values
+    iteritems = items
+
+    def __iter__(self):
+        return iter(self._fields.keys())
+
+    def __len__(self):
+        return len(self._fields)
+
+    def get(self, key, default=None):
+        return self._fields.get(key, default)
 
     def __getitem__(self, key):
         return self._fields[key]
@@ -1423,6 +1573,43 @@ class Results:
 
     def scored_length(self):
         return len(self._hits)
+
+    def estimated_min_length(self) -> int:
+        """Minimum number of matching documents (Results.
+        estimated_min_length) — exact here, see estimated_length."""
+        return self.estimated_length()
+
+    def has_exact_length(self) -> bool:
+        """True when the match count is already known without another
+        job (Results.has_exact_length)."""
+        return getattr(self, "_total", None) is not None
+
+    def query_terms(self, expand: bool = False, fieldname=None):
+        """Terms from this results' query that EXIST in the index
+        (Results.query_terms -> Query.existing_terms); with expand=True
+        multiterm leaves contribute their lexicon expansions."""
+        if self._q is None or self.searcher is None:
+            return set()
+        s = self.searcher
+        out, texts = set(), set()
+        for fn, text in self._q.iter_all_terms():
+            if fieldname is None or fn == fieldname:
+                texts.add((fn, text))
+        if texts:
+            present = {
+                r["term"]
+                for r in s.ix.term_stats.where(
+                    F.col("term").isin([t for _, t in texts])
+                ).select("term").collect()
+            }
+            out |= {(fn, t) for fn, t in texts if t in present}
+        if expand:
+            for leaf in self._q.leaves():
+                if isinstance(leaf, Q._MultiTerm):
+                    small = s.expand_terms(leaf)
+                    for t in small or ():
+                        out.add((leaf.fieldname, t))
+        return out
 
     def estimated_length(self) -> int:
         """Total number of matching documents (Results.estimated_length,
@@ -1612,6 +1799,11 @@ class ResultsPage:
 
     def is_last_page(self) -> bool:
         return self.pagecount == 0 or self.pagenum == self.pagecount
+
+    def scored_length(self) -> int:
+        """Scored docs available in the underlying Results
+        (ResultsPage.scored_length, searching.py)."""
+        return self.results.scored_length()
 
     def score(self, n):
         return self.results.score(n + self.offset)
