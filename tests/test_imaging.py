@@ -107,20 +107,151 @@ def test_corruption_raises():
         png_decode(bytes(data[:30]))
 
 
-def test_unsupported_variants_rejected():
-    # 16-bit depth IHDR
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    sig = b"\x89PNG\r\n\x1a\n"
-
+def _handmade_png(w, h, depth, ct, interlace, raw, extra=b""):
     def chunk(tag, body):
         return (
             struct.pack(">I", len(body)) + tag + body
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    data = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\0" * 100)) + chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="depth"):
-        png_decode(data)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_spec_invalid_variants_rejected():
+    """Depth/color combinations the PNG spec forbids (11.2.2) raise."""
+    # 16-bit palette, 3-bit depth, 4-bit RGB, interlace method 2
+    for w, h, depth, ct, il in [
+        (4, 4, 16, 3, 0),
+        (4, 4, 3, 0, 0),
+        (4, 4, 4, 2, 0),
+        (4, 4, 8, 2, 2),
+    ]:
+        with pytest.raises(ValueError, match="depth|interlace"):
+            png_decode(_handmade_png(w, h, depth, ct, il, b"\0" * 100))
+    # palette image with no PLTE chunk
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(_handmade_png(2, 1, 8, 3, 0, b"\x00\x00\x01"))
+    # palette index beyond the palette
+    plte = struct.pack(">I", 3) + b"PLTE" + b"\x10\x20\x30"
+    plte += struct.pack(">I", zlib.crc32(b"PLTE" + b"\x10\x20\x30") & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="index"):
+        png_decode(_handmade_png(2, 1, 8, 3, 0, b"\x00\x00\x05", plte))
+
+
+# -- extended variants: palette / low-bit grey / 16-bit / Adam7 -----------------
+
+
+def test_palette_roundtrip_all_depths():
+    from whoosh_reloaded_spark.imaging import png_encode_palette
+
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = RNG.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = RNG.integers(0, n, size=(9, 13), dtype=np.uint8)
+        out = png_decode(png_encode_palette(idx, pal, depth=depth))
+        np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_palette_trns_alpha():
+    from whoosh_reloaded_spark.imaging import png_encode_palette
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    trns = np.array([0, 128], np.uint8)  # entry 2 defaults opaque
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    out = png_decode(png_encode_palette(idx, pal, trns=trns, depth=2))
+    assert out.shape == (2, 3, 4)
+    np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+    alpha = np.array([0, 128, 255], np.uint8)
+    np.testing.assert_array_equal(out[:, :, 3], alpha[idx])
+
+
+def test_lowbit_grey_scaling():
+    """1/2/4-bit greyscale scales exactly to 0..255 (spec 12.5)."""
+    from whoosh_reloaded_spark.imaging import png_encode_grey
+
+    for depth, factor in [(1, 255), (2, 85), (4, 17)]:
+        maxv = (1 << depth) - 1
+        vals = RNG.integers(0, maxv + 1, size=(7, 11), dtype=np.uint8)
+        out = png_decode(png_encode_grey(vals, depth))
+        assert out.dtype == np.uint8 and out.shape == (7, 11)
+        np.testing.assert_array_equal(out, vals.astype(np.int64) * factor)
+
+
+def test_16bit_roundtrip_lossless():
+    for ch in (1, 2, 3, 4):
+        a = RNG.integers(0, 65536, size=(6, 5, ch), dtype=np.uint16)
+        arr = a[:, :, 0] if ch == 1 else a
+        out = png_decode(png_encode(arr))
+        assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_adam7_handmade_fixture():
+    """A hand-laid-out 3x3 interlaced greyscale PNG (pass scanlines
+    written in spec order with filter 0) decodes to the expected grid —
+    independent of the encoder's pass logic."""
+    # pixel value = 10*y + x; Adam7 passes for 3x3:
+    #   p1 -> (0,0); p4 -> (2,0); p5 -> (0,2),(2,2);
+    #   p6 -> (1,0),(1,2); p7 -> (0,1),(1,1),(2,1)
+    raw = bytes(
+        [0, 0]                # p1: (0,0)=0
+        + [0, 2]              # p4: (2,0)=2
+        + [0, 20, 22]         # p5: (0,2),(2,2)
+        + [0, 1] + [0, 21]    # p6: two 1-px scanlines y=0,2 -> (1,0),(1,2)
+        + [0, 10, 11, 12]     # p7: full row y=1
+    )
+    out = png_decode(_handmade_png(3, 3, 8, 0, 1, raw))
+    expect = np.array([[0, 1, 2], [10, 11, 12], [20, 21, 22]], np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 19),
+    w=st.integers(1, 19),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    depth=st.sampled_from([8, 16]),
+    ft=st.sampled_from([0, 1, 2, 3, 4, "auto"]),
+    seed=st.integers(0, 2**31),
+)
+def test_adam7_roundtrip_fuzz(h, w, ch, depth, ft, seed):
+    """Interlaced encode -> decode is the identity, and equals the
+    non-interlaced decode of the same pixels, at every size (including
+    sizes with empty passes), channel count, and depth."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(
+        0, 1 << depth, size=(h, w, ch),
+        dtype=np.uint16 if depth == 16 else np.uint8,
+    )
+    arr = a[:, :, 0] if ch == 1 else a
+    out = png_decode(png_encode(arr, filter_type=ft, interlace=True))
+    np.testing.assert_array_equal(out, arr)
+    np.testing.assert_array_equal(
+        out, png_decode(png_encode(arr, filter_type=ft))
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_palette_fuzz(h, w, depth, interlace, seed):
+    from whoosh_reloaded_spark.imaging import png_encode_palette
+
+    rng = np.random.default_rng(seed)
+    n = rng.integers(1, (1 << depth) + 1)
+    pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+    data = png_encode_palette(idx, pal, depth=depth, interlace=interlace)
+    np.testing.assert_array_equal(png_decode(data), pal[idx])
 
 
 def test_average_hash_known_pattern():

@@ -5,12 +5,25 @@ PNG is chunk-parsed here, IDAT inflated with stdlib ``zlib``, and the
 five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) undone
 with numpy — fully vectorized for None/Sub/Up (cumsum along the
 bytes-per-pixel stride for Sub), per-byte for the left-dependent
-Average/Paeth scanlines.  Supports 8-bit non-interlaced greyscale /
-grey+alpha / RGB / RGBA — the shapes a training pipeline's thumbnails
-and synthetic fixtures use.  For exotic PNGs (palette, 16-bit, Adam7)
-or JPEG, a production cluster ships a C-backed decoder through the same
-``decode_fn`` hook in :mod:`whoosh_reloaded_spark.multimodal`; this
-module keeps the semantics testable end-to-end without one.
+Average/Paeth scanlines.
+
+Coverage (the full PNG spec §11.2.2 color-type/bit-depth matrix a
+Common-Crawl-style corpus actually contains):
+
+* greyscale (ct 0) at 1/2/4/8/16 bits — low-bit samples are scaled to
+  the full 0..255 range per spec §12.5 (exact: 255/(2^d-1) is integral)
+* truecolor (ct 2), grey+alpha (ct 4), RGBA (ct 6) at 8/16 bits —
+  16-bit decodes to a uint16 array (lossless; hashes/checksums handle
+  the wider dtype)
+* palette (ct 3) at 1/2/4/8 bits via the PLTE chunk, with optional
+  tRNS palette alpha (decodes to RGB, or RGBA when tRNS is present)
+* Adam7 interlacing for every combination above
+
+tRNS color-key transparency on ct 0/2 (a single transparent shade, not
+an alpha channel) is intentionally ignored: it does not change decoded
+samples, only presentation.  JPEG still routes to the pluggable
+``decode_fn`` hook in :mod:`whoosh_reloaded_spark.multimodal` — a
+production cluster ships a C-backed decoder through the same hook.
 
 Chunk CRCs are verified on decode and emitted on encode (zlib.crc32),
 so a corrupted payload raises instead of yielding silent garbage — at
@@ -21,12 +34,14 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 
 __all__ = [
     "png_encode",
+    "png_encode_palette",
+    "png_encode_grey",
     "png_decode",
     "luma",
     "block_means",
@@ -35,9 +50,27 @@ __all__ = [
 ]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-# colortype -> channels (PNG spec 11.2.2)
-_CT_CH = {0: 1, 2: 3, 4: 2, 6: 4}
+# colortype -> channels (PNG spec 11.2.2); palette rows carry 1 index sample
+_CT_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _CH_CT = {1: 0, 2: 4, 3: 2, 4: 6}
+# colortype -> allowed bit depths (PNG spec 11.2.2 table)
+_CT_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -56,30 +89,26 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def png_encode(arr: np.ndarray, filter_type: Union[int, str] = "auto",
-               compress_level: int = 6) -> bytes:
-    """Encode a uint8 array as a PNG.
+def _pass_dims(w: int, h: int, x0: int, y0: int, dx: int, dy: int):
+    return (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
 
-    ``arr``: (h, w) greyscale or (h, w, ch) with ch in {1, 2, 3, 4}.
-    ``filter_type``: 0-4 forces that scanline filter on every row
-    (handy for exercising every decoder unfilter path), ``"auto"``
+
+# ---------------------------------------------------------------- encode
+
+
+def _filter_lines(rows: np.ndarray, bpp: int,
+                  filter_type: Union[int, str]) -> list:
+    """Filter a block of scanline byte rows (n, stride): returns the
+    ``n`` framed scanlines (filter byte + filtered bytes).  ``"auto"``
     picks per-row by minimum-sum-of-absolute-differences like standard
-    encoders.
-    """
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    if arr.ndim != 3 or arr.shape[2] not in _CH_CT:
-        raise ValueError(f"unsupported array shape {arr.shape}")
-    h, w, ch = arr.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    raw = arr.reshape(h, w * ch).astype(np.int16)
-    prior = np.vstack([np.zeros((1, w * ch), np.int16), raw[:-1]])
+    encoders."""
+    raw = rows.astype(np.int16)
+    n, stride = raw.shape
+    prior = np.vstack([np.zeros((1, stride), np.int16), raw[:-1]])
     left = np.zeros_like(raw)
-    left[:, ch:] = raw[:, :-ch]
+    left[:, bpp:] = raw[:, :-bpp]
     upleft = np.zeros_like(raw)
-    upleft[:, ch:] = prior[:, :-ch]
+    upleft[:, bpp:] = prior[:, :-bpp]
     cand = [
         raw,
         raw - left,                      # Sub
@@ -89,7 +118,7 @@ def png_encode(arr: np.ndarray, filter_type: Union[int, str] = "auto",
     ]
     cand = [(c % 256).astype(np.uint8) for c in cand]
     lines = []
-    for y in range(h):
+    for y in range(n):
         if filter_type == "auto":
             # standard MSAD heuristic: treat filtered bytes as signed,
             # minimize sum of magnitudes
@@ -103,8 +132,90 @@ def png_encode(arr: np.ndarray, filter_type: Union[int, str] = "auto",
             if not 0 <= ft <= 4:
                 raise ValueError(f"bad filter_type {filter_type}")
         lines.append(bytes([ft]) + cand[ft][y].tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CH_CT[ch], 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), compress_level)
+    return lines
+
+
+def _pack_scanlines(vals: np.ndarray, depth: int) -> np.ndarray:
+    """Pack (n, w) samples of ``depth`` bits each into scanline bytes
+    (n, ceil(w*depth/8)), MSB-first with zero padding (spec 7.2)."""
+    vals = np.asarray(vals, dtype=np.uint8)
+    if depth == 8:
+        return vals
+    n, w = vals.shape
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((vals[:, :, None] >> shifts) & 1).astype(np.uint8)
+    bits = bits.reshape(n, w * depth)
+    pad = (-w * depth) % 8
+    if pad:
+        bits = np.hstack([bits, np.zeros((n, pad), np.uint8)])
+    return np.packbits(bits, axis=1)
+
+
+def _sample_rows(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) samples -> (h, stride) scanline bytes for depth 8/16
+    (16-bit is big-endian per spec 7.1)."""
+    h, w, ch = arr.shape
+    if depth == 16:
+        return (
+            arr.astype(">u2").view(np.uint8).reshape(h, w * ch * 2)
+        )
+    return arr.astype(np.uint8).reshape(h, w * ch)
+
+
+def _assemble_idat(
+    arr: np.ndarray,
+    interlace: bool,
+    filter_type: Union[int, str],
+    compress_level: int,
+    to_rows,
+    bpp: int,
+) -> bytes:
+    """Shared encode core: split into Adam7 passes (or one full pass),
+    convert each pass's sample grid to scanline bytes with ``to_rows``,
+    filter, deflate."""
+    h, w = arr.shape[:2]
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    lines = []
+    for x0, y0, dx, dy in passes:
+        pw, ph = _pass_dims(w, h, x0, y0, dx, dy)
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = arr[y0::dy, x0::dx]
+        lines.extend(_filter_lines(to_rows(sub), bpp, filter_type))
+    return zlib.compress(b"".join(lines), compress_level)
+
+
+def png_encode(arr: np.ndarray, filter_type: Union[int, str] = "auto",
+               compress_level: int = 6, interlace: bool = False) -> bytes:
+    """Encode an array as a PNG.
+
+    ``arr``: (h, w) greyscale or (h, w, ch) with ch in {1, 2, 3, 4};
+    dtype uint16 encodes at bit depth 16 (big-endian samples), anything
+    else is coerced to uint8 / depth 8.
+    ``filter_type``: 0-4 forces that scanline filter on every row
+    (handy for exercising every decoder unfilter path), ``"auto"``
+    picks per-row by minimum-sum-of-absolute-differences like standard
+    encoders.  ``interlace=True`` writes Adam7.
+    """
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    if depth == 8:
+        arr = arr.astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in _CH_CT:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w, ch = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    bpp = ch * depth // 8
+    idat = _assemble_idat(
+        arr, interlace, filter_type, compress_level,
+        lambda sub: _sample_rows(sub, depth), bpp,
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _CH_CT[ch], 0, 0, 1 if interlace else 0
+    )
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -113,14 +224,171 @@ def png_encode(arr: np.ndarray, filter_type: Union[int, str] = "auto",
     )
 
 
+def png_encode_grey(vals: np.ndarray, depth: int,
+                    filter_type: Union[int, str] = "auto",
+                    compress_level: int = 6,
+                    interlace: bool = False) -> bytes:
+    """Encode (h, w) greyscale samples at bit depth 1/2/4 (values must
+    fit the depth).  Depth 8/16 routes through :func:`png_encode`."""
+    vals = np.asarray(vals)
+    if depth in (8, 16):
+        return png_encode(
+            vals.astype(np.uint16 if depth == 16 else np.uint8),
+            filter_type, compress_level, interlace,
+        )
+    if depth not in (1, 2, 4):
+        raise ValueError(f"bad grey depth {depth}")
+    if vals.ndim != 2 or vals.size == 0:
+        raise ValueError(f"unsupported array shape {vals.shape}")
+    if int(vals.max()) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit range")
+    h, w = vals.shape
+    idat = _assemble_idat(
+        vals[:, :, None], interlace, filter_type, compress_level,
+        lambda sub: _pack_scanlines(sub[:, :, 0], depth), 1,
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0
+    )
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
+                       trns: Optional[np.ndarray] = None,
+                       depth: int = 8,
+                       filter_type: Union[int, str] = "auto",
+                       compress_level: int = 6,
+                       interlace: bool = False) -> bytes:
+    """Encode an indexed-color PNG (color type 3).
+
+    ``indices``: (h, w) palette indices; ``palette``: (n, 3) uint8 RGB
+    rows, n <= 2^depth; ``trns``: optional per-entry alpha (<= n
+    values, trailing entries default opaque per spec 11.3.2.1);
+    ``depth``: 1/2/4/8 bits per index.
+    """
+    indices = np.asarray(indices)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError("palette must be (n, 3) RGB rows")
+    if len(palette) > (1 << depth):
+        raise ValueError(
+            f"palette has {len(palette)} entries > 2^{depth}"
+        )
+    if indices.ndim != 2 or indices.size == 0:
+        raise ValueError(f"unsupported array shape {indices.shape}")
+    if int(indices.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    idat = _assemble_idat(
+        indices[:, :, None], interlace, filter_type, compress_level,
+        lambda sub: _pack_scanlines(sub[:, :, 0], depth), 1,
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0
+    )
+    out = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        a = np.asarray(trns, dtype=np.uint8)
+        if a.ndim != 1 or len(a) > len(palette):
+            raise ValueError("tRNS longer than palette")
+        out += _chunk(b"tRNS", a.tobytes())
+    return out + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _unfilter(raw: bytes, off: int, nlines: int, stride: int, bpp: int):
+    """Undo scanline filtering for ``nlines`` consecutive framed
+    scanlines starting at ``off``: returns ((nlines, stride) int32 array
+    of recovered bytes, next offset)."""
+    out = np.empty((nlines, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(nlines):
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(
+            np.int32
+        )
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-unit cumulative sum along x
+            rec = np.cumsum(
+                line.reshape(stride // bpp, bpp), axis=0
+            ).reshape(stride)
+            rec %= 256
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average: the left-dependency forces a scan;
+            # a plain-int list loop beats tiny-vector numpy ~10x here
+            lb = raw[off + 1:off + 1 + stride]
+            pv = prev.tolist()
+            rl = [0] * stride
+            for x in range(stride):
+                a = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (lb[x] + ((a + pv[x]) >> 1)) & 255
+            rec = np.array(rl, dtype=np.int32)
+        elif ft == 4:  # Paeth: same scan, plain-int loop
+            lb = raw[off + 1:off + 1 + stride]
+            pv = prev.tolist()
+            rl = [0] * stride
+            for x in range(stride):
+                a = rl[x - bpp] if x >= bpp else 0
+                c = pv[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rl[x] = (lb[x] + pr) & 255
+            rec = np.array(rl, dtype=np.int32)
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[y] = rec
+        prev = rec
+        off += stride + 1
+    return out, off
+
+
+def _lines_to_samples(lines: np.ndarray, w: int, ch: int,
+                      depth: int) -> np.ndarray:
+    """(n, stride) recovered scanline bytes -> (n, w, ch) samples
+    (uint16 for depth 16, raw unscaled uint8 otherwise)."""
+    n = lines.shape[0]
+    if depth == 8:
+        return lines.astype(np.uint8).reshape(n, w, ch)
+    if depth == 16:
+        b = lines.astype(np.uint16).reshape(n, w * ch, 2)
+        return ((b[:, :, 0] << 8) | b[:, :, 1]).reshape(n, w, ch)
+    # depth < 8: single-sample channels only (grey or palette index)
+    bits = np.unpackbits(lines.astype(np.uint8), axis=1)
+    vals = bits.reshape(n, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    v = (vals * weights).sum(axis=2).astype(np.uint8)
+    return v[:, :w].reshape(n, w, 1)
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode a PNG to a uint8 array: (h, w) for greyscale, else
-    (h, w, ch).  Verifies signature + chunk CRCs; raises ValueError on
-    corruption or unsupported variants (palette / 16-bit / interlaced).
+    """Decode a PNG to a pixel array.
+
+    Returns uint8 (h, w) for single-channel images, (h, w, ch) for
+    multi-channel; uint16 for bit-depth-16 images (lossless).  Palette
+    images return RGB — RGBA when a tRNS chunk supplies palette alpha.
+    Low-bit greyscale is scaled to 0..255 (spec 12.5; exact for depths
+    1/2/4).  Adam7-interlaced files are deinterlaced.  Verifies
+    signature + chunk CRCs; raises ValueError on corruption or
+    spec-invalid depth/color combinations.
     """
     if len(data) < 8 or bytes(data[:8]) != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idats = 8, None, []
+    pos, ihdr, idats, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = bytes(data[pos + 4:pos + 8])
@@ -136,6 +404,10 @@ def png_decode(data: bytes) -> np.ndarray:
             ihdr = body
         elif tag == b"IDAT":
             idats.append(body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IEND":
             break
         pos += 12 + length
@@ -144,66 +416,59 @@ def png_decode(data: bytes) -> np.ndarray:
     w, h, depth, ct, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth}")
     if ct not in _CT_CH:
         raise ValueError(f"unsupported color type {ct}")
+    if depth not in _CT_DEPTHS[ct]:
+        raise ValueError(
+            f"unsupported bit depth {depth} for color type {ct}"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("unsupported compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported interlace method {interlace}")
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
     ch = _CT_CH[ct]
-    stride = w * ch
     raw = zlib.decompress(b"".join(idats))
-    if len(raw) != h * (stride + 1):
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    plan, expected = [], 0
+    for x0, y0, dx, dy in passes:
+        pw, ph = _pass_dims(w, h, x0, y0, dx, dy)
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        expected += ph * (stride + 1)
+        plan.append((x0, y0, dx, dy, pw, ph, stride))
+    if len(raw) != expected:
         raise ValueError(
-            f"IDAT size {len(raw)} != expected {h * (stride + 1)}"
+            f"IDAT size {len(raw)} != expected {expected}"
         )
-    out = np.empty((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(
-            np.int32
-        )
-        if ft == 0:
-            rec = line
-        elif ft == 1:  # Sub: per-channel cumulative sum along x
-            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
-            rec %= 256
-        elif ft == 2:  # Up
-            rec = (line + prev) % 256
-        elif ft == 3:  # Average: the left-dependency forces a scan;
-            # a plain-int list loop beats tiny-vector numpy ~10x here
-            lb = raw[off + 1:off + 1 + stride]
-            pv = prev.tolist()
-            rl = [0] * stride
-            for x in range(stride):
-                a = rl[x - ch] if x >= ch else 0
-                rl[x] = (lb[x] + ((a + pv[x]) >> 1)) & 255
-            rec = np.array(rl, dtype=np.int32)
-        elif ft == 4:  # Paeth: same scan, plain-int loop
-            lb = raw[off + 1:off + 1 + stride]
-            pv = prev.tolist()
-            rl = [0] * stride
-            for x in range(stride):
-                a = rl[x - ch] if x >= ch else 0
-                c = pv[x - ch] if x >= ch else 0
-                b = pv[x]
-                p = a + b - c
-                pa = p - a if p >= a else a - p
-                pb = p - b if p >= b else b - p
-                pc = p - c if p >= c else c - p
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rl[x] = (lb[x] + pr) & 255
-            rec = np.array(rl, dtype=np.int32)
-        else:
-            raise ValueError(f"bad scanline filter {ft}")
-        out[y] = rec
-        prev = rec
-    img = out.astype(np.uint8).reshape(h, w, ch)
-    return img[:, :, 0] if ch == 1 else img
+    bpp = max(1, ch * depth // 8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    samples = np.zeros((h, w, ch), dtype=dtype)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in plan:
+        lines, off = _unfilter(raw, off, ph, stride, bpp)
+        samples[y0::dy, x0::dx] = _lines_to_samples(lines, pw, ch, depth)
+    if ct == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0].astype(np.intp)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            if len(trns) > len(pal):
+                raise ValueError("tRNS longer than palette")
+            alpha = np.full(len(pal), 255, np.uint8)
+            alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if ct == 0 and depth < 8:
+        # spec 12.5 sample scaling: 255/(2^d-1) is an integer for 1/2/4
+        samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples[:, :, 0] if ch == 1 else samples
 
 
 def luma(arr: np.ndarray) -> np.ndarray:
@@ -255,4 +520,7 @@ def thumbnail_png(arr: np.ndarray, size: int = 8) -> bytes:
     """Greyscale thumbnail: the aHash block-mean image re-encoded as a
     tiny PNG — the cheap visual-debug artifact a pipeline stores next
     to each media row."""
-    return png_encode(block_means(luma(arr), size).astype(np.uint8))
+    m = block_means(luma(arr), size)
+    if arr.dtype == np.uint16:
+        m >>= 8  # 16-bit luma -> 8-bit thumbnail
+    return png_encode(m.astype(np.uint8))
