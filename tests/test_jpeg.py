@@ -1,0 +1,217 @@
+"""Baseline JPEG codec: exactness where the format is exact, bounded
+error where it is lossy, wire-format structure, restart markers,
+subsampling, corruption handling, and the Spark decode_images routing."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from whoosh_reloaded_spark.jpeg import jpeg_decode, jpeg_encode
+
+def _natural(h, w, seed=3):
+    """Smooth structured test image (the regime JPEG is designed for)."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = 128 + 60 * np.sin(x / 9 + seed) + 40 * np.cos(y / 13)
+    g = 128 + 50 * np.sin((x + y) / 11 + seed)
+    b = 128 + 45 * np.cos(x / 7) - 30 * np.sin(y / 10 + seed)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def test_uniform_q100_exact():
+    """A uniform image at q100 has only DC energy; quant tables are all
+    1s, so the roundtrip is bit-exact."""
+    for shade in (0, 63, 130, 255):
+        img = np.full((24, 16, 3), shade, np.uint8)
+        out = jpeg_decode(jpeg_encode(img, quality=100, subsampling="4:4:4"))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_q100_near_lossless():
+    img = _natural(40, 56)
+    out = jpeg_decode(jpeg_encode(img, quality=100, subsampling="4:4:4"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_natural_image_quality_bounds():
+    img = _natural(64, 96)
+    out = jpeg_decode(jpeg_encode(img, quality=85))
+    d = np.abs(out.astype(int) - img.astype(int))
+    assert d.mean() < 5 and d.max() < 40
+    # higher quality -> strictly better mean error
+    out95 = jpeg_decode(jpeg_encode(img, quality=95, subsampling="4:4:4"))
+    assert np.abs(out95.astype(int) - img.astype(int)).mean() < d.mean()
+
+
+def test_grayscale():
+    g = (_natural(33, 29)[:, :, 1]).copy()
+    out = jpeg_decode(jpeg_encode(g, quality=92))
+    assert out.shape == (33, 29) and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - g.astype(int)).mean() < 3
+
+
+def test_odd_dimensions_and_subsampling_grid():
+    """Non-multiple-of-MCU dims crop correctly for both samplings."""
+    for h, w in [(1, 1), (7, 9), (17, 31), (16, 16), (15, 24)]:
+        img = _natural(h, w)
+        for sub in ("4:4:4", "4:2:0"):
+            out = jpeg_decode(jpeg_encode(img, quality=90, subsampling=sub))
+            assert out.shape == (h, w, 3), (h, w, sub)
+
+
+def test_restart_interval_identical_pixels():
+    """DRI/RSTn segmentation is wire-level only: decoded pixels match
+    the unsegmented encoding exactly (same coefficients)."""
+    img = _natural(48, 64, seed=9)
+    plain = jpeg_decode(jpeg_encode(img, quality=88))
+    for ri in (1, 2, 5):
+        seg = jpeg_decode(jpeg_encode(img, quality=88, restart_interval=ri))
+        np.testing.assert_array_equal(plain, seg)
+    # and the DRI-coded stream really contains RST markers
+    data = jpeg_encode(img, quality=88, restart_interval=1)
+    assert any(
+        data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+        for i in range(len(data) - 1)
+    )
+
+
+def test_wire_format_structure():
+    """The emitted stream is real JFIF: SOI, APP0-JFIF, DQT, SOF0, DHT,
+    SOS, EOI — parsable segment by segment."""
+    data = jpeg_encode(_natural(16, 16), quality=80)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    markers = []
+    i = 2
+    while i < len(data) - 2:
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        markers.append(m)
+        (ln,) = struct.unpack(">H", data[i + 2:i + 4])
+        i += 2 + ln
+        if m == 0xDA:
+            break
+    assert 0xDB in markers and 0xC0 in markers and 0xC4 in markers
+    assert markers[-1] == 0xDA
+
+
+def test_decoder_reads_tables_from_stream_not_constants():
+    """Doctoring the DQT in the stream changes decoded pixels — proof
+    the decoder dequantizes with the stream's table, not module
+    constants."""
+    img = _natural(16, 16)
+    data = bytearray(jpeg_encode(img, quality=85, subsampling="4:4:4"))
+    i = 2
+    while not (data[i] == 0xFF and data[i + 1] == 0xDB):
+        (ln,) = struct.unpack(">H", bytes(data[i + 2:i + 4]))
+        i += 2 + ln
+    # first DQT entry value (zigzag pos 0 = DC step): crank it up
+    base = jpeg_decode(bytes(data))
+    data[i + 5] = 255
+    doctored = jpeg_decode(bytes(data))
+    assert not np.array_equal(base, doctored)
+
+
+def test_corruption_and_unsupported_raise():
+    img = _natural(16, 16)
+    data = jpeg_encode(img, quality=85)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"nope" + data)
+    with pytest.raises(ValueError):
+        jpeg_decode(data[:40])
+    # progressive SOF2 rejected by name
+    prog = bytearray(data)
+    i = 2
+    while not (prog[i] == 0xFF and prog[i + 1] == 0xC0):
+        (ln,) = struct.unpack(">H", bytes(prog[i + 2:i + 4]))
+        i += 2 + ln
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(bytes(prog))
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        jpeg_decode(data[:-20] + b"\xff\xd9")
+
+
+def test_unknown_appn_segments_skipped():
+    """EXIF-style APP1 and COM segments pass through unharmed."""
+    img = _natural(16, 16)
+    data = jpeg_encode(img, quality=90)
+    extra = b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00ab"
+    extra += b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    doctored = data[:2] + extra + data[2:]
+    np.testing.assert_array_equal(jpeg_decode(doctored), jpeg_decode(data))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(55, 100),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    ri=st.sampled_from([0, 0, 3]),
+    grey=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_fuzz_bounded_error(h, w, quality, sub, ri, grey, seed):
+    """Any size/quality/subsampling/restart combination decodes to the
+    right shape with error bounded by the quantization step regime."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(60, 196, size=(h, w, 3), dtype=np.uint8)
+    # smooth it so the error bound is meaningful (JPEG's design regime)
+    img = base.astype(np.float64)
+    for _ in range(2):
+        img = (
+            img
+            + np.roll(img, 1, 0) + np.roll(img, -1, 0)
+            + np.roll(img, 1, 1) + np.roll(img, -1, 1)
+        ) / 5.0
+    img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    if grey:
+        img = img[:, :, 0]
+    out = jpeg_decode(
+        jpeg_encode(img, quality=quality, subsampling=sub,
+                    restart_interval=ri)
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() <= 12.0
+
+
+# -- Spark pipeline routing ------------------------------------------------------
+
+
+def test_decode_images_routes_jpeg(spark):
+    """decode_images sniffs FFD8 and decodes through the jpeg codec:
+    dims are real, pixel_sum matches a driver-side decode of the same
+    payload, and PNG rows keep working in the same frame."""
+    from whoosh_reloaded_spark.imaging import png_encode
+    from whoosh_reloaded_spark.multimodal import decode_images
+
+    img = _natural(24, 40)
+    jdata = jpeg_encode(img, quality=90)
+    expected = jpeg_decode(jdata)
+    pdata = png_encode(img)
+    df = spark.createDataFrame(
+        [(1, jdata), (2, pdata), (3, b"RIFFxxxxWAVE")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (40, 24)
+    assert rows[1]["pixel_sum"] == int(expected.sum(dtype="int64"))
+    assert rows[2]["ok"] and rows[2]["pixel_sum"] == int(img.sum(dtype="int64"))
+    assert rows[3]["ok"] is False and "container" in rows[3]["err"]
+
+
+def test_extract_features_routes_jpeg(spark):
+    from whoosh_reloaded_spark.multimodal import extract_features
+
+    img = _natural(24, 40, seed=5)
+    df = spark.createDataFrame(
+        [(0, jpeg_encode(img, quality=90))], "media_id long, payload binary"
+    )
+    row = extract_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (40, 24)
+    assert len(row["feature"]) == 8

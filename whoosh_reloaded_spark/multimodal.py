@@ -3,12 +3,14 @@
 A 100-TB training-data pipeline carries media as `binary` columns with
 structured metadata.  The Spark-side plumbing — schemas, Arrow batch
 shape, partition sizing — AND the image decode itself are real here:
-:func:`decode_images` runs the :mod:`whoosh_reloaded_spark.imaging` PNG
-codec (chunk parse, zlib inflate, scanline unfilter, luma, perceptual
-hash, thumbnail) inside mapInPandas.  Other containers (JPEG, video)
-still need a C-backed library shipped through the same ``decode_fn``
-hook; the per-row error columns keep one corrupt payload from killing a
-100-TB job.
+:func:`decode_images` sniffs the container and runs the
+:mod:`whoosh_reloaded_spark.imaging` PNG codec (chunk parse, zlib
+inflate, scanline unfilter, full color-type/depth matrix) or the
+:mod:`whoosh_reloaded_spark.jpeg` baseline codec (Huffman + IDCT +
+chroma upsampling) inside mapInPandas, then luma / perceptual hash /
+thumbnail.  Exotic variants (progressive JPEG, video) still route to a
+C-backed library through the same ``decode_fn`` hook; the per-row error
+columns keep one corrupt payload from killing a 100-TB job.
 
 Patterns:
 - mapInPandas for decode/feature-extract (streaming batches, bounded
@@ -73,33 +75,42 @@ def _fake_decode(payload: bytes):
 
 
 def _ship_imaging_by_value() -> None:
-    """Register the imaging module for by-value cloudpickle shipping, so
-    closures capturing its functions run on executors that do NOT have
-    this package on their PYTHONPATH (the same no---py-files guarantee
-    the analyzers make by capturing only plain data).  Idempotent."""
+    """Register the imaging + jpeg modules for by-value cloudpickle
+    shipping, so closures capturing their functions run on executors
+    that do NOT have this package on their PYTHONPATH (the same
+    no---py-files guarantee the analyzers make by capturing only plain
+    data).  Idempotent."""
     try:
         from pyspark import cloudpickle
 
-        from whoosh_reloaded_spark import imaging
+        from whoosh_reloaded_spark import imaging, jpeg
 
         if hasattr(cloudpickle, "register_pickle_by_value"):
             cloudpickle.register_pickle_by_value(imaging)
+            cloudpickle.register_pickle_by_value(jpeg)
     except Exception:
         pass  # fall back to --py-files deployments
 
 
 def _make_default_decode():
     """Factory for the default :func:`extract_features` decoder: PNG
-    payloads go through the REAL :mod:`imaging` codec (feature = the 8
-    leading aHash block means, normalized); other containers fall back
-    to the deterministic plumbing stand-in (same formula as
-    :func:`_fake_decode`).  Built as a closure capturing the imaging
+    payloads go through the REAL :mod:`imaging` codec and JPEG through
+    the REAL :mod:`jpeg` baseline codec (feature = the 8 leading aHash
+    block means, normalized); other containers fall back to the
+    deterministic plumbing stand-in (same formula as
+    :func:`_fake_decode`).  Built as a closure capturing the decoding
     functions so cloudpickle ships everything by value."""
     from whoosh_reloaded_spark.imaging import block_means, luma, png_decode
+    from whoosh_reloaded_spark.jpeg import jpeg_decode
 
     def decode(payload: bytes):
-        if payload and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        payload = bytes(payload) if payload else b""
+        arr = None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
             arr = png_decode(payload)
+        elif payload[:2] == b"\xff\xd8":
+            arr = jpeg_decode(payload)
+        if arr is not None:
             h, w = arr.shape[:2]
             means = block_means(luma(arr), 8).reshape(-1)
             return w, h, 1, [float(v) / 255.0 for v in means[:8]]
@@ -201,9 +212,11 @@ def decode_images(
     hash_size: int = 8,
     with_thumbnail: bool = True,
 ) -> DataFrame:
-    """REAL image decode over mapInPandas: PNG chunk parse + inflate +
-    unfilter (:mod:`imaging`), then dims / channel count / integer pixel
-    and luma checksums / aHash perceptual hash / PNG thumbnail per row.
+    """REAL image decode over mapInPandas: container-sniffed PNG
+    (:mod:`imaging` — chunk parse + inflate + unfilter) or baseline JPEG
+    (:mod:`jpeg` — Huffman + IDCT + upsample), then dims / channel count
+    / integer pixel and luma checksums / aHash perceptual hash / PNG
+    thumbnail per row.
 
     100-TB design: payloads are repartitioned to ~`batch_target_bytes`
     per task before the heavy decode (bounded executor memory), all
@@ -223,6 +236,14 @@ def decode_images(
         png_decode,
         thumbnail_png,
     )
+    from whoosh_reloaded_spark.jpeg import jpeg_decode
+
+    def _decode_any(payload: bytes):
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            return jpeg_decode(payload)
+        raise ValueError("unsupported image container")
 
     total = _estimate_total_bytes(df, bin_col)
     parts = max(1, int(total / batch_target_bytes))
@@ -235,7 +256,7 @@ def decode_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["_p"]):
                 try:
-                    arr = png_decode(
+                    arr = _decode_any(
                         bytes(payload) if payload is not None else b""
                     )
                     h, w = arr.shape[:2]
