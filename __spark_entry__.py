@@ -1082,20 +1082,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = text_quality
 
     def multimodal_decode(spark, sf):
-        """REAL image + audio decode end-to-end (multimodal.py
-        decode_images/decode_audio over the imaging.py PNG codec and
-        audio.py RIFF/PCM parser): deterministic synthetic PNGs (cycling
-        all 5 scanline filter types) and WAVs from doc_id, decoded
-        executor-side in mapInPandas; dims / sample counts / integer
-        pixel + luma + sum-of-squares checksums / sniffed container are
-        checked against the closed-form generator formulas in SQL, as a
-        tagged union (modality column)."""
+        """REAL image + audio + video decode end-to-end (multimodal.py
+        decode_images/decode_audio/decode_video over the imaging.py PNG
+        codec, audio.py RIFF/PCM parser, video.py MJPEG/AVI container
+        walk and jpeg.py baseline JPEG codec): deterministic synthetic
+        PNGs (cycling all 5 scanline filter types), WAVs, and 8-frame
+        MJPEG AVIs from doc_id, decoded executor-side in mapInPandas;
+        dims / sample counts / sampled frame numbers / integer pixel +
+        luma + sum-of-squares checksums / sniffed container are checked
+        against the closed-form generator formulas in SQL, as a tagged
+        union (modality column).  The video frames are uniform 16x16
+        grayscale at JPEG q100, where the roundtrip is bit-exact, so
+        per-frame pixel_sum has the closed form 256*((d*31+f*16)%256)."""
         from whoosh_reloaded_spark.multimodal import (
             decode_audio,
             decode_images,
+            decode_video,
             media_metadata,
             synthetic_audio,
             synthetic_media,
+            synthetic_video,
         )
 
         docs = (
@@ -1135,7 +1141,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("kind").alias("container"),
             )
         )
-        return img.unionByName(aud).orderBy("modality", "media_id")
+        vids = synthetic_video(docs)
+        vmeta = media_metadata(vids).select("media_id", "kind")
+        vid = (
+            decode_video(vids, every_nth=2)
+            .join(vmeta, "media_id")
+            .select(
+                "media_id",
+                F.lit("video").alias("modality"),
+                F.col("width").cast("long").alias("dim1"),
+                F.col("frame_no").cast("long").alias("dim2"),
+                F.lit(1).cast("long").alias("channels"),
+                F.col("pixel_sum").alias("checksum_a"),
+                F.col("n_frames").cast("long").alias("checksum_b"),
+                F.col("kind").alias("container"),
+            )
+        )
+        return (
+            img.unionByName(aud).unionByName(vid)
+            .orderBy("modality", "media_id")
+        )
 
     q["multimodal_decode"] = multimodal_decode
 
@@ -2381,8 +2406,18 @@ SELECT media_id, 'audio' AS modality,
                * ((media_id*13 + i*7) % 201 - 100))) AS BIGINT)
          AS checksum_a,
        CAST(n * 1000 // rate AS BIGINT) AS checksum_b,
-       'riff' AS container
+       'wav' AS container
 FROM m
+UNION ALL
+SELECT media_id, 'video' AS modality,
+       CAST(16 AS BIGINT) AS dim1,
+       CAST(f AS BIGINT) AS dim2,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(256 * ((media_id * 31 + f * 16) % 256) AS BIGINT)
+         AS checksum_a,
+       CAST(8 AS BIGINT) AS checksum_b,
+       'avi' AS container
+FROM m, (SELECT unnest([0, 2, 4, 6]) AS f) frames
 ORDER BY modality, media_id
 """
     o["facet_buckets"] = (

@@ -24,7 +24,7 @@ def test_metadata_sniffing(spark):
     meta = {r["media_id"]: r for r in media_metadata(_media(spark)).collect()}
     assert meta[0]["kind"] == "png"
     assert meta[1]["kind"] == "jpeg"
-    assert meta[2]["kind"] == "riff"
+    assert meta[2]["kind"] == "wav"
     assert meta[3]["kind"] == "unknown"
     assert meta[0]["n_bytes"] == 106
 
