@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Multimodal decode throughput at two parallelism levels (round 5).
 
-Measures the REAL PNG decode path (imaging.py codec inside
-multimodal.decode_images mapInPandas) end-to-end: synthetic-PNG
-generation is measured separately so the decode number isn't inflated
-by generation.  Run at local[8] and local[32] on the same materialized
-media table for the north-rule two-parallelism evidence on this
+Measures the REAL decode paths end-to-end — PNG (imaging.py codec),
+baseline JPEG (jpeg.py, 64x64 q85 4:2:0 natural patterns), WAV/PCM
+(audio.py), and MJPEG/AVI video with every-2nd frame sampling
+(video.py + jpeg.py) — inside the multimodal mapInPandas operators.
+Generation is measured separately so the decode numbers aren't
+inflated.  Run at local[8] and local[32] on the same materialized
+media tables for the north-rule two-parallelism evidence on this
 operator family.
 
 Usage: python scripts/bench_multimodal.py [n_images]
@@ -79,11 +81,51 @@ def main():
         results["generate_audio_sec"] = round(time.perf_counter() - t0, 1)
         spark.stop()
 
+    # JPEG leg: natural-pattern 64x64 q85 4:2:0 images through the real
+    # baseline JPEG encoder (the entropy decode is ~20x the work of a
+    # small PNG, so the corpus is N/4 images)
+    n_jpeg = max(1000, N // 4)
+    jpeg_path = os.path.join(ROOT, f"jpeg_{n_jpeg}")
+    if not os.path.isdir(jpeg_path):
+        spark = session(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F  # noqa: F401
+
+        ids = spark.range(0, n_jpeg).withColumnRenamed("id", "doc_id")
+        t0 = time.perf_counter()
+        _synthetic_jpeg(ids).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(jpeg_path)
+        results["generate_jpeg_sec"] = round(time.perf_counter() - t0, 1)
+        spark.stop()
+
+    # video leg: 8-frame 16x16 MJPEG/AVI containers, every-2nd sampled
+    n_vid = max(1000, N // 8)
+    video_path = os.path.join(ROOT, f"video_{n_vid}")
+    if not os.path.isdir(video_path):
+        spark = session(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        from whoosh_reloaded_spark.multimodal import synthetic_video
+
+        ids = spark.range(0, n_vid).withColumnRenamed("id", "doc_id")
+        t0 = time.perf_counter()
+        synthetic_video(ids).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(video_path)
+        results["generate_video_sec"] = round(time.perf_counter() - t0, 1)
+        spark.stop()
+
     import subprocess
 
     # decode at each level in a fresh process/JVM
+    legs = (
+        ("", media_path, "image"),
+        ("audio_", audio_path, "audio"),
+        ("jpeg_", jpeg_path, "jpeg"),
+        ("video_", video_path, "video"),
+    )
     for cores in (8, 32):
-        for kind, path in (("", media_path), ("audio_", audio_path)):
+        for prefix, path, kind in legs:
             out = subprocess.run(
                 [
                     sys.executable,
@@ -91,7 +133,7 @@ def main():
                     "--decode-worker",
                     str(cores),
                     path,
-                    "audio" if kind else "image",
+                    kind,
                 ],
                 capture_output=True,
                 text=True,
@@ -100,17 +142,52 @@ def main():
                 l for l in out.stdout.splitlines() if l.startswith("{")
             ]
             assert line, out.stderr[-2000:]
-            results[f"{kind}decode_{cores}"] = json.loads(line[-1])
+            results[f"{prefix}decode_{cores}"] = json.loads(line[-1])
 
-    d8, d32 = results["decode_8"], results["decode_32"]
-    results["eff_8_to_32"] = round(
-        (d32["images_per_sec"] / d8["images_per_sec"]) / 4.0, 3
-    )
-    a8, a32 = results["audio_decode_8"], results["audio_decode_32"]
-    results["audio_eff_8_to_32"] = round(
-        (a32["images_per_sec"] / a8["images_per_sec"]) / 4.0, 3
-    )
+    for prefix in ("", "audio_", "jpeg_", "video_"):
+        lo = results[f"{prefix}decode_8"]
+        hi = results[f"{prefix}decode_32"]
+        results[f"{prefix}eff_8_to_32"] = round(
+            (hi["images_per_sec"] / lo["images_per_sec"]) / 4.0, 3
+        )
     print(json.dumps(results))
+
+
+def _synthetic_jpeg(df):
+    """Deterministic natural-pattern JPEGs (64x64 RGB, q85 4:2:0) —
+    sinusoid fields compress like photos, unlike uniform fixtures."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from whoosh_reloaded_spark.multimodal import _ship_imaging_by_value
+
+    _ship_imaging_by_value()
+    from whoosh_reloaded_spark.jpeg import jpeg_encode
+
+    src = df.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:64, 0:64]
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                img = np.clip(
+                    np.stack([
+                        128 + 60 * np.sin(x / 9 + d) + 40 * np.cos(y / 13),
+                        128 + 50 * np.sin((x + y) / 11 + d),
+                        128 + 45 * np.cos(x / 7 + d) - 30 * np.sin(y / 10),
+                    ], axis=2),
+                    0, 255,
+                ).astype(np.uint8)
+                ids.append(d)
+                payloads.append(jpeg_encode(img, quality=85))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(gen, "media_id long, payload binary")
 
 
 def decode_worker(cores, media_path, kind="image"):
@@ -118,7 +195,11 @@ def decode_worker(cores, media_path, kind="image"):
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
-    from whoosh_reloaded_spark.multimodal import decode_audio, decode_images
+    from whoosh_reloaded_spark.multimodal import (
+        decode_audio,
+        decode_images,
+        decode_video,
+    )
 
     media = spark.read.parquet(media_path)
     n_bytes = media.select(F.sum(F.length("payload"))).collect()[0][0]
@@ -127,7 +208,10 @@ def decode_worker(cores, media_path, kind="image"):
     if kind == "audio":
         dec = decode_audio(media)
         checksum_col = "sum_sq"
-    else:
+    elif kind == "video":
+        dec = decode_video(media, every_nth=2)
+        checksum_col = "pixel_sum"
+    else:  # image / jpeg both route through the sniffing image decoder
         dec = decode_images(media, with_thumbnail=False)
         checksum_col = "pixel_sum"
     agg = dec.agg(

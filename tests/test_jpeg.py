@@ -145,6 +145,17 @@ def test_unknown_appn_segments_skipped():
     np.testing.assert_array_equal(jpeg_decode(doctored), jpeg_decode(data))
 
 
+def test_fill_bytes_before_markers_tolerated():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker, both between header segments and before the RST/terminating
+    marker in the scan."""
+    img = _natural(16, 16)
+    data = jpeg_encode(img, quality=90)
+    # fill before the first header marker and before EOI
+    doctored = data[:2] + b"\xff" * 3 + data[2:-2] + b"\xff\xff" + data[-2:]
+    np.testing.assert_array_equal(jpeg_decode(doctored), jpeg_decode(data))
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     h=st.integers(1, 40),

@@ -160,8 +160,18 @@ def _canonical_codes(bits, vals):
     return out
 
 
+_LUT_CACHE: dict = {}
+
+
 def _build_decode_lut(bits, vals):
-    """16-bit-lookahead decode tables: sym[peek16], len[peek16]."""
+    """16-bit-lookahead decode tables: sym[peek16], len[peek16] as plain
+    lists (Python-int hot path).  Cached by table content — corpora
+    reuse the same handful of Huffman tables across millions of
+    images."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = np.full(1 << 16, -1, np.int16)
     ln = np.zeros(1 << 16, np.uint8)
     for code, length, symbol in _canonical_codes(bits, vals):
@@ -169,7 +179,10 @@ def _build_decode_lut(bits, vals):
         end = start + (1 << (16 - length))
         sym[start:end] = symbol
         ln[start:end] = length
-    return sym, ln
+    out = (sym.tolist(), ln.tolist())
+    if len(_LUT_CACHE) < 64:  # bound the cache for adversarial corpora
+        _LUT_CACHE[key] = out
+    return out
 
 
 def _build_encode_table(bits, vals):
@@ -271,15 +284,12 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 85,
-                subsampling: str = "4:2:0",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JFIF.
-
-    ``subsampling``: ``"4:4:4"`` or ``"4:2:0"`` (ignored for
-    grayscale).  ``restart_interval``: emit DRI + RSTn every that many
-    MCUs (0 = none).
-    """
+def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encode front half: color convert, subsample, pad, FDCT,
+    quantize.  Returns (h, w, grey, samp, qsel, comp_zz, qluma,
+    qchroma) — both the baseline and the progressive encoder consume
+    this, so the two paths carry IDENTICAL quantized coefficients (the
+    basis of the exact cross-path equality test)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 3:
         rgb = arr.astype(np.float64)
@@ -298,6 +308,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     h, w = planes[0].shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("image exceeds JPEG 16-bit dimension limit")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling}")
     sub = subsampling == "4:2:0" and not grey
@@ -410,19 +422,29 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
 
 
 class _BitReader:
-    """Reads Huffman symbols / raw bits from an unstuffed ECS chunk."""
+    """Reads Huffman symbols / raw bits from an unstuffed ECS chunk.
+
+    The 16-bit lookahead window at every bit position is precomputed
+    with one vectorized sliding-window matmul, so the per-symbol hot
+    loop is pure O(1) Python-int work (two list lookups + a shift) —
+    ~5-10x faster than slicing numpy views per read."""
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, np.uint8)
-        self.bits = np.concatenate(
-            [np.unpackbits(arr).astype(np.int64), np.zeros(16, np.int64)]
+        bits = np.concatenate([np.unpackbits(arr), np.zeros(16, np.uint8)])
+        win = (
+            np.lib.stride_tricks.sliding_window_view(bits, 16).astype(
+                np.int64
+            )
+            @ _POW16
         )
+        self.win = win.tolist()
         self.limit = len(arr) * 8
         self.pos = 0
 
-    def read_sym(self, sym: np.ndarray, ln: np.ndarray) -> int:
-        w = int(self.bits[self.pos:self.pos + 16] @ _POW16)
-        s, l = int(sym[w]), int(ln[w])
+    def read_sym(self, sym: list, ln: list) -> int:
+        w = self.win[self.pos]
+        s, l = sym[w], ln[w]
         if s < 0 or l == 0 or self.pos + l > self.limit:
             raise ValueError("truncated/invalid entropy-coded data")
         self.pos += l
@@ -433,7 +455,7 @@ class _BitReader:
             return 0
         if self.pos + n > self.limit:
             raise ValueError("truncated entropy-coded data")
-        v = int(self.bits[self.pos:self.pos + n] @ _POW16[16 - n:])
+        v = self.win[self.pos] >> (16 - n)
         self.pos += n
         return v
 
@@ -458,6 +480,8 @@ def _split_ecs(data: bytes, start: int):
         if m == 0x00:  # stuffed FF
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:  # fill byte before a marker (B.1.1.2)
+            i += 1
         elif 0xD0 <= m <= 0xD7:  # restart
             chunks.append(bytes(cur))
             cur = bytearray()
@@ -471,8 +495,10 @@ def _split_ecs(data: bytes, start: int):
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG: returns uint8 (h, w) for grayscale, else
     (h, w, 3) RGB.  Raises ValueError on corruption and on
-    progressive/arithmetic/12-bit variants (route those to a C codec
-    via the multimodal ``decode_fn`` hook)."""
+    progressive/arithmetic/12-bit variants and multi-scan
+    (non-interleaved) baseline files (route those to a C codec via the
+    multimodal ``decode_fn`` hook); 0xFF fill bytes before markers are
+    tolerated per spec B.1.1.2."""
     data = bytes(data)
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (bad SOI)")
@@ -485,6 +511,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
+        while i + 1 < n and data[i + 1] == 0xFF:  # fill bytes (B.1.1.2)
+            i += 1
         m = data[i + 1] if i + 1 < n else None
         if m is None:
             raise ValueError("truncated JPEG")
