@@ -121,14 +121,15 @@ def test_corruption_and_unsupported_raise():
         jpeg_decode(b"nope" + data)
     with pytest.raises(ValueError):
         jpeg_decode(data[:40])
-    # progressive SOF2 rejected by name
+    # a baseline-shaped scan (Ss=0, Se=63) under a doctored SOF2 marker
+    # is an invalid progressive band
     prog = bytearray(data)
     i = 2
     while not (prog[i] == 0xFF and prog[i + 1] == 0xC0):
         (ln,) = struct.unpack(">H", bytes(prog[i + 2:i + 4]))
         i += 2 + ln
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="scan band"):
         jpeg_decode(bytes(prog))
     # truncated entropy data
     with pytest.raises(ValueError):
@@ -189,6 +190,100 @@ def test_roundtrip_fuzz_bounded_error(h, w, quality, sub, ri, grey, seed):
     assert out.shape == img.shape and out.dtype == np.uint8
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.mean() <= 12.0
+
+
+# -- progressive (SOF2) ----------------------------------------------------------
+
+
+def test_progressive_equals_baseline_exactly():
+    """Both encoders share the quantized coefficients, so the decoder
+    must reconstruct bit-identical pixels from either wire format —
+    the strongest cross-check of the progressive scan machinery (DC/AC
+    successive approximation, refinement correction bits, EOB runs)."""
+    from whoosh_reloaded_spark.jpeg import jpeg_encode_progressive
+
+    img = _natural(64, 96)
+    for q, sub in [(85, "4:2:0"), (95, "4:4:4"), (60, "4:2:0")]:
+        b = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+        p = jpeg_decode(
+            jpeg_encode_progressive(img, quality=q, subsampling=sub)
+        )
+        np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_is_sof2_multiscan():
+    from whoosh_reloaded_spark.jpeg import jpeg_encode_progressive
+
+    data = jpeg_encode_progressive(_natural(32, 32), quality=85)
+    markers = []
+    i = 2
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m in (0xC2, 0xDA, 0xC0):
+            markers.append(m)
+        i += 2
+    assert 0xC2 in markers and 0xC0 not in markers
+    assert markers.count(0xDA) == 10  # libjpeg standard color script
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    quality=st.integers(50, 100),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    grey=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_progressive_cross_path_fuzz(h, w, quality, sub, grey, seed):
+    from whoosh_reloaded_spark.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if grey:
+        img = img[:, :, 0]
+    b = jpeg_decode(jpeg_encode(img, quality=quality, subsampling=sub))
+    p = jpeg_decode(
+        jpeg_encode_progressive(img, quality=quality, subsampling=sub)
+    )
+    np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_truncated_stream_renders_partial():
+    """Progressive's defining property: a prefix of the stream decodes
+    to a coarse image.  Cutting after the early scans must yield the
+    right shape and a rough approximation, not an exception."""
+    from whoosh_reloaded_spark.jpeg import jpeg_encode_progressive
+
+    img = _natural(48, 64)
+    data = jpeg_encode_progressive(img, quality=90)
+    full = jpeg_decode(data)
+    # cut at 60% of the stream (inside the later refinement scans)
+    partial = jpeg_decode(data[: int(len(data) * 0.6)])
+    assert partial.shape == full.shape
+    err_partial = np.abs(partial.astype(int) - img.astype(int)).mean()
+    assert err_partial < 40  # coarse but recognizable
+    # and the full stream is strictly better
+    err_full = np.abs(full.astype(int) - img.astype(int)).mean()
+    assert err_full < err_partial
+
+
+def test_progressive_routes_through_decode_images(spark):
+    from whoosh_reloaded_spark.jpeg import jpeg_encode_progressive
+    from whoosh_reloaded_spark.multimodal import decode_images
+
+    img = _natural(24, 40)
+    data = jpeg_encode_progressive(img, quality=90)
+    expected = jpeg_decode(data)
+    df = spark.createDataFrame(
+        [(1, data)], "media_id long, payload binary"
+    )
+    row = decode_images(df).collect()[0]
+    assert row["ok"] and (row["width"], row["height"]) == (40, 24)
+    assert row["pixel_sum"] == int(expected.sum(dtype="int64"))
 
 
 # -- Spark pipeline routing ------------------------------------------------------

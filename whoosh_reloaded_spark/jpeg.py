@@ -2,12 +2,16 @@
 
 JPEG is the dominant image container in a Common-Crawl-style corpus, so
 the multimodal decode path gets a real one with zero non-baked
-dependencies: baseline sequential DCT (SOF0/SOF1), 8-bit samples,
-Huffman entropy coding, grayscale and YCbCr with any h/v sampling
-factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, JFIF/EXIF
-APPn passthrough.  Progressive (SOF2) and arithmetic-coded variants
-raise ValueError — at scale the caller maps that to an ``ok=False``
-row or ships a C codec through the same ``decode_fn`` hook in
+dependencies: baseline sequential DCT (SOF0/SOF1) AND progressive
+(SOF2 — spectral selection, successive approximation, DC/AC refinement
+scans, EOB runs; the format most modern web encoders emit), 8-bit
+samples, Huffman entropy coding, grayscale and YCbCr with any h/v
+sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
+JFIF/EXIF APPn passthrough.  A truncated or late-corrupted progressive
+stream renders its completed scans (browser behavior) instead of
+failing.  Arithmetic-coded, hierarchical, and 12-bit variants raise
+ValueError — at scale the caller maps that to an ``ok=False`` row or
+ships a C codec through the same ``decode_fn`` hook in
 :mod:`whoosh_reloaded_spark.multimodal`.
 
 Decode strategy: the entropy-coded segments are bit-unpacked to a
@@ -351,13 +355,57 @@ def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
         qtab = qluma if qsel[ci] == 0 else qchroma
         comp_zz.append(_fdct_quant(p - 128.0, qtab))
 
+    return h, w, grey, samp, qsel, comp_zz, qluma, qchroma
+
+
+def _headers(h, w, grey, samp, qsel, qluma, qchroma, sof_marker):
+    """SOI + JFIF APP0 + DQT(s) + SOF — shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qluma[ZIGZAG].astype(np.uint8)))
+    if not grey:
+        out += _seg(
+            0xDB, bytes([1]) + bytes(qchroma[ZIGZAG].astype(np.uint8))
+        )
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(samp)])
+    for ci in range(len(samp)):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += _seg(sof_marker, bytes(sof))
+    return out
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht(tc: int, th: int, table) -> bytes:
+    bits, vals = table
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "4:2:0",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JFIF.
+
+    ``subsampling``: ``"4:4:4"`` or ``"4:2:0"`` (ignored for
+    grayscale).  ``restart_interval``: emit DRI + RSTn every that many
+    MCUs (0 = none).
+    """
+    h, w, grey, samp, qsel, comp_zz, qluma, qchroma = _prepare_components(
+        arr, quality, subsampling
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    n_comps = len(samp)
+
     dc_tabs = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA)]
     ac_tabs = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA)]
 
     bw = _BitWriter()
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    preds = [0] * len(planes)
+    preds = [0] * n_comps
     out_ecs = bytearray()
     mcu_count = 0
     rst = 0
@@ -370,8 +418,8 @@ def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
                 bw = _BitWriter()
                 out_ecs += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                preds = [0] * len(planes)
-            for ci in range(len(planes)):
+                preds = [0] * n_comps
+            for ci in range(n_comps):
                 hi, vi = samp[ci]
                 t = 0 if qsel[ci] == 0 else 1
                 for by in range(vi):
@@ -384,36 +432,288 @@ def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
     bw.pad_to_byte()
     out_ecs += bw.buf
 
-    # ------- headers
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(qluma[ZIGZAG].astype(np.uint8)))
+    out = _headers(h, w, grey, samp, qsel, qluma, qchroma, 0xC0)
+    out += _dht(0, 0, _DC_LUMA) + _dht(1, 0, _AC_LUMA)
     if not grey:
-        out += seg(0xDB, bytes([1]) + bytes(qchroma[ZIGZAG].astype(np.uint8)))
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
-    for ci in range(len(planes)):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += seg(0xC0, bytes(sof))
-
-    def dht(tc: int, th: int, table) -> bytes:
-        bits, vals = table
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
-    if not grey:
-        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        out += _dht(0, 1, _DC_CHROMA) + _dht(1, 1, _AC_CHROMA)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytearray([len(planes)])
-    for ci in range(len(planes)):
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([n_comps])
+    for ci in range(n_comps):
         t = 0 if qsel[ci] == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
+    out += _seg(0xDA, bytes(sos))
     out += out_ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encode
+
+
+class _CountSink:
+    """First pass of a progressive scan: collect the symbol alphabet
+    per (tc, th); value bits are discarded."""
+
+    def __init__(self):
+        self.syms = {}
+
+    def sym(self, tc, th, s):
+        self.syms.setdefault((tc, th), set()).add(s)
+
+    def bits(self, v, n):
+        pass
+
+
+class _EmitSink:
+    """Second pass: emit for real through a _BitWriter with the tables
+    built from the first pass."""
+
+    def __init__(self, tables):
+        self.bw = _BitWriter()
+        self.tables = tables
+
+    def sym(self, tc, th, s):
+        code, length = self.tables[(tc, th)][s]
+        self.bw.put(code, length)
+
+    def bits(self, v, n):
+        self.bw.put(v & ((1 << n) - 1), n)
+
+
+def _uniform_table(symbols):
+    """A valid (BITS, HUFFVAL) covering exactly ``symbols``: every code
+    the same length L = ceil(log2(n+1)) — suboptimal size (real
+    encoders run Annex K.2 optimization) but canonical, complete, and
+    it reserves the all-ones code as the spec recommends."""
+    vals = sorted(symbols)
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())
+    while (1 << length) <= n:  # strict: leave the all-ones code unused
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def _prog_dc_scan(sink, comps_idx, comp_zz, samp, qsel, mcus_y, mcus_x,
+                  ah, al):
+    preds = {ci: 0 for ci in comps_idx}
+    interleaved = len(comps_idx) > 1
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in comps_idx:
+                hi, vi = (samp[ci] if interleaved else (1, 1))
+                th = 0 if qsel[ci] == 0 else 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(comp_zz[ci][my * vi + by, mx * hi + bx][0])
+                        if ah == 0:
+                            t = dc >> al
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = _category(diff)
+                            sink.sym(0, th, s)
+                            if s:
+                                sink.bits(
+                                    diff if diff >= 0
+                                    else diff + (1 << s) - 1, s,
+                                )
+                        else:
+                            sink.bits((dc >> al) & 1, 1)
+
+
+def _prog_ac_first_scan(sink, czz, tby, tbx, th, ss, se, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(1, th, r << 4)
+            if r:
+                sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(tby):
+        for bx in range(tbx):
+            zz = czz[by, bx]
+            r = 0
+            coded_any = False
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    sink.sym(1, th, 0xF0)
+                    r -= 16
+                s = t.bit_length()
+                sink.sym(1, th, (r << 4) | s)
+                tv = t if v >= 0 else -t
+                sink.bits(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                r = 0
+                coded_any = True
+            if r > 0 or not coded_any:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _prog_ac_refine_scan(sink, czz, tby, tbx, th, ss, se, al):
+    eobrun = 0
+    bebits = []  # corrections pending behind the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, bebits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(1, th, r << 4)
+            if r:
+                sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in bebits:
+            sink.bits(b, 1)
+        bebits = []
+
+    for by in range(tby):
+        for bx in range(tbx):
+            zz = czz[by, bx]
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            ts = [abs(v) >> al for v in band]
+            # jcphuff EOB fold: symbols only up to the LAST newly-nonzero
+            eobpos = -1
+            for idx, t in enumerate(ts):
+                if t == 1:
+                    eobpos = idx
+            r = 0
+            br_run = []  # corrections pending behind the current run
+            for idx in range(eobpos + 1):
+                t = ts[idx]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    flush_eob()
+                    sink.sym(1, th, 0xF0)
+                    for b in br_run:
+                        sink.bits(b, 1)
+                    br_run = []
+                    r -= 16
+                if t > 1:  # already nonzero: buffer its correction bit
+                    br_run.append(t & 1)
+                    continue
+                flush_eob()
+                sink.sym(1, th, (r << 4) | 1)
+                sink.bits(1 if band[idx] >= 0 else 0, 1)
+                for b in br_run:
+                    sink.bits(b, 1)
+                br_run = []
+                r = 0
+            tail = [ts[idx] & 1 for idx in range(eobpos + 1, len(ts))
+                    if ts[idx] > 1]
+            if eobpos < len(ts) - 1:
+                eobrun += 1
+                bebits.extend(br_run + tail)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            elif br_run:
+                raise AssertionError("corrections pending past block end")
+    flush_eob()
+
+
+# libjpeg's standard 10-scan script (jcparam.c) for 3 components,
+# (comps, Ss, Se, Ah, Al); grayscale uses the Y-only subset
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GREY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def jpeg_encode_progressive(arr: np.ndarray, quality: int = 85,
+                            subsampling: str = "4:2:0") -> bytes:
+    """Encode as progressive JFIF (SOF2) using libjpeg's standard
+    10-scan script — spectral selection + successive approximation,
+    DC and AC refinement passes, EOB runs.
+
+    The quantized coefficients are IDENTICAL to :func:`jpeg_encode` at
+    the same quality/subsampling (shared :func:`_prepare_components`),
+    so ``jpeg_decode`` must produce bit-identical pixels for the two
+    encodings — the cross-path equality the tests pin.  Per-scan
+    Huffman tables are uniform-length over the scan's symbol alphabet
+    (valid, complete; real encoders optimize — fixture size is not a
+    goal here).  Restart intervals are not emitted in progressive mode.
+    """
+    h, w, grey, samp, qsel, comp_zz, qluma, qchroma = _prepare_components(
+        arr, quality, subsampling
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = _headers(h, w, grey, samp, qsel, qluma, qchroma, 0xC2)
+    script = _PROG_SCRIPT_GREY if grey else _PROG_SCRIPT_COLOR
+    for comps_idx, ss, se, ah, al in script:
+        def run_scan(sink):
+            if ss == 0:
+                _prog_dc_scan(
+                    sink, comps_idx, comp_zz, samp, qsel,
+                    mcus_y, mcus_x, ah, al,
+                )
+            else:
+                ci = comps_idx[0]
+                hi, vi = samp[ci]
+                cw = -(-(w * hi) // hmax)
+                ch = -(-(h * vi) // vmax)
+                tbx, tby = -(-cw // 8), -(-ch // 8)
+                th = 0 if qsel[ci] == 0 else 1
+                if ah == 0:
+                    _prog_ac_first_scan(
+                        sink, comp_zz[ci], tby, tbx, th, ss, se, al
+                    )
+                else:
+                    _prog_ac_refine_scan(
+                        sink, comp_zz[ci], tby, tbx, th, ss, se, al
+                    )
+
+        counter = _CountSink()
+        run_scan(counter)
+        tables = {}
+        for (tc, th), syms in counter.syms.items():
+            bits, vals = _uniform_table(syms)
+            out += _dht(tc, th, (bits, vals))
+            tables[(tc, th)] = _build_encode_table(bits, vals)
+        emitter = _EmitSink(tables)
+        run_scan(emitter)
+        emitter.bw.pad_to_byte()
+        sos = bytearray([len(comps_idx)])
+        for ci in comps_idx:
+            th = 0 if qsel[ci] == 0 else 1
+            sos += bytes([ci + 1, (th << 4) | th])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(sos))
+        out += emitter.bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -502,7 +802,22 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     data = bytes(data)
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (bad SOI)")
-    qtabs: dict = {}
+    state = {"frame": None, "any_scan": False, "qtabs": {}}
+    try:
+        return _parse_and_decode(data, state)
+    except ValueError:
+        frame = state["frame"]
+        if state["any_scan"] and frame is not None:
+            # progressive's defining property: completed scans render;
+            # truncation/corruption AFTER the first completed scan
+            # degrades quality instead of dropping the image (browser
+            # behavior).  Damage before that still raises.
+            return _reconstruct(frame, state["qtabs"])
+        raise
+
+
+def _parse_and_decode(data, state):
+    qtabs = state["qtabs"]
     huff: dict = {}
     frame = None
     ri = 0
@@ -516,7 +831,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         m = data[i + 1] if i + 1 < n else None
         if m is None:
             raise ValueError("truncated JPEG")
-        if m == 0xD9:  # EOI before any scan
+        if m == 0xD9:  # EOI
+            if state["any_scan"]:
+                return _reconstruct(frame, qtabs)
             raise ValueError("no scan data (EOI reached)")
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
@@ -557,7 +874,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     raise ValueError("bad DHT length")
                 huff[(tc, th)] = _build_decode_lut(bits, vals)
                 p += 17 + cnt
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline huffman
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -573,9 +890,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 )
             if fh == 0 or fw == 0:
                 raise ValueError("empty image")
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif m == 0xC2:
-            raise ValueError("progressive JPEG not supported")
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": m == 0xC2,
+            }
+            if frame["progressive"]:
+                state["frame"] = frame
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{m:02X}")
@@ -586,39 +906,44 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c:3 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                data, i + 2 + seglen, frame, sel, qtabs, huff, ri
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, i + 2 + seglen, frame, sel, qtabs, huff, ri
+                )
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            scan = {
+                "sel": sel, "order": order, "Ss": ss, "Se": se,
+                "Ah": ahal >> 4, "Al": ahal & 0xF,
+            }
+            i = _decode_scan_progressive(
+                data, i + 2 + seglen, frame, scan, huff, ri
             )
+            state["any_scan"] = True
+            continue
         # APPn/COM/others: skip
         i += 2 + seglen
+    if state["any_scan"]:
+        # truncated progressive stream (no EOI): render what arrived —
+        # that is the format's defining property
+        return _reconstruct(frame, qtabs)
     raise ValueError("no SOS marker found")
 
 
 def _decode_scan(data, start, frame, sel, qtabs, huff, ri):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax == 0 or vmax == 0:
-        raise ValueError("bad sampling factors")
+    comps = frame["comps"]
+    _alloc_coeffs(frame)
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+    n_mcus = mcus_x * mcus_y
     for c in comps:
-        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
-            raise ValueError("unsupported sampling factors")
-        if hmax % c["h"] or vmax % c["v"]:
-            raise ValueError("non-integral sampling ratio")
         if c["id"] not in sel:
             raise ValueError("scan does not cover every component")
         if c["tq"] not in qtabs:
             raise ValueError("missing quantization table")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    for c in comps:
-        c["zz"] = np.zeros(
-            (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64
-        )
 
     chunks, _ = _split_ecs(data, start)
     if ri:
@@ -666,9 +991,213 @@ def _decode_scan(data, start, frame, sel, qtabs, huff, ri):
                             k += 1
             mcu += 1
 
-    # vectorized dequant + dezigzag + IDCT + assemble per component
+    return _reconstruct(frame, qtabs)
+
+
+def _decode_scan_progressive(data, start, frame, scan, huff, ri):
+    """Decode one progressive scan (spec G.2) into the frame's
+    persistent coefficient grids; returns the offset of the marker that
+    terminated the scan.  Handles interleaved DC scans, non-interleaved
+    DC/AC scans, successive approximation (Ah/Al), EOB runs, and
+    restart intervals."""
+    comps = frame["comps"]
+    if "zz" not in comps[0]:
+        _alloc_coeffs(frame)
+    ss, se, ah, al = scan["Ss"], scan["Se"], scan["Ah"], scan["Al"]
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "bad progressive scan band (DC scan requires Se=0)"
+        )
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("bad progressive scan band")
+    if ss > 0 and len(scan["order"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    by_id = {c["id"]: c for c in comps}
+    in_scan = []
+    for cid in scan["order"]:
+        if cid not in by_id:
+            raise ValueError("scan names unknown component")
+        in_scan.append(by_id[cid])
+
+    interleaved = len(in_scan) > 1
+    if interleaved:
+        n_units = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        c = in_scan[0]
+        n_units = c["tbx"] * c["tby"]
+
+    chunks, end = _split_ecs(data, start)
+    if ri:
+        if len(chunks) != -(-n_units // ri):
+            raise ValueError("restart-interval segment count mismatch")
+    elif len(chunks) != 1:
+        raise ValueError("unexpected restart marker (no DRI)")
+
+    dc_scan = ss == 0
+    unit = 0
+    for chunk in chunks:
+        br = _BitReader(chunk)
+        preds = {c["id"]: 0 for c in comps}
+        eobrun = 0
+        seg_units = min(ri, n_units - unit) if ri else n_units
+        for _ in range(seg_units):
+            if dc_scan:
+                if interleaved:
+                    my, mx = divmod(unit, frame["mcus_x"])
+                    blocks = []
+                    for c in in_scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blocks.append(
+                                    (c, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+                else:
+                    c = in_scan[0]
+                    by, bx = divmod(unit, c["tbx"])
+                    blocks = [(c, by, bx)]
+                for c, by, bx in blocks:
+                    zz = c["zz"][by, bx]
+                    if ah == 0:
+                        td = scan["sel"][c["id"]][0]
+                        if (0, td) not in huff:
+                            raise ValueError("missing Huffman table")
+                        dsym, dlen = huff[(0, td)]
+                        s = br.read_sym(dsym, dlen)
+                        if s > 11:
+                            raise ValueError("bad DC category")
+                        preds[c["id"]] += _extend(br.receive(s), s)
+                        zz[0] = preds[c["id"]] << al
+                    else:  # DC refinement: one raw bit per block
+                        zz[0] = int(zz[0]) | (br.receive(1) << al)
+            else:
+                c = in_scan[0]
+                by, bx = divmod(unit, c["tbx"])
+                zz = c["zz"][by, bx]
+                ta = scan["sel"][c["id"]][1]
+                if (1, ta) not in huff:
+                    raise ValueError("missing Huffman table")
+                asym, alen = huff[(1, ta)]
+                if ah == 0:
+                    eobrun = _ac_first_block(
+                        br, zz, ss, se, al, eobrun, asym, alen
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        br, zz, ss, se, al, eobrun, asym, alen
+                    )
+            unit += 1
+    return end
+
+
+def _ac_first_block(br, zz, ss, se, al, eobrun, asym, alen):
+    """Spec G.2.2: first AC scan of a band for one block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_sym(asym, alen)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, zz, ss, se, al, eobrun, asym, alen):
+    """Spec G.2.3 / jdphuff decode_mcu_AC_refine: refinement AC scan —
+    correction bits for already-nonzero coefficients, run/size symbols
+    position newly-nonzero ones."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_sym(asym, alen)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.receive(1) else m1
+            # advance past r zero-HISTORY coefficients, emitting
+            # corrections for nonzero-history ones along the way
+            while k <= se:
+                z = int(zz[k])
+                if z != 0:
+                    if br.receive(1) and (z & p1) == 0:
+                        zz[k] = z + (p1 if z >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(zz[k])
+            if z != 0:
+                if br.receive(1) and (z & p1) == 0:
+                    zz[k] = z + (p1 if z >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _alloc_coeffs(frame):
+    """Allocate per-component zigzag coefficient grids (MCU-padded) and
+    record the interleaved + true (non-interleaved) block geometry."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+    for c in comps:
+        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+            raise ValueError("unsupported sampling factors")
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("non-integral sampling ratio")
+        c["zz"] = np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64
+        )
+        # true block grid for non-interleaved scans (spec A.2.2)
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["tbx"], c["tby"] = -(-cw // 8), -(-ch // 8)
+
+
+def _reconstruct(frame, qtabs):
+    """Dequant + dezigzag + IDCT + upsample + color — shared by the
+    baseline single-scan path and the progressive EOI finish."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
+        if "zz" not in c:
+            raise ValueError("component never scanned")
+        if c["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
         q = qtabs[c["tq"]]
         zz = c["zz"].reshape(-1, 64) * q[ZIGZAG]
         raster = np.zeros_like(zz)

@@ -6,11 +6,13 @@ shape, partition sizing — AND the image decode itself are real here:
 :func:`decode_images` sniffs the container and runs the
 :mod:`whoosh_reloaded_spark.imaging` PNG codec (chunk parse, zlib
 inflate, scanline unfilter, full color-type/depth matrix) or the
-:mod:`whoosh_reloaded_spark.jpeg` baseline codec (Huffman + IDCT +
-chroma upsampling) inside mapInPandas, then luma / perceptual hash /
-thumbnail.  Exotic variants (progressive JPEG, video) still route to a
-C-backed library through the same ``decode_fn`` hook; the per-row error
-columns keep one corrupt payload from killing a 100-TB job.
+:mod:`whoosh_reloaded_spark.jpeg` codec (baseline AND progressive
+SOF2: Huffman + successive approximation + IDCT + chroma upsampling)
+inside mapInPandas, then luma / perceptual hash / thumbnail.  The
+remaining exotica (arithmetic-coded JPEG, H.264-class video codecs)
+route to a C-backed library through the same ``decode_fn`` hook; the
+per-row error columns keep one corrupt payload from killing a 100-TB
+job.
 
 Patterns:
 - mapInPandas for decode/feature-extract (streaming batches, bounded
