@@ -1086,8 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decode_images/decode_audio/decode_video over the imaging.py PNG
         codec, audio.py RIFF/PCM parser, video.py MJPEG/AVI container
         walk and jpeg.py baseline JPEG codec): deterministic synthetic
-        PNGs (cycling all 5 scanline filter types), WAVs, and 8-frame
-        MJPEG AVIs from doc_id, decoded executor-side in mapInPandas;
+        PNGs (cycling all 5 scanline filter types), PROGRESSIVE JPEGs
+        (SOF2 multi-scan, uniform grayscale q100 where the roundtrip is
+        bit-exact), WAVs, and 8-frame MJPEG AVIs from doc_id, decoded
+        executor-side in mapInPandas;
         dims / sample counts / sampled frame numbers / integer pixel +
         luma + sum-of-squares checksums / sniffed container are checked
         against the closed-form generator formulas in SQL, as a tagged
@@ -1141,6 +1143,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("kind").alias("container"),
             )
         )
+        from whoosh_reloaded_spark.multimodal import synthetic_jpeg_media
+
+        jpegs = synthetic_jpeg_media(docs, progressive=True)
+        jmeta = media_metadata(jpegs).select("media_id", "kind")
+        jimg = (
+            decode_images(jpegs)
+            .join(jmeta, "media_id")
+            .select(
+                "media_id",
+                F.lit("image_jpeg").alias("modality"),
+                F.col("width").cast("long").alias("dim1"),
+                F.col("height").cast("long").alias("dim2"),
+                F.col("channels").cast("long").alias("channels"),
+                F.col("pixel_sum").alias("checksum_a"),
+                F.col("luma_sum").alias("checksum_b"),
+                F.col("kind").alias("container"),
+            )
+        )
         vids = synthetic_video(docs)
         vmeta = media_metadata(vids).select("media_id", "kind")
         vid = (
@@ -1158,7 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return (
-            img.unionByName(aud).unionByName(vid)
+            img.unionByName(jimg).unionByName(aud).unionByName(vid)
             .orderBy("modality", "media_id")
         )
 
@@ -2395,6 +2415,15 @@ SELECT media_id, 'image' AS modality,
                 + 114 * ((media_id*7 + (i % w)*5 + (i // w)*3 + 22) % 256))
                  // 1000)) AS BIGINT) AS checksum_b,
        'png' AS container
+FROM m
+UNION ALL
+SELECT media_id, 'image_jpeg' AS modality,
+       CAST(16 AS BIGINT) AS dim1,
+       CAST(16 AS BIGINT) AS dim2,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(256 * ((media_id * 37) % 256) AS BIGINT) AS checksum_a,
+       CAST(256 * ((media_id * 37) % 256) AS BIGINT) AS checksum_b,
+       'jpeg' AS container
 FROM m
 UNION ALL
 SELECT media_id, 'audio' AS modality,

@@ -315,6 +315,44 @@ def decode_images(
     return src.mapInPandas(run, DECODE_SCHEMA)
 
 
+def synthetic_jpeg_media(df: DataFrame, id_col: str = "doc_id",
+                         progressive: bool = True) -> DataFrame:
+    """Deterministic synthetic JPEGs: per id, a uniform 16x16 GRAYSCALE
+    image of shade (d*37) % 256 at quality 100 — single component (no
+    YCbCr rounding) and uniform block -> DC only with all-ones quant
+    tables, so the roundtrip is bit-exact and pixel_sum has the closed
+    form 256 * shade an SQL oracle can state.  (Uniform RGB is NOT
+    exact: the color transform itself rounds +-1 per channel — the
+    color path is pinned instead by the exact progressive==baseline
+    cross-path unit tests.)  ``progressive=True`` encodes with the SOF2
+    multi-scan script, putting the progressive decode machinery under
+    the driver's oracle gate."""
+    _ship_imaging_by_value()
+    import numpy as np
+
+    from whoosh_reloaded_spark.jpeg import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    enc = jpeg_encode_progressive if progressive else jpeg_encode
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                img = np.full((16, 16), (d * 37) % 256, np.uint8)
+                ids.append(d)
+                payloads.append(
+                    enc(img, quality=100, subsampling="4:4:4")
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return src.mapInPandas(gen, "media_id long, payload binary")
+
+
 def synthetic_media(df: DataFrame, id_col: str = "doc_id",
                     scale: int = 1) -> DataFrame:
     """Deterministic synthetic PNG per id — the test/benchmark media
