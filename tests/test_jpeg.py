@@ -286,6 +286,66 @@ def test_progressive_routes_through_decode_images(spark):
     assert row["pixel_sum"] == int(expected.sum(dtype="int64"))
 
 
+# -- DC preview (1/8-scale thumbnails) --------------------------------------------
+
+
+def test_dc_preview_uniform_exact():
+    from whoosh_reloaded_spark.jpeg import jpeg_dc_preview
+
+    for shade in (0, 77, 200, 255):
+        img = np.full((24, 40), shade, np.uint8)
+        pv = jpeg_dc_preview(jpeg_encode(img, quality=100))
+        assert pv.shape == (3, 5)
+        assert (pv == shade).all()
+
+
+def test_dc_preview_is_block_means():
+    """Each preview pixel approximates its 8x8 block's mean (within
+    half a DC quantization step + rounding)."""
+    from whoosh_reloaded_spark.jpeg import jpeg_dc_preview
+
+    img = _natural(48, 64)
+    pv = jpeg_dc_preview(jpeg_encode(img, quality=95, subsampling="4:4:4"))
+    assert pv.shape == (6, 8, 3)
+    full = jpeg_decode(jpeg_encode(img, quality=95, subsampling="4:4:4"))
+    means = full.reshape(6, 8, 8, 8, 3).mean(axis=(1, 3))
+    assert np.abs(pv.astype(float) - means).max() <= 6
+
+
+def test_dc_preview_progressive_prefix_only():
+    """Progressive preview needs only the stream prefix through the DC
+    scan — the rest of the bytes are never touched."""
+    from whoosh_reloaded_spark.jpeg import (
+        jpeg_dc_preview,
+        jpeg_encode_progressive,
+    )
+
+    img = _natural(48, 64)
+    data = jpeg_encode_progressive(img, quality=90)
+    pv_full = jpeg_dc_preview(data)
+    assert pv_full.shape == (6, 8, 3)
+    # find the end of the first scan's ECS: the second DHT marker
+    # after the first SOS is well past the DC scan; cutting at 45%
+    # keeps the DC scan (first of 10) and drops later scans
+    pv_cut = jpeg_dc_preview(data[: int(len(data) * 0.45)])
+    np.testing.assert_array_equal(pv_full, pv_cut)
+    # and it approximates the image at 1/8 scale
+    means = img.reshape(6, 8, 8, 8, 3).mean(axis=(1, 3))
+    assert np.abs(pv_full.astype(float) - means).mean() < 12
+
+
+def test_dc_preview_odd_dims_and_subsampling():
+    from whoosh_reloaded_spark.jpeg import jpeg_dc_preview
+
+    for h, w in [(9, 17), (8, 8), (1, 1), (23, 31)]:
+        img = _natural(h, w)
+        pv = jpeg_dc_preview(jpeg_encode(img, quality=90))
+        assert pv.shape == (-(-h // 8), -(-w // 8), 3)
+        g = img[:, :, 0].copy()
+        pvg = jpeg_dc_preview(jpeg_encode(g, quality=90))
+        assert pvg.shape == (-(-h // 8), -(-w // 8))
+
+
 # -- Spark pipeline routing ------------------------------------------------------
 
 

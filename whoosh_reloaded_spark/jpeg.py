@@ -39,7 +39,12 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["jpeg_encode", "jpeg_decode"]
+__all__ = [
+    "jpeg_encode",
+    "jpeg_encode_progressive",
+    "jpeg_decode",
+    "jpeg_dc_preview",
+]
 
 # zigzag scan position -> raster index (ISO/IEC 10918-1 Figure 5)
 ZIGZAG = np.array([
@@ -793,18 +798,37 @@ def _split_ecs(data: bytes, start: int):
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG: returns uint8 (h, w) for grayscale, else
-    (h, w, 3) RGB.  Raises ValueError on corruption and on
-    progressive/arithmetic/12-bit variants and multi-scan
-    (non-interleaved) baseline files (route those to a C codec via the
+    """Decode a baseline or progressive JPEG: returns uint8 (h, w) for
+    grayscale, else (h, w, 3) RGB.  Raises ValueError on corruption and
+    on arithmetic/hierarchical/12-bit variants and multi-scan
+    (non-interleaved) BASELINE files (route those to a C codec via the
     multimodal ``decode_fn`` hook); 0xFF fill bytes before markers are
-    tolerated per spec B.1.1.2."""
-    data = bytes(data)
+    tolerated per spec B.1.1.2.  A progressive stream damaged after its
+    first completed scan renders the completed scans."""
+    return _decode(bytes(data), preview=False)
+
+
+def jpeg_dc_preview(data: bytes) -> np.ndarray:
+    """1/8-scale preview from DC coefficients only: uint8
+    (ceil(h/8), ceil(w/8)) or (..., 3) — each pixel is its 8x8 block's
+    mean.  THE at-scale thumbnail path: no IDCT at all, and for a
+    PROGRESSIVE stream parsing stops as soon as every component's DC
+    scan has arrived — a few percent of the bytes, so a 100-TB
+    thumbnail job reads file prefixes instead of decoding images.
+    Baseline streams still pay the full entropy walk (block boundaries
+    are only discoverable by decoding), but skip dequant/IDCT/
+    upsampling.  Progressive previews use the first-scan DC
+    approximation (missing refinement bits -> up to one quantization
+    step coarser than the final DC)."""
+    return _decode(bytes(data), preview=True)
+
+
+def _decode(data, preview):
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (bad SOI)")
     state = {"frame": None, "any_scan": False, "qtabs": {}}
     try:
-        return _parse_and_decode(data, state)
+        return _parse_and_decode(data, state, preview)
     except ValueError:
         frame = state["frame"]
         if state["any_scan"] and frame is not None:
@@ -812,11 +836,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             # truncation/corruption AFTER the first completed scan
             # degrades quality instead of dropping the image (browser
             # behavior).  Damage before that still raises.
-            return _reconstruct(frame, state["qtabs"])
+            fin = _reconstruct_preview if preview else _reconstruct
+            return fin(frame, state["qtabs"])
         raise
 
 
-def _parse_and_decode(data, state):
+def _parse_and_decode(data, state, preview=False):
     qtabs = state["qtabs"]
     huff: dict = {}
     frame = None
@@ -833,7 +858,8 @@ def _parse_and_decode(data, state):
             raise ValueError("truncated JPEG")
         if m == 0xD9:  # EOI
             if state["any_scan"]:
-                return _reconstruct(frame, qtabs)
+                fin = _reconstruct_preview if preview else _reconstruct
+                return fin(frame, qtabs)
             raise ValueError("no scan data (EOI reached)")
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
@@ -913,7 +939,8 @@ def _parse_and_decode(data, state):
                 order.append(cs)
             if not frame["progressive"]:
                 return _decode_scan(
-                    data, i + 2 + seglen, frame, sel, qtabs, huff, ri
+                    data, i + 2 + seglen, frame, sel, qtabs, huff, ri,
+                    preview,
                 )
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             scan = {
@@ -924,17 +951,26 @@ def _parse_and_decode(data, state):
                 data, i + 2 + seglen, frame, scan, huff, ri
             )
             state["any_scan"] = True
+            if scan["Ss"] == 0:
+                state.setdefault("dc_seen", set()).update(scan["order"])
+                if preview and state["dc_seen"] >= {
+                    c["id"] for c in frame["comps"]
+                }:
+                    # preview short-circuit: every component's DC has
+                    # arrived — skip the remaining (AC/refinement) scans
+                    return _reconstruct_preview(frame, qtabs)
             continue
         # APPn/COM/others: skip
         i += 2 + seglen
     if state["any_scan"]:
         # truncated progressive stream (no EOI): render what arrived —
         # that is the format's defining property
-        return _reconstruct(frame, qtabs)
+        fin = _reconstruct_preview if preview else _reconstruct
+        return fin(frame, qtabs)
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, start, frame, sel, qtabs, huff, ri):
+def _decode_scan(data, start, frame, sel, qtabs, huff, ri, preview=False):
     comps = frame["comps"]
     _alloc_coeffs(frame)
     mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
@@ -991,7 +1027,7 @@ def _decode_scan(data, start, frame, sel, qtabs, huff, ri):
                             k += 1
             mcu += 1
 
-    return _reconstruct(frame, qtabs)
+    return (_reconstruct_preview if preview else _reconstruct)(frame, qtabs)
 
 
 def _decode_scan_progressive(data, start, frame, scan, huff, ri):
@@ -1184,6 +1220,37 @@ def _alloc_coeffs(frame):
         cw = -(-(w * c["h"]) // hmax)
         ch = -(-(h * c["v"]) // vmax)
         c["tbx"], c["tby"] = -(-cw // 8), -(-ch // 8)
+
+
+def _reconstruct_preview(frame, qtabs):
+    """1/8-scale reconstruction from DC coefficients only: with the
+    orthonormal DCT basis, F00 = 8 * mean(levelshifted block), so each
+    preview pixel is dequantized_DC / 8 + 128 — no IDCT."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ph, pw = -(-h // 8), -(-w // 8)
+    planes = []
+    for c in comps:
+        if "zz" not in c:
+            raise ValueError("component never scanned")
+        if c["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
+        q0 = int(qtabs[c["tq"]][0])
+        dc = c["zz"][:, :, 0].astype(np.float64) * q0
+        plane = np.clip(np.rint(dc / 8.0 + 128.0), 0, 255)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane[:ph, :pw])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def _reconstruct(frame, qtabs):
