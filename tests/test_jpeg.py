@@ -286,6 +286,82 @@ def test_progressive_routes_through_decode_images(spark):
     assert row["pixel_sum"] == int(expected.sum(dtype="int64"))
 
 
+# -- review-fix regressions --------------------------------------------------------
+
+
+def test_malformed_header_segments_raise_valueerror():
+    """Malformed marker bodies must surface as the documented
+    ValueError, never struct.error/IndexError (which would escape
+    per-row except-ValueError guards)."""
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x03\x08\xff\xd9",   # SOF body too short
+        b"\xff\xd8\xff\xda\x00\x02\xff\xd9",       # SOS with empty body
+        b"\xff\xd8\xff\xdd\x00\x03\x01\xff\xd9",   # DRI body too short
+    ]
+    for data in cases:
+        with pytest.raises(ValueError):
+            jpeg_decode(data)
+
+
+def test_single_component_sampling_factors_nonintervleaved():
+    """Spec A.2.2: a one-component scan is coded in raster order over
+    the component's own block grid, IGNORING sampling factors — a
+    grayscale file whose SOF claims h=v=2 must decode identically to
+    the h=v=1 encoding of the same scan data."""
+    g = _natural(23, 37)[:, :, 0].copy()  # not multiples of 16
+    data = bytearray(jpeg_encode(g, quality=90))
+    i = 2
+    while not (data[i] == 0xFF and data[i + 1] == 0xC0):
+        (ln,) = struct.unpack(">H", bytes(data[i + 2:i + 4]))
+        i += 2 + ln
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+    hv_at = i + 4 + 1 + 4 + 1 + 1
+    assert data[hv_at] == 0x11
+    data[hv_at] = 0x22
+    np.testing.assert_array_equal(
+        jpeg_decode(bytes(data)), jpeg_decode(jpeg_encode(g, quality=90))
+    )
+
+
+def test_bitreader_numpy_path_same_result(monkeypatch):
+    """Chunks over the list-path threshold use the numpy window array;
+    force that path on a normal image and require identical output."""
+    import whoosh_reloaded_spark.jpeg as J
+
+    img = _natural(40, 56)
+    data = jpeg_encode(img, quality=85)
+    expected = jpeg_decode(data)
+    monkeypatch.setattr(J._BitReader, "_LIST_PATH_MAX", 1)
+    np.testing.assert_array_equal(jpeg_decode(data), expected)
+
+
+def test_default_decode_survives_zlib_corruption(spark):
+    """A PNG whose chunk CRCs are valid but whose deflate stream is
+    garbage raises zlib.error from png_decode; extract_features must
+    fall back to the deterministic stand-in, not kill the task."""
+    import zlib as _zlib
+
+    from whoosh_reloaded_spark.multimodal import extract_features
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"not-deflate-data")  # CRC valid, zlib garbage
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(0, bad_png)], "media_id long, payload binary"
+    )
+    row = extract_features(df).collect()[0]
+    assert row["width"] >= 16  # the deterministic fallback formula
+
+
 # -- DC preview (1/8-scale thumbnails) --------------------------------------------
 
 

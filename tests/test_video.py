@@ -140,3 +140,37 @@ def test_decode_video_pipeline(spark):
     )
     br = decode_video(bad).collect()[0]
     assert br["ok"] is False and br["err"] is not None
+
+
+def test_decode_video_audio_only_avi_keeps_row(spark):
+    """A valid AVI whose movi list has no video frames must still emit
+    one ok=True row (one-row-per-container accounting), not vanish."""
+    import struct as _s
+
+    from whoosh_reloaded_spark.multimodal import decode_video
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _s.pack("<I", len(body)) + body + pad
+
+    frames = _frames(1)
+    base = bytearray(avi_encode_mjpeg(frames, 16, 12, fps=10))
+    # rebuild movi with ONLY an audio chunk
+    movi_at = bytes(base).find(b"movi")
+    (old_sz,) = _s.unpack("<I", base[movi_at - 4:movi_at])
+    audio = chunk(b"01wb", b"\x01\x02\x03\x04")
+    new_movi = b"movi" + audio
+    data = (
+        bytes(base[:movi_at - 4])
+        + _s.pack("<I", len(new_movi))
+        + new_movi
+    )
+    data = data[:4] + _s.pack("<I", len(data) - 8) + data[8:]
+    df = spark.createDataFrame(
+        [(7, data)], "media_id long, payload binary"
+    )
+    rows = decode_video(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ok"] is True and r["frame_no"] is None
+    assert r["n_frames"] == 1 and r["fps"] == 10.0

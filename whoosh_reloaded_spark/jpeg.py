@@ -150,9 +150,6 @@ for _k in range(8):
             (1 / np.sqrt(2)) if _k == 0 else 1.0
         ) * np.cos((2 * _n + 1) * _k * np.pi / 16)
 
-_POW16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
-
-
 def _canonical_codes(bits, vals):
     """(BITS, HUFFVAL) -> list of (code, length, symbol), Annex C."""
     if len(vals) != sum(bits):
@@ -729,39 +726,43 @@ def jpeg_encode_progressive(arr: np.ndarray, quality: int = 85,
 class _BitReader:
     """Reads Huffman symbols / raw bits from an unstuffed ECS chunk.
 
-    The 16-bit lookahead window at every bit position is precomputed
-    with one vectorized sliding-window matmul, so the per-symbol hot
-    loop is pure O(1) Python-int work (two list lookups + a shift) —
-    ~5-10x faster than slicing numpy views per read."""
+    A per-BYTE table of 24-bit windows is precomputed with three
+    vectorized shifts; the 16-bit lookahead at bit position p is then
+    ``(win24[p >> 3] >> (8 - (p & 7))) & 0xFFFF`` — pure O(1) int work
+    per symbol, with memory bounded at ~28 bytes per input byte (list
+    fast path, chunks < 1 MiB) or 4 bytes per input byte (numpy path
+    for larger chunks, so one multi-megabyte scan cannot blow the
+    task's memory budget)."""
+
+    _LIST_PATH_MAX = 1 << 20
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, np.uint8)
-        bits = np.concatenate([np.unpackbits(arr), np.zeros(16, np.uint8)])
-        win = (
-            np.lib.stride_tricks.sliding_window_view(bits, 16).astype(
-                np.int64
-            )
-            @ _POW16
+        a = np.concatenate([arr, np.zeros(4, np.uint8)]).astype(np.uint32)
+        win24 = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+        self.win = (
+            win24.tolist() if len(arr) < self._LIST_PATH_MAX else win24
         )
-        self.win = win.tolist()
         self.limit = len(arr) * 8
         self.pos = 0
 
     def read_sym(self, sym: list, ln: list) -> int:
-        w = self.win[self.pos]
+        p = self.pos
+        w = (int(self.win[p >> 3]) >> (8 - (p & 7))) & 0xFFFF
         s, l = sym[w], ln[w]
-        if s < 0 or l == 0 or self.pos + l > self.limit:
+        if s < 0 or l == 0 or p + l > self.limit:
             raise ValueError("truncated/invalid entropy-coded data")
-        self.pos += l
+        self.pos = p + l
         return s
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.limit:
+        p = self.pos
+        if p + n > self.limit:
             raise ValueError("truncated entropy-coded data")
-        v = self.win[self.pos] >> (16 - n)
-        self.pos += n
+        v = ((int(self.win[p >> 3]) >> (8 - (p & 7))) & 0xFFFF) >> (16 - n)
+        self.pos = p + n
         return v
 
 
@@ -829,7 +830,7 @@ def _decode(data, preview):
     state = {"frame": None, "any_scan": False, "qtabs": {}}
     try:
         return _parse_and_decode(data, state, preview)
-    except ValueError:
+    except (ValueError, struct.error, IndexError) as e:
         frame = state["frame"]
         if state["any_scan"] and frame is not None:
             # progressive's defining property: completed scans render;
@@ -838,7 +839,13 @@ def _decode(data, preview):
             # behavior).  Damage before that still raises.
             fin = _reconstruct_preview if preview else _reconstruct
             return fin(frame, state["qtabs"])
-        raise
+        if isinstance(e, ValueError):
+            raise
+        # struct.error / IndexError from a malformed header segment:
+        # normalize to the documented exception type
+        raise ValueError(
+            f"malformed JPEG: {type(e).__name__}: {e}"
+        ) from e
 
 
 def _parse_and_decode(data, state, preview=False):
@@ -974,7 +981,15 @@ def _decode_scan(data, start, frame, sel, qtabs, huff, ri, preview=False):
     comps = frame["comps"]
     _alloc_coeffs(frame)
     mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
-    n_mcus = mcus_x * mcus_y
+    # spec A.2.2: a single-component scan is NON-interleaved — data
+    # units traverse the component's own block grid in raster order,
+    # ignoring its sampling factors (some encoders write h=v=2 on
+    # grayscale frames); multi-component scans interleave by MCU
+    non_interleaved = len(comps) == 1
+    if non_interleaved:
+        n_mcus = comps[0]["tby"] * comps[0]["tbx"]
+    else:
+        n_mcus = mcus_x * mcus_y
     for c in comps:
         if c["id"] not in sel:
             raise ValueError("scan does not cover every component")
@@ -995,36 +1010,44 @@ def _decode_scan(data, start, frame, sel, qtabs, huff, ri, preview=False):
         preds = {c["id"]: 0 for c in comps}
         seg_mcus = min(ri, n_mcus - mcu) if ri else n_mcus
         for _ in range(seg_mcus):
-            my, mx = divmod(mcu, mcus_x)
             for c in comps:
                 td, ta = sel[c["id"]]
                 if (0, td) not in huff or (1, ta) not in huff:
                     raise ValueError("missing Huffman table")
                 dsym, dlen = huff[(0, td)]
                 asym, alen = huff[(1, ta)]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = c["zz"][my * c["v"] + by, mx * c["h"] + bx]
-                        s = br.read_sym(dsym, dlen)
-                        if s > 11:
-                            raise ValueError("bad DC category")
-                        diff = _extend(br.receive(s), s)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_sym(asym, alen)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
+                if non_interleaved:
+                    by0, bx0 = divmod(mcu, c["tbx"])
+                    unit_blocks = [(by0, bx0)]
+                else:
+                    my, mx = divmod(mcu, mcus_x)
+                    unit_blocks = [
+                        (my * c["v"] + by, mx * c["h"] + bx)
+                        for by in range(c["v"])
+                        for bx in range(c["h"])
+                    ]
+                for by, bx in unit_blocks:
+                    zz = c["zz"][by, bx]
+                    s = br.read_sym(dsym, dlen)
+                    if s > 11:
+                        raise ValueError("bad DC category")
+                    diff = _extend(br.receive(s), s)
+                    preds[c["id"]] += diff
+                    zz[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_sym(asym, alen)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        zz[k] = _extend(br.receive(s), s)
+                        k += 1
             mcu += 1
 
     return (_reconstruct_preview if preview else _reconstruct)(frame, qtabs)
@@ -1222,6 +1245,18 @@ def _alloc_coeffs(frame):
         c["tbx"], c["tby"] = -(-cw // 8), -(-ch // 8)
 
 
+def _ycbcr_to_rgb(planes):
+    """JFIF YCbCr -> uint8 RGB (shared by full and preview paths)."""
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def _reconstruct_preview(frame, qtabs):
     """1/8-scale reconstruction from DC coefficients only: with the
     orthonormal DCT basis, F00 = 8 * mean(levelshifted block), so each
@@ -1243,14 +1278,7 @@ def _reconstruct_preview(frame, qtabs):
         if fy > 1 or fx > 1:
             plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
         planes.append(plane[:ph, :pw])
-    if len(planes) == 1:
-        return planes[0].astype(np.uint8)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes)
 
 
 def _reconstruct(frame, qtabs):
@@ -1283,11 +1311,4 @@ def _reconstruct(frame, qtabs):
             plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
         planes.append(plane[:h, :w])
 
-    if len(planes) == 1:
-        return planes[0].astype(np.uint8)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes)

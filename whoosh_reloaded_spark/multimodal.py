@@ -121,8 +121,11 @@ def _make_default_decode():
                 arr = png_decode(payload)
             elif payload[:2] == b"\xff\xd8":
                 arr = jpeg_decode(payload)
-        except ValueError:
-            arr = None  # corrupt/unsupported -> deterministic stand-in
+        except Exception:
+            # corrupt/unsupported -> deterministic stand-in.  Catch-all
+            # on purpose: zlib.error (CRC-valid but corrupt deflate),
+            # struct.error etc. must not kill the Spark task either.
+            arr = None
         if arr is not None and arr.shape[0] >= 8 and arr.shape[1] >= 8:
             h, w = arr.shape[:2]
             means = block_means(luma(arr), 8).reshape(-1)
@@ -564,9 +567,8 @@ def decode_video(
                 try:
                     data = bytes(payload) if payload is not None else b""
                     info = avi_info(data)
-                    for fno, fbytes in avi_sample_frames(
-                        data, every_nth, max_frames
-                    ):
+                    sampled = avi_sample_frames(data, every_nth, max_frames)
+                    for fno, fbytes in sampled:
                         arr = jpeg_decode(fbytes)
                         h, w = arr.shape[:2]
                         rows.append({
@@ -576,6 +578,16 @@ def decode_video(
                             "frame_no": fno,
                             "pixel_sum": int(arr.sum(dtype="int64")),
                             "ahash": average_hash(arr, hash_size),
+                        })
+                    if not sampled:
+                        # valid container, no video frames (audio-only
+                        # AVI): keep one-row-per-container accounting
+                        rows.append({
+                            "media_id": mid, "ok": True, "err": None,
+                            "n_frames": info["n_frames"],
+                            "width": None, "height": None,
+                            "fps": info["fps"], "frame_no": None,
+                            "pixel_sum": None, "ahash": None,
                         })
                 except Exception as e:  # corrupt media is data at scale
                     rows.append({
