@@ -429,7 +429,12 @@ def png_decode(data: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("empty image")
     ch = _CT_CH[ct]
-    raw = zlib.decompress(b"".join(idats))
+    try:
+        raw = zlib.decompress(b"".join(idats))
+    except zlib.error as e:
+        # chunk CRCs can be valid while the deflate stream is garbage;
+        # normalize to the documented exception type
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
     passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
     plan, expected = [], 0
     for x0, y0, dx, dy in passes:
