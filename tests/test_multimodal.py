@@ -29,6 +29,49 @@ def test_metadata_sniffing(spark):
     assert meta[0]["n_bytes"] == 106
 
 
+def test_ahash_near_dup_pairs(spark):
+    """decode -> aHash -> banded near-dup join: a tweaked copy pairs
+    with its original, unrelated images don't, and (pigeonhole: with
+    max_hamming < bands) the result matches a brute-force hamming scan
+    exactly."""
+    import numpy as np
+
+    from whoosh_reloaded_spark.imaging import average_hash, png_encode
+    from whoosh_reloaded_spark.multimodal import (
+        ahash_near_dup_pairs,
+        decode_images,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[:2, :2, :] ^= 4  # near-duplicate
+    rows = [(0, png_encode(base)), (1, png_encode(tweak))]
+    imgs = {0: base, 1: tweak}
+    for i in range(2, 8):
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        imgs[i] = img
+        rows.append((i, png_encode(img)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    decoded = decode_images(df, with_thumbnail=False)
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(decoded, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs
+
+    # brute-force ground truth over the same hashes
+    hams = {}
+    hashes = {i: average_hash(imgs[i]) for i in imgs}
+    for a in imgs:
+        for b in imgs:
+            if a < b:
+                h = bin(int(hashes[a], 16) ^ int(hashes[b], 16)).count("1")
+                if h <= 3:
+                    hams[(a, b)] = h
+    assert pairs == hams
+
+
 def test_extract_features_stub(spark):
     out = {r["media_id"]: r for r in extract_features(_media(spark)).collect()}
     assert len(out) == 5

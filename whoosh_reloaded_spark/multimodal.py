@@ -318,6 +318,88 @@ def decode_images(
     return src.mapInPandas(run, DECODE_SCHEMA)
 
 
+def ahash_near_dup_pairs(decoded: DataFrame, id_col: str = "media_id",
+                         hash_col: str = "ahash", max_hamming: int = 3,
+                         bands: int = 4, max_bucket: int = 0) -> DataFrame:
+    """Near-duplicate IMAGES via banded LSH over the aHash perceptual
+    hash: (media_a, media_b, hamming) with hamming <= ``max_hamming``.
+
+    The image twin of textops.minhash_lsh_pairs: the hex hash splits
+    into ``bands`` substrings; candidates collide on any equal band and
+    only candidates pay the exact hamming check (two 32-bit ``conv`` +
+    ``bit_count(xor)`` per hash chunk, all JVM-side — no Python in the
+    pipeline).  By pigeonhole, ``max_hamming < bands`` guarantees every
+    qualifying pair shares at least one unchanged band, so recall is
+    EXACT (not probabilistic) at the default settings.  ``max_bucket``
+    drops oversized band buckets before the self-join — the web-scale
+    guard against boilerplate images (logos, spacer gifs) forming
+    quadratic buckets; with it set, mega-bucket-only pairs are missed
+    (use exact ahash groupBy first for those).
+    """
+    rows = decoded.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    # band split on the hex string (length inferred relationally)
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(
+                    f"substring(_h, 1 + {b} * (length(_h) DIV {bands}),"
+                    f" length(_h) DIV {bands})"
+                ).alias("band_hash"),
+            )
+        )
+    band_rows = rows.select(
+        "_id", "_h", F.explode(F.array(*band_cols)).alias("band")
+    ).select("_id", "_h", "band.band_id", "band.band_hash")
+
+    if max_bucket > 0:
+        big = (
+            band_rows.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        band_rows = band_rows.join(
+            big, ["band_id", "band_hash"], "left_anti"
+        )
+
+    a = band_rows.select(
+        F.col("_id").alias("media_a"), F.col("_h").alias("_ha"),
+        "band_id", "band_hash",
+    )
+    b = band_rows.select(
+        F.col("_id").alias("media_b"), F.col("_h").alias("_hb"),
+        "band_id", "band_hash",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "_ha", "_hb")
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    # exact hamming over 8-hex-char (32-bit) chunks, JVM bit ops only;
+    # hashes in one frame share a length, so chunks past the end yield
+    # '' -> conv NULL -> coalesce 0 and contribute nothing
+    ham = None
+    for c in range(8):  # up to 256-bit hashes
+        term = F.expr(
+            "bit_count("
+            f"coalesce(cast(conv(substring(_ha, {1 + c * 8}, 8), 16, 10)"
+            " as bigint), 0L)"
+            f" ^ coalesce(cast(conv(substring(_hb, {1 + c * 8}, 8), 16,"
+            " 10) as bigint), 0L))"
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 def synthetic_jpeg_media(df: DataFrame, id_col: str = "doc_id",
                          progressive: bool = True) -> DataFrame:
     """Deterministic synthetic JPEGs: per id, a uniform 16x16 GRAYSCALE
