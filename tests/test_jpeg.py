@@ -422,6 +422,82 @@ def test_dc_preview_odd_dims_and_subsampling():
         assert pvg.shape == (-(-h // 8), -(-w // 8))
 
 
+# -- EXIF orientation --------------------------------------------------------------
+
+
+def _with_exif(data: bytes, orientation: int, endian: str = "II") -> bytes:
+    """Splice a minimal EXIF APP1 (TIFF IFD0 with tag 0x0112) after SOI."""
+    e = "<" if endian == "II" else ">"
+    ifd = struct.pack(e + "H", 1)  # one entry
+    ifd += struct.pack(e + "HHI", 0x0112, 3, 1)  # tag, SHORT, count 1
+    ifd += struct.pack(e + "H", orientation) + b"\x00\x00"
+    ifd += struct.pack(e + "I", 0)  # next-IFD
+    tiff = endian.encode() + struct.pack(e + "H", 42) \
+        + struct.pack(e + "I", 8) + ifd
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    return data[:2] + seg + data[2:]
+
+
+def test_exif_orientation_parse_both_endians():
+    from whoosh_reloaded_spark.jpeg import exif_orientation
+
+    data = jpeg_encode(_natural(16, 16), quality=90)
+    assert exif_orientation(data) is None
+    for endian in ("II", "MM"):
+        for o in (1, 3, 6, 8):
+            assert exif_orientation(_with_exif(data, o, endian)) == o
+    # out-of-range and malformed EXIF -> None, never an exception
+    assert exif_orientation(_with_exif(data, 99)) is None
+    bad = data[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + data[2:]
+    assert exif_orientation(bad) is None
+    # and the spliced EXIF doesn't disturb decoding
+    np.testing.assert_array_equal(
+        jpeg_decode(_with_exif(data, 6)), jpeg_decode(data)
+    )
+
+
+def test_apply_orientation_all_eight():
+    from whoosh_reloaded_spark.jpeg import apply_orientation
+
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    # expected uprighting transforms per TIFF tag 274
+    np.testing.assert_array_equal(apply_orientation(a, 1), a)
+    np.testing.assert_array_equal(apply_orientation(a, 2), a[:, ::-1])
+    np.testing.assert_array_equal(apply_orientation(a, 3), a[::-1, ::-1])
+    np.testing.assert_array_equal(apply_orientation(a, 4), a[::-1, :])
+    np.testing.assert_array_equal(apply_orientation(a, 5), a.T)
+    np.testing.assert_array_equal(
+        apply_orientation(a, 6), np.rot90(a, k=-1)
+    )
+    # 7 = transverse: flip along the bottom-left/top-right diagonal
+    np.testing.assert_array_equal(apply_orientation(a, 7), a.T[::-1, ::-1])
+    np.testing.assert_array_equal(apply_orientation(a, 8), np.rot90(a))
+    # rotations change shape; mirrors don't
+    assert apply_orientation(a, 6).shape == (3, 2)
+    np.testing.assert_array_equal(apply_orientation(a, None), a)
+
+
+def test_decode_images_exposes_orientation(spark):
+    from whoosh_reloaded_spark.imaging import png_encode
+    from whoosh_reloaded_spark.multimodal import decode_images
+
+    img = _natural(16, 16)
+    df = spark.createDataFrame(
+        [
+            (1, _with_exif(jpeg_encode(img, quality=90), 6)),
+            (2, jpeg_encode(img, quality=90)),
+            (3, png_encode(img)),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert rows[1]["orientation"] == 6
+    assert rows[2]["orientation"] is None
+    assert rows[3]["orientation"] is None
+    assert all(rows[i]["ok"] for i in (1, 2, 3))
+
+
 # -- Spark pipeline routing ------------------------------------------------------
 
 

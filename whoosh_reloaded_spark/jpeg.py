@@ -44,6 +44,8 @@ __all__ = [
     "jpeg_encode_progressive",
     "jpeg_decode",
     "jpeg_dc_preview",
+    "exif_orientation",
+    "apply_orientation",
 ]
 
 # zigzag scan position -> raster index (ISO/IEC 10918-1 Figure 5)
@@ -449,6 +451,78 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     out += out_ecs
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ------------------------------------------------------------ EXIF metadata
+
+
+def exif_orientation(data: bytes):
+    """EXIF orientation (TIFF tag 0x0112) from the APP1 segment, or
+    None when absent/malformed: 1..8 per the TIFF spec (1 = upright;
+    web pipelines must honor this or thumbnails/hashes of portrait
+    phone photos come out rotated).  Never raises on malformed EXIF —
+    orientation is advisory metadata, not image data."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(data)
+    try:
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            m = data[i + 1]
+            if m in (0xD8, 0xD9, 0xDA) or 0xD0 <= m <= 0xD7:
+                return None  # scan reached, no EXIF
+            (ln,) = struct.unpack(">H", data[i + 2:i + 4])
+            body = data[i + 4:i + 2 + ln]
+            if m == 0xE1 and body[:6] == b"Exif\x00\x00":
+                tiff = body[6:]
+                if tiff[:2] == b"II":
+                    e = "<"
+                elif tiff[:2] == b"MM":
+                    e = ">"
+                else:
+                    return None
+                (magic,) = struct.unpack(e + "H", tiff[2:4])
+                if magic != 42:
+                    return None
+                (ifd,) = struct.unpack(e + "I", tiff[4:8])
+                (cnt,) = struct.unpack(e + "H", tiff[ifd:ifd + 2])
+                for k in range(cnt):
+                    off = ifd + 2 + 12 * k
+                    tag, typ = struct.unpack(e + "HH", tiff[off:off + 4])
+                    if tag == 0x0112 and typ == 3:  # SHORT
+                        (val,) = struct.unpack(
+                            e + "H", tiff[off + 8:off + 10]
+                        )
+                        return val if 1 <= val <= 8 else None
+                return None
+            i += 2 + ln
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def apply_orientation(arr: np.ndarray, orientation) -> np.ndarray:
+    """Apply an EXIF orientation (1..8) to a decoded array so the
+    result is upright.  Unknown/None orientations return the array
+    unchanged."""
+    o = orientation or 1
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1, :]
+    if o == 5:
+        return np.swapaxes(arr, 0, 1)
+    if o == 6:
+        return np.swapaxes(arr, 0, 1)[:, ::-1]
+    if o == 7:
+        return np.swapaxes(arr, 0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.swapaxes(arr, 0, 1)[::-1, :]
+    return arr
 
 
 # ------------------------------------------------------- progressive encode

@@ -216,7 +216,7 @@ def extract_features(
 DECODE_SCHEMA = (
     "media_id long, ok boolean, err string, width int, height int, "
     "channels int, pixel_sum long, luma_sum long, ahash string, "
-    "thumb_png binary"
+    "thumb_png binary, orientation int"
 )
 
 
@@ -252,7 +252,7 @@ def decode_images(
         png_decode,
         thumbnail_png,
     )
-    from whoosh_reloaded_spark.jpeg import jpeg_decode
+    from whoosh_reloaded_spark.jpeg import exif_orientation, jpeg_decode
 
     def _decode_any(payload: bytes):
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -272,9 +272,8 @@ def decode_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["_p"]):
                 try:
-                    arr = _decode_any(
-                        bytes(payload) if payload is not None else b""
-                    )
+                    raw = bytes(payload) if payload is not None else b""
+                    arr = _decode_any(raw)
                     h, w = arr.shape[:2]
                     ch = 1 if arr.ndim == 2 else arr.shape[2]
                     rows.append(
@@ -293,6 +292,7 @@ def decode_images(
                                 if with_thumbnail
                                 else None
                             ),
+                            "orientation": exif_orientation(raw),
                         }
                     )
                 except Exception as e:  # corrupt media is data at scale
@@ -308,11 +308,13 @@ def decode_images(
                             "luma_sum": None,
                             "ahash": None,
                             "thumb_png": None,
+                            "orientation": None,
                         }
                     )
             yield pd.DataFrame(rows, columns=[
                 "media_id", "ok", "err", "width", "height", "channels",
                 "pixel_sum", "luma_sum", "ahash", "thumb_png",
+                "orientation",
             ])
 
     return src.mapInPandas(run, DECODE_SCHEMA)
