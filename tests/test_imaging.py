@@ -288,6 +288,28 @@ def test_luma_and_blocks_integer_semantics():
     )
 
 
+def test_resize_area():
+    from whoosh_reloaded_spark.imaging import resize_area
+
+    # downscale agrees with block_means on the square case
+    g = _rand(32, 32, 1)
+    np.testing.assert_array_equal(
+        resize_area(g, 8, 8).astype(np.int64), block_means(g, 8)
+    )
+    # channels preserved, non-square targets, exact uniform
+    rgb = np.full((20, 30, 3), 99, np.uint8)
+    out = resize_area(rgb, 7, 11)
+    assert out.shape == (7, 11, 3) and (out == 99).all()
+    # upscaling replicates source pixels (nearest box)
+    small = np.array([[0, 255]], np.uint8)
+    up = resize_area(small, 2, 4)
+    assert up.shape == (2, 4)
+    np.testing.assert_array_equal(up[0], [0, 0, 255, 255])
+    # 2x2 downscale = exact integer box means
+    a = np.array([[0, 10], [20, 30]], np.uint8)
+    assert int(resize_area(a, 1, 1)[0, 0]) == 15
+
+
 def test_thumbnail_roundtrip():
     arr = _rand(24, 40, 3)
     thumb = png_decode(thumbnail_png(arr, 8))

@@ -45,6 +45,7 @@ __all__ = [
     "png_decode",
     "luma",
     "block_means",
+    "resize_area",
     "average_hash",
     "thumbnail_png",
 ]
@@ -505,6 +506,35 @@ def block_means(grey: np.ndarray, hash_size: int = 8) -> np.ndarray:
             blk = g[ys[by]:ys[by + 1], xs[bx]:xs[bx + 1]]
             out[by, bx] = int(blk.sum()) // blk.size
     return out
+
+
+def resize_area(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-mean resize to (out_h, out_w): output pixel
+    (oy, ox) is the integer mean (floor) of its source box
+    [oy*h//out_h, (oy+1)*h//out_h) x [ox*w//out_w, (ox+1)*w//out_w) —
+    the general form of :func:`block_means` (arbitrary target, channels
+    preserved, upscaling allowed via box replication when a box is
+    empty it borrows the nearest source pixel).  Integer math keeps the
+    result exactly reproducible across platforms."""
+    arr = np.asarray(arr)
+    if out_h < 1 or out_w < 1:
+        raise ValueError("target dims must be >= 1")
+    grey = arr.ndim == 2
+    a = (arr[:, :, None] if grey else arr).astype(np.int64)
+    h, w, ch = a.shape
+    ys = [(i * h) // out_h for i in range(out_h + 1)]
+    xs = [(i * w) // out_w for i in range(out_w + 1)]
+    out = np.empty((out_h, out_w, ch), dtype=np.int64)
+    for oy in range(out_h):
+        y0, y1 = ys[oy], max(ys[oy + 1], ys[oy] + 1)
+        y0 = min(y0, h - 1)
+        for ox in range(out_w):
+            x0, x1 = xs[ox], max(xs[ox + 1], xs[ox] + 1)
+            x0 = min(x0, w - 1)
+            blk = a[y0:y1, x0:x1]
+            out[oy, ox] = blk.sum(axis=(0, 1)) // blk[:, :, 0].size
+    out = out.astype(arr.dtype if arr.dtype != np.int64 else np.int64)
+    return out[:, :, 0] if grey else out
 
 
 def average_hash(arr: np.ndarray, hash_size: int = 8) -> str:
