@@ -444,3 +444,37 @@ def test_single_quote_plugin():
     q = p2.parse("dt:'last tuesday'")
     assert isinstance(q, Q.DateRange)
     assert q.start == datetime(2010, 9, 14, 0, 0, 0, 0)
+
+
+def test_dangling_fuzzy_boost_group_context():
+    """The reference's clean_boost (plugins.py:251-262) neutralizes a
+    dangling `~^n` boost ONLY at the top level: it runs after
+    GroupPlugin's whole-input unwrap (plugins.py:341-344) and never
+    recurses into groups, so inside a surviving group the BoostNode
+    waits for do_boost(510) and attaches to the merged FuzzyTermNode.
+    Every case below verified live against the reference parser
+    (round-5 fuzz finding: 'text:(text:(alfa~ AND alfa~^2)^1)' scored
+    2x because the inner pair survives as And([fuzzy^1, fuzzy^2]))."""
+    p = QueryParser()
+    fz = lambda b: Q.FuzzyTerm(
+        "alfa", "text", boost=b, maxdist=1, prefixlength=0
+    )
+
+    # effective top level (incl. the whole-input-group unwrap): dropped
+    assert p.parse("alfa~^2") == fz(1.0)
+    assert p.parse("(alfa~^2)") == fz(1.0)
+    assert p.parse("(alfa~ AND alfa~^2)") == fz(1.0)  # dedup after drop
+
+    # inside any surviving group: attached
+    assert p.parse("text:(alfa~^2)") == fz(2.0)
+    assert p.parse("((alfa~ AND alfa~^2))") == Q.And((fz(1.0), fz(2.0)))
+    assert p.parse("text:(text:(alfa~ AND alfa~^2)^1)") == \
+        Q.And((fz(1.0), fz(2.0)))
+    q = p.parse("(alfa~^2) AND bravo")
+    assert q == Q.And((fz(2.0), Q.Term("bravo", "text")))
+    q = p.parse("(alfa~^2 OR bravo)^2")
+    assert isinstance(q, Q.Or) and q.boost == 2.0
+    assert q.children[0] == fz(2.0)
+
+    # top-level null-operand behavior unchanged
+    assert isinstance(p.parse("alfa~^2 OR bravo"), Q.And)

@@ -133,19 +133,24 @@ def _lex(s: str) -> List[_Tok]:
             )
         elif m.group("word"):
             w = m.group("word")
-            # A boost dangling after a fuzzy suffix is its OWN node in the
-            # reference (FuzzyTermPlugin's fuzziness node has no boost to
-            # attach to): 'alfa~^2 OR bravo' parses as And([fuzzy, bravo])
-            # because the OR binds the dangling '^2' (which queries to
-            # nothing) as its left operand, and 'x~^2 ANDMAYBE y' collapses
-            # to just x~ (AndMaybe(Null, y) -> Null).  Mirror by splitting
-            # the token; the '^2' word analyzes to NullQuery.
+            # A boost dangling after a fuzzy suffix splits into its OWN
+            # token, mirroring the reference's node stream (the
+            # FuzzinessNode has no boost slot, so BoostPlugin.clean_boost
+            # neutralizes the BoostNode — but ONLY at the top level:
+            # clean_boost runs after GroupPlugin's whole-input unwrap and
+            # does NOT recurse into groups (plugins.py:251-262), so inside
+            # a surviving group the BoostNode lives until do_boost(510)
+            # attaches it to the by-then-merged FuzzyTermNode.  Hence
+            # 'alfa~^2 OR bravo' = And([fuzzy, bravo]) with the '^2' a
+            # null operand, while 'text:(alfa~^2)' = fuzzy with boost 2.
+            # The parser decides by effective group depth; the lexer just
+            # marks the split token.
             fm = re.match(
                 r"^(?P<w>.+~(?:\d*(?:/[1-9]\d*)?)?)(?P<b>\^\d+(\.\d+)?)$", w
             )
             if fm:
                 out.append(_Tok("word", fm.group("w")))
-                out.append(_Tok("word", fm.group("b")))
+                out.append(_Tok("word", fm.group("b"), fuzzydangle=True))
             else:
                 out.append(_Tok("word", w))
     return out
@@ -301,7 +306,11 @@ class QueryParser:
             if t.kind != "word":
                 out.append(t)
                 continue
-            out.extend(self._split_ops(t.value))
+            parts = self._split_ops(t.value)
+            if len(parts) == 1 and parts[0].kind == "word":
+                out.append(t)  # keep lexer-set attrs (e.g. fuzzydangle)
+            else:
+                out.extend(parts)
         return out
 
     def _split_ops(self, value: str) -> List[_Tok]:
@@ -331,6 +340,12 @@ class QueryParser:
         self._i = 0
         if not self._toks:
             return Q.NullQuery()
+        # GroupPlugin.do_groups unwraps a whole-input paren group ONCE
+        # (plugins.py:341-344) BEFORE clean_boost runs, so the content
+        # of '(X)' counts as top level for dangling-fuzzy-boost
+        # neutralization while '((X))' keeps one group level
+        self._group_depth = 0
+        self._unwrap = 1 if self._whole_input_group() else 0
         q = self._or_expr()
         for plugin in self.plugins:
             q = _map_tree(q, plugin)
@@ -342,6 +357,22 @@ class QueryParser:
         # dies in singleton expansion.  Mirror with the same wrapper; a
         # non-And root (e.g. a boosted Or) just collapses back out.
         return Q.And((q,)).normalize()
+
+    def _whole_input_group(self) -> bool:
+        """True when the token stream is exactly one plain paren group
+        spanning the whole input (the case do_groups unwraps)."""
+        toks = self._toks
+        if not toks or toks[0].kind != "(" or toks[-1].kind != ")":
+            return False
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.kind == "(":
+                depth += 1
+            elif t.kind == ")":
+                depth -= 1
+                if depth == 0:
+                    return i == len(toks) - 1
+        return False
 
     def _peek(self) -> Optional[_Tok]:
         return self._toks[self._i] if self._i < len(self._toks) else None
@@ -374,8 +405,27 @@ class QueryParser:
             if t.kind == "op":
                 self._next()
                 items.append(("op", t.op))
-            else:
-                items.append(("q", self._primary()))
+                continue
+            if (
+                getattr(t, "fuzzydangle", False)
+                and self._group_depth - self._unwrap >= 1
+                and items
+                and items[-1][0] == "q"
+                and isinstance(items[-1][1], Q.FuzzyTerm)
+            ):
+                # inside a surviving group the reference's do_boost
+                # attaches the dangling boost to the merged fuzzy node
+                # (see _lex); at effective top level clean_boost already
+                # neutralized it, handled by the fallthrough null word
+                self._next()
+                try:
+                    items[-1] = (
+                        "q", items[-1][1].with_boost(float(t.value[1:]))
+                    )
+                    continue
+                except ValueError:
+                    pass
+            items.append(("q", self._primary()))
         return self._apply_op_passes(items)
 
     def _apply_op_passes(self, items: List[tuple]) -> Q.Query:
@@ -476,7 +526,11 @@ class QueryParser:
             return Q.NullQuery()
         t = self._next()
         if t.kind == "(":
-            q = self._or_expr()
+            self._group_depth += 1
+            try:
+                q = self._or_expr()
+            finally:
+                self._group_depth -= 1
             nxt = self._peek()
             if nxt is not None and nxt.kind == ")":
                 self._next()
@@ -560,6 +614,7 @@ class QueryParser:
                 # across fieldnames ("name:(alfa bravo)" stays on name —
                 # round-5 fuzz finding, verified live vs reference)
                 self._fielded_group_depth += 1
+                self._group_depth += 1
                 try:
                     self._next()  # consume "("
                     q = self._or_expr()
@@ -568,6 +623,7 @@ class QueryParser:
                 finally:
                     self.fieldname = saved
                     self._fielded_group_depth -= 1
+                    self._group_depth -= 1
                 nxt = self._peek()
                 if (
                     nxt is not None
