@@ -780,15 +780,19 @@ class QueryParser:
         )
         if not already_marked:
             q = Q.And((q,))
-        elif boost is None:
-            # '((...))': every paren pair is its own GroupNode in the
-            # reference, so redundant parens add a fresh UNBOOSTED wrapper
-            # — that wrapper is what a following AND sees, which is why
-            # '((a b)^2) AND c' does NOT splice-boost c while
-            # '(a b)^2 AND c' does (round-5 fuzz, verified live)
-            q = Q.And((q,))
-        if boost is not None:
-            q = replace(q, boost=q.boost * boost)
+            if boost is not None:
+                q = replace(q, boost=boost)
+        else:
+            # '((...))' / '((...)^2)^3': every paren pair is its own
+            # GroupNode in the reference, so an outer paren adds a FRESH
+            # wrapper around the inner group rather than folding into it.
+            # That wrapper is what a following AND splices into, so the
+            # spliced operand picks up only the OUTERMOST group's own
+            # ^boost — '((a b)^2) AND c' does not boost c at all, and
+            # '((alfa)^2)^2 AND alfa' boosts the swallowed alfa by 2 while
+            # the inner contents get the nested product 4 (round-5 fuzz,
+            # verified live vs reference)
+            q = Q.And((q,), boost=(1.0 if boost is None else boost))
         return _mark_group(q, "And")
 
     # -- range construction by field kind ------------------------------------
