@@ -295,3 +295,52 @@ def test_merging_splice_goldens():
     assert got.children[1] == T("name", "bravo", 2.0)
     assert got.children[-1].boost == 2.0
     assert got.boost == 1.0
+
+
+def test_every_collapse_goldens():
+    """Round-5 probes, all verified live vs the reference: a fielded
+    Every absorbs same-field siblings in And/Or normalize (the FIRST
+    Every survives; compound.py:136-169); the unfielded '*:*' absorbs
+    the whole compound and drops boosts (compound.py:132-134); binary
+    nodes and Not are immune."""
+    p = QueryParser()
+    E = Q.Every
+    t = lambda w, b=1.0: Q.Term(w, "text", b)
+
+    def n(qs):
+        return p.parse(qs).normalize()
+
+    assert n("alfa *") == E(fieldname="text")
+    assert n("* AND alfa") == E(fieldname="text")
+    assert n("alfa OR *") == E(fieldname="text")
+    assert n("(alfa OR *) AND bravo") == E(fieldname="text")
+    assert n("(alfa AND *)^3") == E(3.0, "text")
+    assert n("(* OR *^2)") == E(fieldname="text")  # first Every wins
+    assert n("[alfa TO bravo] OR *") == E(fieldname="text")
+    assert n("(alfa ANDNOT bravo) AND *") == E(fieldname="text")
+    assert n("*:* AND alfa") == E()
+    assert n("*:*^2") == E()  # unfielded ignores its boost
+    # binaries keep the Every as an operand; Not survives beside one
+    assert n("alfa ANDNOT *") == Q.AndNot(t("alfa"), E(fieldname="text"))
+    got = n("* NOT alfa")
+    assert isinstance(got, Q.And) and got.children[0] == E(fieldname="text")
+    assert isinstance(got.children[1], Q.Not)
+
+
+def test_squote_boost_and_fuzzy_goldens():
+    """SingleQuotePlugin's (?=\\s|...) lookahead: a trailing ^boost or
+    ~fuzz defeats the quote, so the text lexes as plain words — the boost
+    lands on the LAST token only and the fuzzy keeps the raw apostrophe
+    (round-5 probes, verified live)."""
+    p = QueryParser()
+    t = lambda w, b=1.0: Q.Term(w, "text", b)
+    assert p.parse("'alfa bravo'") == Q.And((t("alfa"), t("bravo")))
+    assert p.parse("'alfa bravo'^2") == Q.And((t("alfa"), t("bravo", 2.0)))
+    assert p.parse("'alfa the bravo'^2") == Q.And((t("alfa"), t("bravo", 2.0)))
+    assert p.parse("'alfa'^2").normalize() == t("alfa", 2.0)
+    got = p.parse("'alfa bravo'~2")
+    assert got.children[1] == Q.FuzzyTerm("bravo'", "text", maxdist=2, prefixlength=0)
+    # fuzzy text is raw-lowercased, never tokenized: stopwords survive
+    assert p.parse("the~1") == Q.FuzzyTerm("the", "text", maxdist=1, prefixlength=0)
+    assert p.parse("BRAVO~1") == Q.FuzzyTerm("bravo", "text", maxdist=1, prefixlength=0)
+    assert p.parse("bra-vo~2") == Q.FuzzyTerm("bra-vo", "text", maxdist=2, prefixlength=0)

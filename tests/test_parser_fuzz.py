@@ -75,6 +75,23 @@ leaf = st.one_of(
     ),
     word.map(lambda w: f"[{w} TO]"),
     word.map(lambda w: f"[TO {w}]"),
+    # SingleQuotePlugin: 'two words' is one verbatim node whose analysis
+    # builds the multitoken And; a trailing ^boost or ~fuzz DEFEATS the
+    # squote regex (its (?=\s|...) lookahead), so those lex as plain
+    # words — "'a b'^2" boosts only the trailing token (round-5 probes)
+    st.tuples(word, word).map(lambda t: f"'{t[0]} {t[1]}'"),
+    st.tuples(word, word, st.integers(2, 3)).map(
+        lambda t: f"'{t[0]} {t[1]}'^{t[2]}"
+    ),
+    st.tuples(word, word, st.integers(1, 2)).map(
+        lambda t: f"'{t[0]} {t[1]}'~{t[2]}"
+    ),
+    # EveryPlugin / bare-star Wildcard: '*' is the field's Every and
+    # absorbs same-field And/Or siblings in normalize; '*:*' is the
+    # unfielded Every absorbing the whole compound, boost dropped
+    st.just("*"),
+    st.just("*:*"),
+    st.tuples(st.integers(2, 3)).map(lambda t: f"*^{t[0]}"),
 )
 
 expr = st.recursive(
@@ -311,6 +328,14 @@ mf_leaf = st.one_of(
     st.tuples(st.sampled_from(["name", "value"]), word,
               st.integers(1, 3)).map(lambda t: f"{t[0]}:{t[1]}^{t[2]}"),
     st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+    # squote whole-node expansion (Or of per-field Ands) vs the boosted
+    # form that defeats the squote regex (And of per-token Ors)
+    st.tuples(word, word).map(lambda t: f"'{t[0]} {t[1]}'"),
+    st.tuples(word, word, st.integers(2, 3)).map(
+        lambda t: f"'{t[0]} {t[1]}'^{t[2]}"
+    ),
+    st.just("*"),
+    st.just("*:*"),
 )
 
 mf_expr = st.recursive(

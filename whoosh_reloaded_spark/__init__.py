@@ -33,6 +33,8 @@ from whoosh_reloaded_spark.index import (  # noqa: F401
 )
 from whoosh_reloaded_spark.query import Searcher  # noqa: F401
 from whoosh_reloaded_spark.query.parser import (  # noqa: F401
+    DisMaxParser,
     MultifieldParser,
     QueryParser,
+    SimpleParser,
 )

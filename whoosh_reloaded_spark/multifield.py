@@ -72,7 +72,7 @@ def build_multi_index(
 
 _FIELDED_LEAVES = (
     Q.Term, Q.Phrase, Q.Ordered, Q.Prefix, Q.Wildcard, Q.Regex,
-    Q.FuzzyTerm, Q.TermRange,
+    Q.FuzzyTerm, Q.TermRange, Q.Every,
 )
 
 
@@ -101,8 +101,11 @@ class MultiFieldSearcher(Searcher):
         if (
             isinstance(q, _FIELDED_LEAVES)
             and fname in self.field_searchers
-            and fname != self.ix.fieldname
+            and (fname != self.ix.fieldname or isinstance(q, Q.Every))
         ):
+            # a FIELDED Every must scan only its field's docmeta — the
+            # base _all_docs here is the all-fields union, which is the
+            # unfielded Every('*:*') semantics (qcore.py:650-737)
             return self.field_searchers[fname]._eval(q)
         return super()._eval(q)
 

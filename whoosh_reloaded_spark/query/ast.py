@@ -178,9 +178,17 @@ class NullQuery(Query):
 
 @dataclass(frozen=True)
 class Every(Query):
-    """Matches every document, score 1*boost (qcore.py:650-737)."""
+    """Matches every document, score 1*boost (qcore.py:650-737).
+
+    ``fieldname=None`` is the reference's unfielded ``Every()`` (the
+    ``*:*`` EveryPlugin form): inside an And/Or it collapses the WHOLE
+    compound to a bare ``Every()`` in normalize (compound.py:132-134).
+    A fielded Every (a parsed ``*``, which is Wildcard('*') normalized
+    with the default field) collapses only same-field siblings
+    (compound.py:136-169)."""
 
     boost: float = 1.0
+    fieldname: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -209,7 +217,15 @@ class _ChildTuple(tuple):
 
 
 class _Compound(Query):
-    pass
+    def field(self) -> Optional[str]:
+        """CompoundQuery.field (compound.py:91-96): the common field of
+        all subqueries, or None — what the Every collapse keys on."""
+        kids = tuple(self.children)
+        if kids:
+            f = kids[0].field()
+            if all(k.field() == f for k in kids[1:]):
+                return f
+        return None
 
 
 def _apply_boost(q: Query, boost: float) -> Query:
@@ -338,6 +354,30 @@ def _merge_two_ranges(a, b, intersect: bool):
     )
 
 
+def _collapse_every(kids: List[Query]) -> List[Query]:
+    """compound.py:136-169 Every handling in And/Or normalize: the FIRST
+    Every for a field survives; every LATER same-field child (even another
+    Every) is popped in the merge loop, and every EARLIER same-field
+    non-Every child is dropped in the dedup loop.  '* AND alfa' and
+    'alfa AND *' both normalize to Every('text') — whoosh treats a
+    fielded Every as absorbing the whole field, for Or AND And alike."""
+    everyfields: Set[Optional[str]] = set()
+    out: List[Query] = []
+    for q in kids:
+        f = q.field()
+        if f in everyfields:
+            continue
+        if isinstance(q, Every) and q.fieldname is not None:
+            everyfields.add(q.fieldname)
+        out.append(q)
+    if everyfields:
+        out = [
+            q for q in out
+            if isinstance(q, Every) or q.field() not in everyfields
+        ]
+    return out
+
+
 def _merge_ranges(kids: List[Query], intersect: bool) -> List[Query]:
     """compound.py:137-152: within an And/Or, same-field overlapping
     TermRange/NumericRange children collapse into one merged range
@@ -373,9 +413,12 @@ class And(_Compound):
         object.__setattr__(self, "boost", boost)
 
     def normalize(self) -> Query:
-        kids = _merge_ranges(
-            _flatten(And, self.children, self.boost), intersect=True
-        )
+        kids = _flatten(And, self.children, self.boost)
+        # an unfielded Every absorbs the whole compound, boost and all
+        # (compound.py:132-134 returns a FRESH Every())
+        if any(isinstance(q, Every) and q.fieldname is None for q in kids):
+            return Every()
+        kids = _collapse_every(_merge_ranges(kids, intersect=True))
         if not kids:
             return NullQuery()
         if len(kids) == 1 and not isinstance(kids[0], Not):
@@ -395,9 +438,11 @@ class Or(_Compound):
         object.__setattr__(self, "scale", scale)
 
     def normalize(self) -> Query:
-        kids = _merge_ranges(
-            _flatten(Or, self.children, self.boost), intersect=False
-        )
+        kids = _flatten(Or, self.children, self.boost)
+        # compound.py:132-134: unfielded Every absorbs the compound
+        if any(isinstance(q, Every) and q.fieldname is None for q in kids):
+            return Every()
+        kids = _collapse_every(_merge_ranges(kids, intersect=False))
         if not kids:
             return NullQuery()
         if len(kids) == 1 and not isinstance(kids[0], Not):
@@ -554,6 +599,27 @@ class Otherwise(Query):
     boost: float = 1.0
 
 
+def _binary_field(self) -> Optional[str]:
+    """BinaryQuery.field (compound.py:522-526): the common field of the
+    two sides, or None — lets e.g. '(alfa ANDNOT bravo) AND *' collapse
+    to Every('text') in the sibling Every sweep."""
+    f = self.a.field()
+    if self.b.field() == f:
+        return f
+    return None
+
+
+AndNot.field = Require.field = AndMaybe.field = Otherwise.field = _binary_field
+
+
+def _wrapper_field(self) -> Optional[str]:
+    """WrappingQuery.field delegates to the child (wrappers.py:60-61)."""
+    return self.child.field()
+
+
+ConstantScoreQuery.field = WeightingQuery.field = _wrapper_field
+
+
 @dataclass(frozen=True)
 class Phrase(Query):
     """Terms adjacent in order, slop=1 (positional.py:134-277).
@@ -678,6 +744,9 @@ class Wildcard(_MultiTerm):
         # pattern without wildcards is a plain Term; trailing-star-only is a
         # Prefix (same rewrites the reference applies in Wildcard.normalize)
         t = self.text
+        if t == "*":
+            # terms.py:352-355: a bare-star Wildcard IS the field's Every
+            return Every(self.boost, self.fieldname)
         if "*" not in t and "?" not in t:
             return Term(t, self.fieldname, self.boost)
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
@@ -780,7 +849,7 @@ class TermRange(_MultiTerm):
 
     def normalize(self) -> Query:
         if self.start is None and self.end is None:
-            return Every(self.boost)  # ranges.py:190-208
+            return Every(self.boost, self.fieldname)  # ranges.py:190-208
         if self.start is not None and self.start == self.end:
             if self.startexcl or self.endexcl:
                 return NullQuery()

@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
   | (?P<phrase>(?:(?P<p_field>\w+):)?"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?(\^(?P<p_boost>\d+(\.\d+)?))?)
   | (?P<range>(?:(?P<r_field>\w+):)?[\[{]\s*(?:(?P<r_lo>(?!(?:TO|to)[\s\]}])\S+)\s+)?(?:TO|to)(\s+(?P<r_hi>\S+?))?\s*[\]}](\^(?P<r_boost>\d+(\.\d+)?))?)
   | (?P<func>\#[A-Za-z_][A-Za-z0-9._]*(?:\[[^\]]*\])?)
-  | (?P<squote>(?:(?P<s_field>\w+):)?'(?P<squote_body>[^']*)')
+  | (?P<squote>(?:(?P<s_field>\w+):)?'(?P<squote_body>.*?)'(?=\s|\]|[)}]|$))
   | (?P<word>[^\s()]+)
 """,
     re.VERBOSE,
@@ -728,7 +728,13 @@ class QueryParser:
             return self._leaf_hooks(leaf, rf)
         if isinstance(leaf, Q.Term):
             return self._unfielded_leaf(leaf)
-        return self._leaf_hooks(leaf, None)
+        # unfielded multitoken: MultifieldPlugin copies the WHOLE node per
+        # field, so 'alfa bravo' in the MF parser is Or([And(name:a,
+        # name:b), And(value:a, value:b)]) — NOT per-token Ors (verified
+        # live; the per-token And([Or,Or]) shape only appears when a
+        # trailing ^boost defeats the squote regex and the tokens lex as
+        # separate words)
+        return self._unfielded_multitoken(words, 1.0)
 
     def _parse_sequence_body(self, body: str, slop: int) -> Q.Query:
         """SequencePlugin body: parse the quoted text with the full grammar
@@ -862,6 +868,18 @@ class QueryParser:
         """Hook for MultifieldParser; identity in the base parser."""
         return self._leaf_hooks(q, None)
 
+    def _unfielded_multitoken(self, words: Sequence[str],
+                              boost: float) -> Q.Query:
+        """An unfielded word/quoted node whose analysis yields several
+        tokens.  Base parser: And of Terms on the default field, the node
+        boost on each term (default.py:172-204 term_query with the
+        AndGroup multitoken default).  MultifieldParser overrides with
+        whole-node per-field expansion."""
+        return self._leaf_hooks(
+            Q.And(tuple(Q.Term(w, self.fieldname, boost) for w in words)),
+            None,
+        )
+
     def _word(self, raw: str) -> Q.Query:
         boost = 1.0
         fieldname = self.fieldname
@@ -870,9 +888,18 @@ class QueryParser:
         if m:
             boost = float(m.group(1))
             raw = raw[: m.start()]
-        # EveryPlugin: *:* (and bare *) matches every document
-        if raw in ("*", "*:*"):
-            return Q.Every(boost)
+        # EveryPlugin (plugins.py:349-360): '*:*' is the UNFIELDED Every —
+        # its node ignores any trailing boost ('*:*^2' parses boost=1),
+        # and inside And/Or it absorbs the whole compound in normalize.
+        # A bare '*' is NOT EveryPlugin: it's WildcardPlugin's
+        # Wildcard('*'), which normalizes to the FIELD's Every and is
+        # multifield-expanded like any unfielded leaf (verified live:
+        # MF '*^2' -> Or([Every(name), Every(value)], boost=2)).
+        if raw == "*:*":
+            return Q.Every(1.0, None)
+        if raw == "*":
+            leaf = Q.Wildcard("*", fieldname, boost)
+            return self._unfielded_leaf(leaf)
         if ":" in raw:
             field, rest = raw.split(":", 1)
             rf = self._resolve_field(field)
@@ -881,7 +908,7 @@ class QueryParser:
                 explicit_field = rf
                 raw = rest
             elif field == "*" and rest == "*":
-                return Q.Every(boost)
+                return Q.Every(1.0, None)
             else:
                 raw = rest
         # GtLtPlugin: requires an explicit field specifier (plugins.py:1093)
@@ -931,20 +958,34 @@ class QueryParser:
                 if explicit_field is not None
                 else self._unfielded_leaf(leaf)
             )
+        if maxdist is not None:
+            # FuzzyTermPlugin text is the raw token LOWERCASED, never
+            # tokenized: "bravo'~2" keeps the apostrophe, 'the~1' keeps
+            # the stopword ('BRAVO~1' -> FuzzyTerm('bravo'); verified
+            # live vs reference).  A trailing ^boost never reaches a
+            # fuzzy: the lexer splits 'alfa~2^3' into two tokens (see
+            # _lex), so `boost` is 1 here.
+            if not raw:
+                return Q.NullQuery()
+            leaf = Q.FuzzyTerm(
+                raw.lower(), fieldname, boost, maxdist=maxdist,
+                prefixlength=prefixlength,
+            )
+            if explicit_field is not None:
+                return self._leaf_hooks(leaf, explicit_field)
+            return self._unfielded_leaf(leaf)
         terms = self.analyzer.query_terms(raw)
         if not terms:
             return Q.NullQuery()
-        if maxdist is not None:
-            # a trailing ^boost never reaches a fuzzy: the lexer splits
-            # 'alfa~2^3' into two tokens (see _lex), so `boost` is 1 here
-            leaf = Q.FuzzyTerm(
-                terms[0], fieldname, boost, maxdist=maxdist,
-                prefixlength=prefixlength,
-            )
-        elif len(terms) == 1:
+        if len(terms) == 1:
             leaf = Q.Term(terms[0], fieldname, boost)
         else:
-            # multi-token word (e.g. hyphenated) -> phrase-like AND
+            # multi-token word (e.g. hyphenated): single-field keeps the
+            # node boost on EACH term ('alfa-bravo^2' -> And([alfa^2,
+            # bravo^2])); the MF parser expands the whole node per field
+            # with the boost on the Or group instead (verified live)
+            if explicit_field is None:
+                return self._unfielded_multitoken(terms, boost)
             leaf = Q.And(tuple(Q.Term(w, fieldname, boost) for w in terms))
         if explicit_field is not None:
             return self._leaf_hooks(leaf, explicit_field)
@@ -970,6 +1011,32 @@ class MultifieldParser(QueryParser):
         )
         self.fieldnames = list(fieldnames)
         self.fieldboosts = dict(fieldboosts or {})
+
+    def _unfielded_multitoken(self, words: Sequence[str],
+                              boost: float) -> Q.Query:
+        """MultifieldPlugin copies the whole multitoken node per field
+        (plugins.py:1157-1203): each copy is that field's And of Terms
+        with the copy boost SET to the field boost, the node's own ^boost
+        going on the Or group — 'alfa-bravo^2' is Or([And(name:alfa,
+        name:bravo), And(value:alfa, value:bravo)], boost=2) (verified
+        live vs reference)."""
+        if self._fielded_group_depth > 0:
+            return self._leaf_hooks(
+                Q.And(tuple(Q.Term(w, self.fieldname, boost) for w in words)),
+                self.fieldname,
+            )
+        copies = []
+        for f in self.fieldnames:
+            copies.append(
+                self._leaf_hooks(
+                    Q.And(
+                        tuple(Q.Term(w, f) for w in words),
+                        boost=self.fieldboosts.get(f, 1.0),
+                    ),
+                    f,
+                )
+            )
+        return _mark_group(Q.Or(tuple(copies), boost=boost), "Or")
 
     def _unfielded_leaf(self, q: Q.Query) -> Q.Query:
         from dataclasses import replace
@@ -997,6 +1064,15 @@ class MultifieldParser(QueryParser):
         )
 
 
+# SimpleParser/DisMaxParser grammar (default.py:415-449 pins): ONLY
+# WhitespacePlugin + PlusMinusPlugin + PhrasePlugin — no fields, no
+# wildcards, no boosts, no ranges, no groups.  Everything that isn't a
+# phrase is a whitespace-delimited token of plain analyzed text.
+_SIMPLE_TOKEN_RE = re.compile(
+    r'"(?P<phrase>[^"]*)"(~(?P<slop>[1-9]\d*))?|(?P<word>\S+)'
+)
+
+
 class SimpleParser(QueryParser):
     """The reference's SimpleParser (qparser/default.py:415-424): only
     +required / -prohibited / phrase syntax, optional terms Or-grouped.
@@ -1005,36 +1081,39 @@ class SimpleParser(QueryParser):
     required / optional / banned; result =
     AndNot(AndMaybe(And(required), Or(optional)), Or(banned)) with empty
     groups collapsing away in normalize().
-    """
+
+    With no Fields/Wildcard/Fuzzy/Boost/Range plugins pinned, every
+    non-phrase token is PLAIN TEXT through the analyzer: 'name:alfa' is
+    the two terms name+alfa, 'alf*' keeps its star as a literal (the
+    default token pattern classes '*' as a word char), 'alfa^3'/'alfa~1'
+    lose their suffix to tokenization, '[alfa TO bravo]' is alfa+bravo
+    ('to' is a stopword) — all verified live vs the reference.
+    Multitoken text groups with the parser's OrGroup, not And."""
 
     def parse(self, s: str) -> Q.Query:
-        toks = _lex(s)
         required: List[Q.Query] = []
         optional: List[Q.Query] = []
         banned: List[Q.Query] = []
         target = optional
-        for t in toks:
-            if t.kind == "word" and t.value in ("+", "-"):
-                target = required if t.value == "+" else banned
-                continue
-            if t.kind == "phrase":
-                words = self.analyzer.query_terms(t.value)
-                node = (
-                    Q.Phrase(tuple(words), self.fieldname, slop=t.slop)
-                    if words
-                    else Q.NullQuery()
+        for m in _SIMPLE_TOKEN_RE.finditer(s):
+            if m.group("phrase") is not None:
+                node = self._simple_phrase(
+                    m.group("phrase"),
+                    int(m.group("slop")) if m.group("slop") else 1,
                 )
-            elif t.kind == "word":
-                raw = t.value
+            else:
+                raw = m.group("word")
+                if raw in ("+", "-"):
+                    # standalone sign applies to the NEXT node
+                    target = required if raw == "+" else banned
+                    continue
                 if raw.startswith("+") and len(raw) > 1:
                     target = required
                     raw = raw[1:]
                 elif raw.startswith("-") and len(raw) > 1:
                     target = banned
                     raw = raw[1:]
-                node = self._word(raw)
-            else:
-                continue  # no grouping syntax in the simple grammar
+                node = self._simple_word(raw)
             if not isinstance(node, Q.NullQuery):
                 target.append(node)
             target = optional
@@ -1044,3 +1123,68 @@ class SimpleParser(QueryParser):
         if banned:
             group = Q.AndNot(group, Q.Or(tuple(banned)))
         return group.normalize()
+
+    def _simple_word(self, raw: str) -> Q.Query:
+        terms = self.analyzer.query_terms(raw)
+        if not terms:
+            return Q.NullQuery()
+        if len(terms) == 1:
+            return Q.Term(terms[0], self.fieldname)
+        return Q.Or(tuple(Q.Term(w, self.fieldname) for w in terms))
+
+    def _simple_phrase(self, body: str, slop: int) -> Q.Query:
+        words = self.analyzer.query_terms(body)
+        if not words:
+            return Q.NullQuery()
+        if len(words) == 1:
+            return Q.Term(words[0], self.fieldname)
+        return Q.Phrase(tuple(words), self.fieldname, slop=slop)
+
+
+class DisMaxParser(SimpleParser):
+    """The reference's DisMaxParser (qparser/default.py:427-449): the
+    SimpleParser grammar with every node expanded across `fieldboosts`
+    fields into a DisjunctionMax — per-field copies carry the field
+    boost (MultifieldPlugin set_boost), multitoken text stays an
+    OrGroup inside each field's copy (verified live: 'name:alfa' ->
+    DisMax([Or([name:name, name:alfa]), Or([value:name^2,
+    value:alfa^2])]) for fieldboosts {name:1, value:2})."""
+
+    def __init__(self, fieldboosts: Dict[str, float], tiebreak: float = 0.0,
+                 analyzer: Optional[StandardAnalyzer] = None,
+                 schema: Optional[Dict[str, str]] = None):
+        fields = list(fieldboosts.keys())
+        super().__init__(
+            fieldname=fields[0], analyzer=analyzer,
+            known_fields=fields, schema=schema,
+        )
+        self.fieldboosts = dict(fieldboosts)
+        self.tiebreak = tiebreak
+
+    def _simple_word(self, raw: str) -> Q.Query:
+        terms = self.analyzer.query_terms(raw)
+        if not terms:
+            return Q.NullQuery()
+        copies = []
+        for f, fb in self.fieldboosts.items():
+            if len(terms) == 1:
+                copies.append(Q.Term(terms[0], f, fb))
+            else:
+                copies.append(
+                    Q.Or(tuple(Q.Term(w, f, fb) for w in terms))
+                )
+        return Q.DisjunctionMax(tuple(copies), tiebreak=self.tiebreak)
+
+    def _simple_phrase(self, body: str, slop: int) -> Q.Query:
+        words = self.analyzer.query_terms(body)
+        if not words:
+            return Q.NullQuery()
+        copies = []
+        for f, fb in self.fieldboosts.items():
+            if len(words) == 1:
+                copies.append(Q.Term(words[0], f, fb))
+            else:
+                copies.append(
+                    Q.Phrase(tuple(words), f, slop=slop, boost=fb)
+                )
+        return Q.DisjunctionMax(tuple(copies), tiebreak=self.tiebreak)
