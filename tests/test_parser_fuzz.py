@@ -10,6 +10,8 @@ fuzz are pinned in test_parser.py-style goldens once found; none are
 currently known for the grammar below.
 """
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, event, given, settings
 from hypothesis import strategies as st
@@ -178,7 +180,7 @@ def fuzz_engines(spark, tmp_path_factory):
 
 
 @settings(
-    max_examples=300,
+    max_examples=int(os.environ.get("WRS_FUZZ_EXAMPLES", "300")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -394,7 +396,7 @@ def mf_engines(spark, tmp_path_factory):
 
 
 @settings(
-    max_examples=150,
+    max_examples=int(os.environ.get("WRS_MF_FUZZ_EXAMPLES", "150")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
