@@ -453,11 +453,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{sf}/documents.parquet")
 
     def dedup_exact(spark, sf):
+        # tagged union: full-text exact groups (usually empty below
+        # sf0.1 — the generator plants byte dups only at scale) + the
+        # boilerplate-prefix variant (non-empty at sf0.01, so the
+        # driver's value hash checks real rows every round)
         from whoosh_reloaded_spark.textops import exact_dup_groups
 
-        return exact_dup_groups(_docs(spark, sf)).select(
-            "dup_key", F.col("n_docs").cast("long").alias("n_docs"), "keep_doc"
+        docs = _docs(spark, sf)
+        full = exact_dup_groups(docs).select(
+            F.lit("full").alias("leg"), "dup_key",
+            F.col("n_docs").cast("long").alias("n_docs"), "keep_doc",
         )
+        pref = exact_dup_groups(docs, prefix=120).select(
+            F.lit("prefix120").alias("leg"), "dup_key",
+            F.col("n_docs").cast("long").alias("n_docs"), "keep_doc",
+        )
+        return full.unionByName(pref)
 
     q["dedup_exact"] = dedup_exact
 
@@ -1565,11 +1576,20 @@ WITH t AS (
 """
 
     o["dedup_exact"] = """
-SELECT md5(text) AS dup_key,
+SELECT 'full' AS leg,
+       md5(text) AS dup_key,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_doc
 FROM documents
 GROUP BY md5(text)
+HAVING count(*) > 1
+UNION ALL
+SELECT 'prefix120' AS leg,
+       md5(substr(text, 1, 120)) AS dup_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM documents
+GROUP BY md5(substr(text, 1, 120))
 HAVING count(*) > 1
 """
 

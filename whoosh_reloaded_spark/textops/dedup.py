@@ -31,10 +31,19 @@ def _tokens(text_col):
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical texts: (dup_key, n_docs, keep_doc)."""
+                     text_col: str = "text",
+                     prefix: int = 0) -> DataFrame:
+    """Groups of byte-identical texts: (dup_key, n_docs, keep_doc).
+
+    ``prefix > 0`` hashes only the first `prefix` characters — the
+    boilerplate-prefix exact-dedup variant web pipelines run alongside
+    full-text dedup (shared headers/templates collide on the prefix
+    while full hashes differ).  One hash + one groupBy either way: the
+    map-side partial agg means the 100-TB scan ships only (hash,
+    count, min) partials into the shuffle."""
+    key = F.col(text_col) if prefix <= 0 else F.substring(text_col, 1, prefix)
     return (
-        docs.select(F.md5(F.col(text_col)).alias("dup_key"), F.col(id_col))
+        docs.select(F.md5(key).alias("dup_key"), F.col(id_col))
         .groupBy("dup_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
