@@ -944,13 +944,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def spelling_suggest(spark, sf):
         """ReaderCorrector.suggest ranking: frequency desc, term asc over
         the maxdist=2 plain-Levenshtein neighborhood (the reference's lev
-        automaton has no transposition edges)."""
+        automaton has no transposition edges).  Four misspellings, tagged,
+        so the driver's value hash covers real ranking rows at sf0.01."""
         from whoosh_reloaded_spark.spelling import suggest
 
         s = _searcher(spark, sf)
-        words = suggest(s, "sprak", limit=5, maxdist=2)
+        rows = []
+        for word in ("sprak", "jion", "datt", "tabel"):
+            for i, w in enumerate(suggest(s, word, limit=5, maxdist=2)):
+                rows.append((word, i + 1, w))
         return spark.createDataFrame(
-            [(i + 1, w) for i, w in enumerate(words)], "rank int, term string"
+            rows, "word string, rank int, term string"
         )
 
     q["spelling_suggest"] = spelling_suggest
@@ -2285,12 +2289,15 @@ WHERE term IN ('spark', 'join')
         _BASE_CTE
         + """
 , cand AS (SELECT term, sum(w) AS f FROM tf GROUP BY 1)
-SELECT CAST(row_number() OVER (ORDER BY f DESC, term ASC) AS INT) AS rank,
-       term
-FROM cand
-WHERE levenshtein(term, 'sprak') <= 2
-ORDER BY rank
-LIMIT 5
+, words(word) AS (VALUES ('sprak'), ('jion'), ('datt'), ('tabel'))
+, ranked AS (
+    SELECT w.word, c.term, c.f,
+           CAST(row_number() OVER (
+               PARTITION BY w.word ORDER BY c.f DESC, c.term ASC
+           ) AS INT) AS rank
+    FROM words w JOIN cand c ON levenshtein(c.term, w.word) <= 2
+)
+SELECT word, rank, term FROM ranked WHERE rank <= 5
 """
     )
 
