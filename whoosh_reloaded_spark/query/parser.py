@@ -1066,10 +1066,14 @@ class MultifieldParser(QueryParser):
 
 # SimpleParser/DisMaxParser grammar (default.py:415-449 pins): ONLY
 # WhitespacePlugin + PlusMinusPlugin + PhrasePlugin — no fields, no
-# wildcards, no boosts, no ranges, no groups.  Everything that isn't a
-# phrase is a whitespace-delimited token of plain analyzed text.
+# wildcards, no boosts, no ranges, no groups.  The reference's taggers
+# match at ANY position, so '+'/'-'/'"' SPLIT words: 'alfa-bravo' is
+# word+Minus+word (bravo PROHIBITED), 'alfa"b c"' is word+phrase.
+# Everything else is plain analyzed text.
 _SIMPLE_TOKEN_RE = re.compile(
-    r'"(?P<phrase>[^"]*)"(~(?P<slop>[1-9]\d*))?|(?P<word>\S+)'
+    r'"(?P<phrase>[^"]*)"(~(?P<slop>[1-9]\d*))?'
+    r'|(?P<sign>[+-])'
+    r'|(?P<word>[^\s+"-]+)'
 )
 
 
@@ -1096,26 +1100,24 @@ class SimpleParser(QueryParser):
         banned: List[Q.Query] = []
         target = optional
         for m in _SIMPLE_TOKEN_RE.finditer(s):
+            if m.group("sign") is not None:
+                # a sign applies to the NEXT node, across whitespace;
+                # consecutive signs: last one wins ('+-alfa' bans alfa)
+                target = required if m.group("sign") == "+" else banned
+                continue
             if m.group("phrase") is not None:
                 node = self._simple_phrase(
                     m.group("phrase"),
                     int(m.group("slop")) if m.group("slop") else 1,
                 )
             else:
-                raw = m.group("word")
-                if raw in ("+", "-"):
-                    # standalone sign applies to the NEXT node
-                    target = required if raw == "+" else banned
-                    continue
-                if raw.startswith("+") and len(raw) > 1:
-                    target = required
-                    raw = raw[1:]
-                elif raw.startswith("-") and len(raw) > 1:
-                    target = banned
-                    raw = raw[1:]
-                node = self._simple_word(raw)
-            if not isinstance(node, Q.NullQuery):
-                target.append(node)
+                node = self._simple_word(m.group("word"))
+            # NullQuery nodes are KEPT: normalize cascades them the way
+            # the reference's BooleanQuery does — an all-null required
+            # group nukes the query ('+the alfa' -> NullQuery via
+            # AndMaybe(And([null]), ...)), while null banned/optional
+            # nodes drop harmlessly (verified live)
+            target.append(node)
             target = optional
         group: Q.Query = Q.Or(tuple(optional))
         if required:
