@@ -469,9 +469,11 @@ def test_term_vectors_column(spark):
 
 
 def test_scaled_or_zero_term_matchers_yields_docs(spark):
-    """Or(scale) whose children contribute ZERO term matchers (e.g. only
-    Nots) has a degenerate SQR denominator; the reference CoordMatcher still
-    yields the matching docs at score 0 — not an empty result."""
+    """Or(scale) whose children contribute ZERO term matchers skips the
+    coordination wrapper entirely and scores as a plain Or — the
+    reference applies CoordMatcher only `if self.scale and
+    any(m.term_matchers())` (compound.py:377, round-5 or-mode fuzz,
+    verified live on '* NOT *'): docs are neither dropped nor zeroed."""
     import datetime
 
     from whoosh_reloaded_spark.query import DateRange
@@ -494,7 +496,8 @@ def test_scaled_or_zero_term_matchers_yields_docs(spark):
     )
     hits = s.search(q, limit=None).collect()
     assert len(hits) == 40  # every doc matches — NOT silently dropped
-    assert all(h["score"] == 0.0 for h in hits)
+    # no term matchers -> no CoordMatcher -> plain Or sum (range score 1.0)
+    assert all(h["score"] == 1.0 for h in hits)
 
 
 def test_document_lookup(spark):

@@ -286,7 +286,16 @@ def _flatten(cls, children: Tuple[Query, ...], boost: float) -> List[Query]:
             continue
         if isinstance(c, cls):
             for gc in c.children:
-                out.append(_apply_boost(gc, c.boost))
+                # compound.py:122-124 hoists with ss.with_boost(ss.boost *
+                # s.boost) UNCONDITIONALLY — and BinaryQuery.with_boost
+                # SETS both sides (compound.py:527-528), so hoisting an
+                # AndNot through a same-class group CLOBBERS its sides'
+                # own boosts even when every group boost is 1.0:
+                # 'text:([alfa TO alfa]^2 ANDNOT bravo x)' ends with the
+                # range's ^2 wiped (round-5 or-mode fuzz, verified live)
+                out.append(
+                    _set_boost(gc, getattr(gc, "boost", 1.0) * c.boost)
+                )
         else:
             out.append(c)
     seen, dedup = set(), []
@@ -421,7 +430,12 @@ class And(_Compound):
         kids = _collapse_every(_merge_ranges(kids, intersect=True))
         if not kids:
             return NullQuery()
-        if len(kids) == 1 and not isinstance(kids[0], Not):
+        if len(kids) == 1:
+            # single survivor collapses out — INCLUDING a bare Not
+            # (compound.py:186-192 returns subqs[0] unconditionally):
+            # '{alfa TO alfa} NOT alfa' is Not(alfa) at the root, scored
+            # as the plain 1.0 complement with NO coordination wrapper
+            # (round-5 or-mode fuzz, verified live)
             return _apply_boost(kids[0], self.boost)
         return And(tuple(kids), self.boost)
 
@@ -445,7 +459,8 @@ class Or(_Compound):
         kids = _collapse_every(_merge_ranges(kids, intersect=False))
         if not kids:
             return NullQuery()
-        if len(kids) == 1 and not isinstance(kids[0], Not):
+        if len(kids) == 1:
+            # see And.normalize: a lone Not collapses out too
             return _apply_boost(kids[0], self.boost)
         return Or(tuple(kids), self.boost, self.scale)
 

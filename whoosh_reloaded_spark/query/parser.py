@@ -213,10 +213,18 @@ class QueryParser:
                  basedate=None, field_aliases=None,
                  copy_fields_mirror: bool = False,
                  operators: Optional[Dict[str, Optional[str]]] = None,
-                 functions=None):
+                 functions=None, group_scale: Optional[float] = None):
         self.fieldname = fieldname
         self.analyzer = analyzer or StandardAnalyzer()
+        # group="or" is the reference's QueryParser(group=OrGroup):
+        # juxtaposition, parens, multitoken words and the implicit
+        # top-level wrap all build Or groups; explicit AND still Ands.
+        # group_scale mirrors OrGroup.factory(s) — the parser-built Or
+        # groups carry the coordination scale, and because the implicit
+        # top-level wrap is one of them, the surviving root Or keeps it
+        # even for explicit 'a OR b' (verified live vs reference).
         self.group = group
+        self.group_scale = group_scale
         # extension point (the reference's Plugin.filters run over the
         # syntax tree, qparser/plugins.py:60-90): each plugin is a callable
         # Query -> Query applied bottom-up after parsing, before normalize.
@@ -350,12 +358,17 @@ class QueryParser:
         for plugin in self.plugins:
             q = _map_tree(q, plugin)
         # The reference wraps every parse in the implicit top-level
-        # AndGroup, so a boosted And GROUP at the root flattens into it
-        # and its boost pushes down onto each child via with_boost
+        # parser.group (AndGroup by default, OrGroup for group='or'), so
+        # a boosted same-class GROUP at the root flattens into it and its
+        # boost pushes down onto each child via with_boost
         # (compound.py:122-124) — '((alfa AND alfa~)^2)' becomes
         # And([alfa^2, fuzzy^2]), where the fuzzy's pushed boost then
         # dies in singleton expansion.  Mirror with the same wrapper; a
-        # non-And root (e.g. a boosted Or) just collapses back out.
+        # root of the other class just collapses back out.  In or-mode
+        # the wrapper carries group_scale, which is why even explicit
+        # 'a OR b' ends with the factory's coordination scale.
+        if self.group == "or":
+            return Q.Or((q,), scale=self.group_scale).normalize()
         return Q.And((q,)).normalize()
 
     def _whole_input_group(self) -> bool:
@@ -509,8 +522,9 @@ class QueryParser:
             return Q.NullQuery()
         if len(qs) == 1:
             return qs[0]
-        # the enclosing group is the parser's default AndGroup
-        return _mark_group(Q.And(tuple(qs)), "And")
+        # the enclosing group is the parser's default group (AndGroup,
+        # or OrGroup with group='or')
+        return self._make_group(qs)
 
     def _not_expr(self) -> Q.Query:
         t = self._peek()
@@ -723,7 +737,11 @@ class QueryParser:
         if len(words) == 1:
             leaf: Q.Query = Q.Term(words[0], fieldname)
         else:
-            leaf = Q.And(tuple(Q.Term(w, fieldname) for w in words))
+            # multitoken group follows the parser's group class (no
+            # coordination scale — see _make_group)
+            leaf = self._make_group(
+                (Q.Term(w, fieldname) for w in words), scaled=False
+            )
         if rf is not None:
             return self._leaf_hooks(leaf, rf)
         if isinstance(leaf, Q.Term):
@@ -769,25 +787,53 @@ class QueryParser:
             return replace(q, boost=q.boost * boost)
         return q
 
-    @staticmethod
-    def _paren_group(q: Q.Query, boost: Optional[float] = None) -> Q.Query:
-        """GroupPlugin wraps '(...)' in the parser's default AndGroup
-        (reference default.py group=syntax.AndGroup): that WRAPPER is what
-        a trailing ^boost attaches to and what a following AND splices
-        into (_apply_op_passes merging splice).  Keeping the wrapper — an
-        inner Or is NOT re-marked — is what makes '(alfa OR bravo)^2 OR c'
-        flatten (no splice, c unboosted) while '(a b)^2 AND c' splices
-        (c boosted), exactly as verified live against the reference.
+    def _group_cls(self):
+        return Q.Or if self.group == "or" else Q.And
+
+    def _group_name(self) -> str:
+        return "Or" if self.group == "or" else "And"
+
+    def _make_group(self, children, boost: float = 1.0,
+                    scaled: bool = True) -> Q.Query:
+        """Build the parser's DEFAULT group (the reference's parser.group
+        — AndGroup unless group='or'/OrGroup).  Or-mode PAREN/top-level/
+        juxtaposition groups carry the OrGroup.factory coordination
+        scale, but MULTITOKEN word groups do NOT (verified live:
+        "alfa AND 'alfa bravo'" nests an unscaled Or while
+        'alfa AND (bravo charlie)' nests a scaled one) — pass
+        scaled=False for multitoken expansion."""
+        if self.group == "or":
+            return _mark_group(
+                Q.Or(
+                    tuple(children), boost=boost,
+                    scale=(self.group_scale if scaled else None),
+                ),
+                "Or",
+            )
+        return _mark_group(Q.And(tuple(children), boost), "And")
+
+    def _paren_group(self, q: Q.Query, boost: Optional[float] = None) -> Q.Query:
+        """GroupPlugin wraps '(...)' in the parser's default group
+        (reference default.py group=syntax.AndGroup unless OrGroup):
+        that WRAPPER is what a trailing ^boost attaches to and what a
+        following same-op splices into (_apply_op_passes merging splice).
+        Keeping the wrapper — an inner group of the OTHER type is NOT
+        re-marked — is what makes '(alfa OR bravo)^2 OR c' flatten (no
+        splice, c unboosted) while '(a b)^2 AND c' splices (c boosted),
+        exactly as verified live against the reference; in or-mode the
+        roles swap ('(a b)^2 OR c' splices, boosting c).
         normalize() collapses single-child wrappers, multiplying boosts."""
         from dataclasses import replace
 
-        already_marked = isinstance(q, Q.And) and (
-            getattr(q, "_syntax_group", None) == "And"
+        gcls, gname = self._group_cls(), self._group_name()
+        already_marked = isinstance(q, gcls) and (
+            getattr(q, "_syntax_group", None) == gname
         )
         if not already_marked:
-            q = Q.And((q,))
+            q = self._make_group((q,))
             if boost is not None:
                 q = replace(q, boost=boost)
+            return _mark_group(q, gname)
         else:
             # '((...))' / '((...)^2)^3': every paren pair is its own
             # GroupNode in the reference, so an outer paren adds a FRESH
@@ -798,8 +844,8 @@ class QueryParser:
             # '((alfa)^2)^2 AND alfa' boosts the swallowed alfa by 2 while
             # the inner contents get the nested product 4 (round-5 fuzz,
             # verified live vs reference)
-            q = Q.And((q,), boost=(1.0 if boost is None else boost))
-        return _mark_group(q, "And")
+            q = self._make_group((q,), boost=(1.0 if boost is None else boost))
+        return _mark_group(q, self._group_name())
 
     # -- range construction by field kind ------------------------------------
 
@@ -876,7 +922,10 @@ class QueryParser:
         AndGroup multitoken default).  MultifieldParser overrides with
         whole-node per-field expansion."""
         return self._leaf_hooks(
-            Q.And(tuple(Q.Term(w, self.fieldname, boost) for w in words)),
+            self._make_group(
+                (Q.Term(w, self.fieldname, boost) for w in words),
+                scaled=False,
+            ),
             None,
         )
 
@@ -986,7 +1035,9 @@ class QueryParser:
             # with the boost on the Or group instead (verified live)
             if explicit_field is None:
                 return self._unfielded_multitoken(terms, boost)
-            leaf = Q.And(tuple(Q.Term(w, fieldname, boost) for w in terms))
+            leaf = self._make_group(
+                (Q.Term(w, fieldname, boost) for w in terms), scaled=False
+            )
         if explicit_field is not None:
             return self._leaf_hooks(leaf, explicit_field)
         return self._unfielded_leaf(leaf)

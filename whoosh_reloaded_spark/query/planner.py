@@ -457,14 +457,149 @@ class Searcher:
 
     # -- coordination (SQR) helpers -------------------------------------------
 
-    def _n_term_matchers(self, q: Q.Query) -> int:
-        """Number of leaf term matchers the reference builds for q
-        (Matcher.term_matchers, mcore.py:103-110) — CoordMatcher's termcount
-        (wrappers.py:542)."""
+    def _eval_with_tm(self, c: Q.Query) -> DataFrame:
+        """Child frame (docid, score, _tm) for the SQR matching count.
+        `_tm` is the number of the child's live term matchers AT the doc
+        (Matcher.matching_terms, mcore.py:112-124): constant for
+        Term/Phrase/And (a match implies every leaf active), but PER-DOC
+        for multiterm expansions and nested unscaled Ors, where only the
+        terms the doc contains are active — the round-5 or-mode fuzz
+        caught the constant upper bound overcounting
+        ('alfa OR [alfa TO]').  Binary/Not children keep the documented
+        constant approximation (the reference's own count there depends
+        on cursor positions of non-matching branches)."""
+        tmf = self._tm_frame(c)
+        if tmf is not None:
+            return self._eval(c).join(tmf, "docid", "left").select(
+                "docid", "score",
+                F.coalesce(F.col("_tm"), F.lit(0)).alias("_tm"),
+            )
+        return self._eval(c).withColumn(
+            "_tm", F.lit(self._matching_term_count(c))
+        )
+
+    def _tm_frame(self, q: Q.Query) -> Optional[DataFrame]:
+        """(docid, _tm) — per-doc count of q's term matchers active at the
+        doc, for the term/phrase/multiterm/And/Or algebra; None when q
+        needs the constant fallback.  Intersection children count their
+        terms only on docs they match (inner join), matching the
+        reference's skip_to-driven cursor placement."""
         if isinstance(q, Q.Term):
-            return 1
+            self._lookup_stats([q.text])
+            if self._df_cache[q.text] == 0:
+                return None  # dead term: constant 0 fallback is exact
+            return self.ix.postings.where(
+                F.col("term") == q.text
+            ).select("docid", F.lit(1).alias("_tm"))
         if isinstance(q, (Q.Phrase, Q.Ordered)):
-            return len(q.words)
+            n = self._n_term_matchers(q)
+            if n == 0:
+                return None
+            return self._eval(q).select("docid", F.lit(n).alias("_tm"))
+        if isinstance(q, Q._MultiTerm):
+            texts = self.expand_terms(q)
+            if texts is None:
+                return None
+            return (
+                self.ix.postings.where(F.col("term").isin(list(texts)))
+                .groupBy("docid")
+                .agg(F.count(F.lit(1)).alias("_tm"))
+            )
+        if isinstance(q, Q.Or):
+            # scale is irrelevant here: the CoordMatcher wrapper is
+            # transparent to term_matchers, so a nested scaled Or counts
+            # like a plain union
+            frames = [self._tm_frame(cc) for cc in q.children]
+            if any(f is None for f in frames):
+                return None
+            u = frames[0]
+            for f2 in frames[1:]:
+                u = u.unionByName(f2)
+            return u.groupBy("docid").agg(F.sum("_tm").alias("_tm"))
+        if isinstance(q, Q.And):
+            out = None
+            for cc in q.children:
+                f = self._tm_frame(cc)
+                if f is None:
+                    return None
+                f = f.withColumnRenamed("_tm", "_tm_c")
+                if out is None:
+                    out = f.withColumnRenamed("_tm_c", "_tm")
+                else:
+                    out = out.join(f, "docid").select(
+                        "docid",
+                        (F.col("_tm") + F.col("_tm_c")).alias("_tm"),
+                    )
+            return out
+        if isinstance(q, Q.AndNot):
+            # at an AndNot-matched doc the excluded side's cursor is by
+            # construction NOT at the doc (it would have excluded it), so
+            # only the a side counts; _eval_with_tm's left join restricts
+            # to matched docs (verified live: 'alfa ANDNOT bravo NOT
+            # alfa' scores with m=1 at alfa docs, tc=3)
+            return self._tm_frame(q.a)
+        if isinstance(q, Q.Require):
+            # both sides present at every matched doc
+            fa, fb = self._tm_frame(q.a), self._tm_frame(q.b)
+            if fa is None or fb is None:
+                return None
+            fb = fb.withColumnRenamed("_tm", "_tm_b")
+            return fa.join(fb, "docid").select(
+                "docid", (F.col("_tm") + F.col("_tm_b")).alias("_tm")
+            )
+        if isinstance(q, Q.AndMaybe):
+            # a side always at matched docs; b side only where it matches
+            fa, fb = self._tm_frame(q.a), self._tm_frame(q.b)
+            if fa is None or fb is None:
+                return None
+            fb = fb.withColumnRenamed("_tm", "_tm_b")
+            return fa.join(fb, "docid", "left").select(
+                "docid",
+                (
+                    F.col("_tm") + F.coalesce(F.col("_tm_b"), F.lit(0))
+                ).alias("_tm"),
+            )
+        if isinstance(q, Q.Not):
+            # the inverse matcher's inner cursor parks on EXCLUDED docs,
+            # never on the docs the Not (or its union siblings) matches —
+            # 0 at-doc matchers even though its terms count toward tc
+            return self.ix.docmeta.select(
+                "docid", F.lit(0).alias("_tm")
+            )
+        return None
+
+    def _n_term_matchers(self, q: Q.Query) -> int:
+        """Number of LIVE leaf term matchers the reference builds for q
+        (Matcher.term_matchers, mcore.py:103-110) — CoordMatcher's termcount
+        (wrappers.py:542).  Live means present in the lexicon: a Term
+        with no postings becomes a NullMatcher that make_binary_tree
+        drops, so an OOV word contributes 0 — which is why the scaled
+        Or of 'alfa zebra' (zebra unindexed) has termcount 1 and SQR
+        factor (1-1)/1 = 0, scoring every doc 0.0 (round-5 or-mode fuzz
+        find, verified live vs reference).  A phrase with any missing
+        word is a NullMatcher wholesale."""
+        if isinstance(q, Q.Term):
+            # a df=0 term builds a LEAF NullMatcher, which never enters
+            # the tree — 'alfa OR zebra' (zebra unindexed) has
+            # construction-time termcount 1, so its SQR factor (1-1)/1
+            # zeroes every score (round-5 or-mode fuzz, verified live).
+            # Dead COMPOUND subtrees are different: an empty
+            # intersection/AndNot keeps its live leaf matchers at
+            # construction ('alfa AND bravo' that co-occur nowhere still
+            # contributes 2) — only mid-iteration matcher REPLACEMENT
+            # would prune them, and that path is the reference's
+            # exhaustion artifact (test_reference_coord_exhaustion_
+            # artifact), not semantics we mirror.
+            self._lookup_stats([q.text])
+            return 1 if self._df_cache[q.text] > 0 else 0
+        if isinstance(q, (Q.Phrase, Q.Ordered)):
+            # Phrase.matcher returns NullMatcher wholesale when ANY word
+            # is missing from the field (positional.py is_leaf check), so
+            # a phrase contributes len(words) live matchers or none
+            self._lookup_stats(list(q.words))
+            if all(self._df_cache[w] > 0 for w in q.words):
+                return len(q.words)
+            return 0
         if isinstance(q, Q._MultiTerm):
             small = self.expand_terms(q)
             if small is not None:
@@ -539,12 +674,32 @@ class Searcher:
             for c in q.children:
                 boosts[c.text] = boosts.get(c.text, 0.0) + c.boost
             df = self._scored_postings(list(boosts), boosts=boosts)
+            tc = 0
             if q.scale:
                 # coordination bonus: the SQR function (CoordMatcher,
                 # matching/wrappers.py — from the published V-Twin paper):
                 # (score + (matching-1)/(termcount-scale)^2)*((tc-1)/tc)
-                tc = len(q.children)
-                if tc == 0 or tc == q.scale:
+                # termcount counts LIVE matchers only: OOV terms become
+                # NullMatchers the reference's tree drops (see
+                # _n_term_matchers); with ZERO live term matchers the
+                # reference skips CoordMatcher entirely (compound.py:377
+                # `if self.scale and any(m.term_matchers())`) and the Or
+                # scores plainly
+                # termcount counts matcher INSTANCES: Or([alfa, alfa^2])
+                # builds TWO term matchers for the same text (normalize
+                # keeps both — different boosts), so a duplicated child
+                # contributes its multiplicity to tc AND to the per-doc
+                # matching count (round-5 or-mode fuzz, "'alfa alfa'^2")
+                from collections import Counter
+
+                self._lookup_stats(list(boosts))
+                counts = Counter(
+                    c.text for c in q.children
+                    if self._df_cache[c.text] > 0
+                )
+                tc = sum(counts.values())
+            if q.scale and tc:
+                if tc == q.scale:
                     # degenerate SQR denominator: the reference's
                     # CoordMatcher still YIELDS the matching docs (score
                     # contribution 0) — union of children at score 0.0
@@ -552,11 +707,27 @@ class Searcher:
                         "docid", F.lit(0.0).alias("score")
                     )
                 # postings are unique per (term, docid), so a plain row
-                # count equals the distinct-term count — count_distinct
-                # here would add a second (docid, term) exchange
+                # count equals the distinct-term count; a duplicated
+                # child weights its term by its multiplicity
+                if all(v == 1 for v in counts.values()):
+                    m_col = F.count(F.lit(1))
+                else:
+                    mult_map = F.create_map(
+                        *[
+                            F.lit(x)
+                            for t, n_ in counts.items()
+                            for x in (t, float(n_))
+                        ]
+                    )
+                    m_col = F.sum(
+                        F.coalesce(
+                            F.element_at(mult_map, F.col("term")),
+                            F.lit(1.0),
+                        )
+                    )
                 agg = df.groupBy("docid").agg(
                     F.sum("score").alias("_s"),
-                    F.count(F.lit(1)).alias("_m"),
+                    m_col.alias("_m"),
                 )
                 sqr = (
                     F.col("_s")
@@ -607,9 +778,22 @@ class Searcher:
                 # term matchers active at the doc.  Each child frame carries
                 # its term-matcher count; when a child matches, all of its
                 # term matchers are active (exact for Term/Phrase/Ordered/
-                # And; Not contributes 0).
+                # And; Not contributes 0).  Pre-warm the df cache in ONE
+                # lexicon lookup so the per-child live-matcher counts
+                # don't each pay a driver round-trip.
+                texts: List[str] = []
+                for c in q.children:
+                    for leaf in c.leaves():
+                        if isinstance(leaf, Q.Term):
+                            texts.append(leaf.text)
+                        elif isinstance(leaf, (Q.Phrase, Q.Ordered)):
+                            texts.extend(leaf.words)
+                self._lookup_stats(texts)
                 tc = sum(self._n_term_matchers(c) for c in q.children)
-                if tc == 0 or tc == q.scale:
+            else:
+                tc = 0
+            if q.scale and tc:
+                if tc == q.scale:
                     # degenerate SQR denominator — still yield matching docs
                     # at score 0 like CoordMatcher._sqr (wrappers.py:560+)
                     u0 = self._eval(q.children[0]).select("docid")
@@ -618,12 +802,7 @@ class Searcher:
                     return u0.distinct().select(
                         "docid", F.lit(0.0).alias("score")
                     )
-                frames = [
-                    self._eval(c).withColumn(
-                        "_tm", F.lit(self._matching_term_count(c))
-                    )
-                    for c in q.children
-                ]
+                frames = [self._eval_with_tm(c) for c in q.children]
                 u = frames[0]
                 for f2 in frames[1:]:
                     u = u.unionByName(f2)
