@@ -409,6 +409,20 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
     once per save.  Postings sorted by (term, docid): parquet min/max stats
     give term-dictionary data skipping at query time.
     """
+    import time as _time
+
+    _timing = bool(os.environ.get("WRS_BUILD_TIMING"))
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            import sys as _sys
+
+            print(f"[build-timing] {label}: {now - _t0:.3f}s", file=_sys.stderr)
+            _t0 = now
+
     spark = ix.postings.sparkSession
     if term_partitions <= 0:
         term_partitions = spark.sparkContext.defaultParallelism
@@ -435,6 +449,7 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
             "positions", encode(F.col("positions"))
         )
     to_write.write.mode("overwrite").parquet(scratch)
+    _mark("scratch write (UDF pass)")
     sp = spark.read.parquet(scratch)
     # assign block_no BEFORE the final write so the stored postings carry
     # their WAND block id — query-time block filters become (term, block_no)
@@ -447,6 +462,7 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
+    _mark("postings write (block_no + range sort)")
     import shutil as _shutil
 
     _shutil.rmtree(scratch, ignore_errors=True)
@@ -464,6 +480,7 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         .write.mode("overwrite")
         .parquet(f"{path}/term_stats")
     )
+    _mark("term_stats write")
 
     if ix.docs_raw is not None:
         # docmeta without re-running the UDF: uid/stored from the raw doc
@@ -481,6 +498,7 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
     docmeta.repartitionByRange(
         max(1, term_partitions // 4), "docid"
     ).sortWithinPartitions("docid").write.mode("overwrite").parquet(f"{path}/docmeta")
+    _mark("docmeta write")
 
     blocks = compute_blocks(wp)
     (
@@ -489,6 +507,7 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         .write.mode("overwrite")
         .parquet(f"{path}/blocks")
     )
+    _mark("blocks write")
     # global stats from the WRITTEN docmeta (columnar scan of 2 columns)
     written = InvertedIndex(
         docmeta=spark.read.parquet(f"{path}/docmeta"),
@@ -499,6 +518,7 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         fieldname=ix.fieldname,
     )
     stats = written.ensure_stats()
+    _mark("global stats")
     ix.stats = stats
     stats_path = os.path.join(path, "stats.json")
     os.makedirs(path, exist_ok=True)

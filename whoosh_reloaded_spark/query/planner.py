@@ -729,13 +729,16 @@ class Searcher:
                     F.sum("score").alias("_s"),
                     m_col.alias("_m"),
                 )
+                # the Or's boost applies INSIDE the SQR: the reference
+                # wraps WrappingMatcher(m, boost) first and CoordMatcher
+                # outside it (compound.py _tree_matcher then
+                # DefaultOr._matcher), so the bonus term is NOT scaled by
+                # the node boost (round-6 fuzz fix, "('alfa alfa'^2)^2")
                 sqr = (
-                    F.col("_s")
+                    F.col("_s") * F.lit(q.boost)
                     + (F.col("_m") - 1) / F.lit(float((tc - q.scale) ** 2))
                 ) * F.lit((tc - 1) / tc)
-                return agg.select(
-                    "docid", (sqr * F.lit(q.boost)).alias("score")
-                )
+                return agg.select("docid", sqr.alias("score"))
             out = df.groupBy("docid").agg(F.sum("score").alias("score"))
             return out.select(
                 "docid", (F.col("score") * F.lit(q.boost)).alias("score")
@@ -810,13 +813,12 @@ class Searcher:
                     F.sum("score").alias("_s"),
                     F.sum("_tm").alias("_m"),
                 )
+                # node boost inside the SQR, like the fused path above
                 sqr = (
-                    F.col("_s")
+                    F.col("_s") * F.lit(q.boost)
                     + (F.col("_m") - 1) / F.lit(float((tc - q.scale) ** 2))
                 ) * F.lit((tc - 1) / tc)
-                return agg.select(
-                    "docid", (sqr * F.lit(q.boost)).alias("score")
-                )
+                return agg.select("docid", sqr.alias("score"))
             frames = [self._eval(c) for c in q.children]
             u = frames[0]
             for f2 in frames[1:]:
