@@ -327,7 +327,8 @@ def build_index(
     )
 
 
-def with_block_no(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
+def with_block_no(postings: DataFrame, salt_buckets: int = 64,
+                  max_docid: Optional[int] = None) -> DataFrame:
     """Posting rows + their <=128-posting `block_no` per term — the unit of
     block-max WAND skipping (ref: whoosh3.py:85 block size, :814-824 block
     stats).  save_index persists this column so WAND's block filters are
@@ -345,13 +346,31 @@ def with_block_no(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
     over `salt_buckets` tasks.  Docid order within a term is preserved
     because salts are docid ranges.
     """
-    spark = postings.sparkSession
-    max_docid_row = postings.agg(F.max("docid").alias("m")).collect()[0]
-    max_docid = int(max_docid_row["m"] or 0) + 1
-    width = max(1, max_docid // salt_buckets)
-    salt = (F.col("docid") / F.lit(width)).cast("int").alias("_salt")
-
-    p = postings.withColumn("_salt", salt)
+    if max_docid is not None:
+        # driver-known docid bound (save_index passes it from the cheap
+        # docs frame): salt width is a plain literal
+        width = max(1, (int(max_docid) + 1) // salt_buckets)
+        p = postings.withColumn(
+            "_salt", (F.col("docid") / F.lit(width)).cast("int")
+        )
+    else:
+        # LAZY width: a broadcast 1-row subframe instead of an eager
+        # collect.  The old `postings.agg(max(docid)).collect()` here made
+        # every build_index() call materialize the whole analyze+invert
+        # UDF pipeline once (mapInArrow is opaque to column pruning) just
+        # to size the salt — a full duplicate tokenization pass, ~30% of
+        # bench build time (round-6 measurement).
+        width_frame = postings.agg(
+            F.greatest(
+                F.floor((F.max("docid") + 1) / F.lit(salt_buckets)),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("_salt_width")
+        )
+        p = postings.crossJoin(F.broadcast(width_frame)).withColumn(
+            "_salt", (F.col("docid") / F.col("_salt_width")).cast("int")
+        ).drop("_salt_width")
     counts = p.groupBy("term", "_salt").agg(F.count(F.lit(1)).alias("_c"))
     w = (
         Window.partitionBy("term")
@@ -378,7 +397,8 @@ def with_block_no(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
     )
 
 
-def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
+def compute_blocks(postings: DataFrame, salt_buckets: int = 64,
+                   max_docid: Optional[int] = None) -> DataFrame:
     """Per-(term, block) quality stats for WAND.  If the posting rows
     already carry `block_no` (written by save_index) this is one cheap
     map-side-combinable aggregation; otherwise the salted rank assigns
@@ -386,7 +406,7 @@ def compute_blocks(postings: DataFrame, salt_buckets: int = 64) -> DataFrame:
     withno = (
         postings
         if "block_no" in postings.columns
-        else with_block_no(postings, salt_buckets)
+        else with_block_no(postings, salt_buckets, max_docid=max_docid)
     )
     return withno.groupBy("field", "term", "block_no").agg(
         F.count(F.lit(1)).cast("int").alias("n_postings"),
@@ -423,15 +443,20 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
             print(f"[build-timing] {label}: {now - _t0:.3f}s", file=_sys.stderr)
             _t0 = now
 
+    from pyspark import StorageLevel
+
     spark = ix.postings.sparkSession
     if term_partitions <= 0:
         term_partitions = spark.sparkContext.defaultParallelism
-    # two-step write: (1) stream the analyze+invert pass into an UNSORTED
-    # scratch table — repartitionByRange would otherwise execute the whole
-    # UDF pipeline TWICE (range-boundary sampling + the real pass); (2) the
-    # cheap columnar re-read pays for the sampling, the term-range shuffle
-    # and the (term, docid) sort.  Measured ~2x faster end-to-end.
-    scratch = f"{path}/_scratch_postings"
+    # two-step write: (1) the analyze+invert UDF pass materializes ONCE into
+    # a spill-safe cache — repartitionByRange would otherwise execute the
+    # whole UDF pipeline TWICE (range-boundary sampling + the real pass).
+    # Round 6 replaced the previous scratch-parquet round trip with
+    # persist(MEMORY_AND_DISK): same single-tokenization guarantee, minus a
+    # full parquet encode+commit+decode of the postings (guide §5 persist
+    # vs recompute; at segment scale the cache spills to local disk, which
+    # is what the scratch table was).  (2) the cheap cache re-read pays for
+    # the sampling, the term-range shuffle and the (term, docid) sort.
     to_write = ix.postings
     # position codec selection (codecs.py): `codec` names a registered
     # codec; compress_positions=True is the back-compat alias for 'varint'
@@ -448,71 +473,161 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         to_write = to_write.withColumn(
             "positions", encode(F.col("positions"))
         )
-    to_write.write.mode("overwrite").parquet(scratch)
-    _mark("scratch write (UDF pass)")
-    sp = spark.read.parquet(scratch)
-    # assign block_no BEFORE the final write so the stored postings carry
-    # their WAND block id — query-time block filters become (term, block_no)
-    # equi-joins instead of broadcast range joins.  The salted-rank shuffle
-    # reads the cheap columnar scratch, not the UDF pipeline.
-    (
-        with_block_no(sp)
-        .repartitionByRange(term_partitions, "term", "docid")
-        .sortWithinPartitions("term", "docid")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
-    _mark("postings write (block_no + range sort)")
-    import shutil as _shutil
-
-    _shutil.rmtree(scratch, ignore_errors=True)
-    wp = spark.read.parquet(f"{path}/postings")
-
-    term_stats = wp.groupBy("field", "term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("weight").alias("total_weight"),
-        F.max("weight").alias("max_weight"),
-        F.min("len_byte").alias("min_len_byte"),
-    )
-    (
-        term_stats.repartitionByRange(max(1, term_partitions // 4), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{path}/term_stats")
-    )
-    _mark("term_stats write")
-
-    if ix.docs_raw is not None:
-        # docmeta without re-running the UDF: uid/stored from the raw doc
-        # frame, lengths from the written postings (0 for token-less docs)
-        doclen = wp.groupBy("docid").agg(
-            F.max("length").alias("length"),
-            F.max("len_byte").alias("len_byte"),
+    to_write = to_write.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if _timing:
+            # timing-only split point: materialize the cache now so the
+            # UDF pass and the shuffle/write show as separate phases
+            to_write.count()
+            _mark("UDF pass (cache materialization)")
+        # assign block_no BEFORE the final write so the stored postings
+        # carry their WAND block id — query-time block filters become
+        # (term, block_no) equi-joins instead of broadcast range joins.
+        #
+        # Round 6: block_no is derived FROM the term-range sort the write
+        # needs anyway, instead of a separate salted Window shuffle
+        # (guide §2.4 — two operations keyed the same way share one
+        # exchange).  After repartitionByRange(term, docid) +
+        # sortWithinPartitions(term, docid), a term's postings are in
+        # global docid order across ascending partition ids, so the
+        # per-term rank is  (mid - first_mid_of(pid, term))  +  the count
+        # of the term's rows in earlier partitions.  Both correction
+        # terms come from ONE tiny per-(partition, term) aggregate
+        # (~|vocab| + #partitions rows, because range partitioning keeps
+        # a term's rows contiguous), which AQE broadcasts; the old plan
+        # hash-shuffled and sorted the ENTIRE posting set a second time
+        # for Window.partitionBy(term, salt).  Plan: 2 full shuffles -> 1.
+        rp = (
+            to_write.repartitionByRange(term_partitions, "term", "docid")
+            .sortWithinPartitions("term", "docid")
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        docmeta = (
-            ix.docs_raw.join(doclen, "docid", "left")
-            .na.fill({"length": 0, "len_byte": 0})
+        g = rp.groupBy("_pid", "term").agg(
+            F.min("_mid").alias("_m0"),
+            F.count(F.lit(1)).alias("_c"),
         )
-    else:
-        docmeta = ix.docmeta
-    docmeta.repartitionByRange(
-        max(1, term_partitions // 4), "docid"
-    ).sortWithinPartitions("docid").write.mode("overwrite").parquet(f"{path}/docmeta")
-    _mark("docmeta write")
+        w_off = (
+            Window.partitionBy("term")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = g.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+        ).select("_pid", "term", "_m0", "_off")
+        # keep the historical written column order (term first, block_no
+        # last) so saved-index layouts stay byte-compatible across rounds;
+        # merged segments arrive WITH a block_no column (withColumn below
+        # replaces it), so it must not be listed twice
+        out_cols = ["term"] + [
+            c
+            for c in rp.columns
+            if c not in ("term", "_pid", "_mid", "block_no")
+        ] + ["block_no"]
+        # explicit broadcast: plan-time estimates otherwise pick a
+        # sort-merge join whose exchange re-shuffles rp and destroys the
+        # (term, docid) file order (verified round 6).  offsets is
+        # ~|vocabulary| + #partitions tiny rows (Heaps'-law bounded even
+        # at web scale); an index whose vocab outgrows the 8 GB broadcast
+        # cap should build per-segment via checkpoint.build_partitioned.
+        (
+            rp.join(F.broadcast(offsets), ["_pid", "term"])
+            .withColumn(
+                "block_no",
+                (
+                    (F.col("_mid") - F.col("_m0") + F.col("_off"))
+                    / BLOCK_SIZE
+                ).cast("int"),
+            )
+            .select(*out_cols)
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        rp.unpersist()
+        _mark("postings write (UDF pass + block_no + range sort)")
+        wp = spark.read.parquet(f"{path}/postings")
 
-    blocks = compute_blocks(wp)
-    (
-        blocks.repartitionByRange(max(1, term_partitions // 4), "term")
-        .sortWithinPartitions("term", "block_no")
-        .write.mode("overwrite")
-        .parquet(f"{path}/blocks")
-    )
-    _mark("blocks write")
+        # ONE scan of the written postings feeds BOTH blocks and
+        # term_stats: the per-(term, block) aggregation also carries the
+        # per-block weight sum, and term_stats is its rollup (exact: df
+        # and the weight sums are sums of disjoint block partials).
+        blocks_full = wp.groupBy("field", "term", "block_no").agg(
+            F.count(F.lit(1)).cast("int").alias("n_postings"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+            F.max("weight").alias("max_weight"),
+            F.min("len_byte").alias("min_len_byte"),
+            F.sum("weight").alias("_w_sum"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        def _write_blocks_then_term_stats():
+            (
+                blocks_full.drop("_w_sum")
+                .repartitionByRange(max(1, term_partitions // 4), "term")
+                .sortWithinPartitions("term", "block_no")
+                .write.mode("overwrite")
+                .parquet(f"{path}/blocks")
+            )
+            term_stats = blocks_full.groupBy("field", "term").agg(
+                F.sum("n_postings").cast("long").alias("df"),
+                F.sum("_w_sum").alias("total_weight"),
+                F.max("max_weight").alias("max_weight"),
+                F.min("min_len_byte").alias("min_len_byte"),
+            )
+            (
+                term_stats.repartitionByRange(
+                    max(1, term_partitions // 4), "term"
+                )
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(f"{path}/term_stats")
+            )
+            blocks_full.unpersist()
+
+        def _write_docmeta():
+            if ix.docs_raw is not None:
+                # docmeta without re-running the UDF: uid/stored from the
+                # raw doc frame, lengths from the written postings (0 for
+                # token-less docs)
+                doclen = wp.groupBy("docid").agg(
+                    F.max("length").alias("length"),
+                    F.max("len_byte").alias("len_byte"),
+                )
+                docmeta = (
+                    ix.docs_raw.join(doclen, "docid", "left")
+                    .na.fill({"length": 0, "len_byte": 0})
+                )
+            else:
+                docmeta = ix.docmeta
+            docmeta.repartitionByRange(
+                max(1, term_partitions // 4), "docid"
+            ).sortWithinPartitions("docid").write.mode("overwrite").parquet(
+                f"{path}/docmeta"
+            )
+
+        # the derived tables are independent jobs over the written
+        # postings — run them from a 2-thread pool so the second job's
+        # tasks back-fill executors the first job's tail leaves idle
+        # (guide §2.6 overlap-independent-jobs); job order inside each
+        # thread keeps the blocks -> term_stats rollup dependency.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_write_blocks_then_term_stats),
+                pool.submit(_write_docmeta),
+            ]
+            for fut in futs:
+                fut.result()
+        _mark("derived writes (blocks + term_stats + docmeta, overlapped)")
+    finally:
+        to_write.unpersist()
     # global stats from the WRITTEN docmeta (columnar scan of 2 columns)
     written = InvertedIndex(
         docmeta=spark.read.parquet(f"{path}/docmeta"),
         postings=wp,
-        term_stats=term_stats,
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
         stats=None,
         uid_col=ix.uid_col,
         fieldname=ix.fieldname,

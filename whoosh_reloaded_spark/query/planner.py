@@ -174,6 +174,13 @@ class Searcher:
         self._idf_cache: Dict[str, float] = {}
         self._df_cache: Dict[str, int] = {}
         self._cf_cache: Dict[str, float] = {}
+        # multiterm expansion memo, keyed by the node's repr: the index is
+        # an immutable snapshot (like the stats caches above), so the same
+        # Prefix/Wildcard/Fuzzy/Range node always expands identically —
+        # re-searching must not re-pay the lexicon collect round-trips
+        # (round 6: 3 of the 5 per-repetition Spark jobs of every
+        # multiterm bench query were repeated expansion lookups)
+        self._expand_cache: Dict[str, Optional[List[str]]] = {}
 
     # -- statistics ----------------------------------------------------------
 
@@ -367,6 +374,14 @@ class Searcher:
         fully too (terms.py:293-307); its TOO_MANY_CLAUSES is an Or
         *strategy* threshold (compound.py:282), not a result cap — so no
         path here truncates results."""
+        key = repr(q)
+        if key in self._expand_cache:
+            return self._expand_cache[key]
+        out = self._expand_terms_uncached(q)
+        self._expand_cache[key] = out
+        return out
+
+    def _expand_terms_uncached(self, q: Q.Query) -> Optional[List[str]]:
         if isinstance(q, Q.Variations):
             # driver-side candidate generation (a few dozen), then one
             # pushed IN-filter scan keeps lexicon members (terms.py:551-561)

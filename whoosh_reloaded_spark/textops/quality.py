@@ -34,7 +34,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     from whoosh_reloaded_spark.analysis import STOP_WORDS
 
     toks = _tokens(text_col)
-    stops_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    stops_arr = F.lit(sorted(STOP_WORDS))  # one py4j call, not 33
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     tok_chars = F.aggregate(
@@ -77,7 +77,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
 
     scores = []
     for lang in sorted(LANG_MARKERS):
-        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        markers = F.lit(list(LANG_MARKERS[lang]))
         n_hit = F.size(F.filter(toks, _in_markers(markers)))
         score = F.when(n_tokens > 0, n_hit / n_tokens).otherwise(0.0)
         scores.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))

@@ -38,7 +38,9 @@ def cosine_topk(emb: DataFrame, query_vec: Sequence[float],
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 k: int = 10, exclude_id: Optional[int] = None) -> DataFrame:
     """(vec_id, cosine) — exact brute-force top-k by cosine similarity."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # one py4j call for the whole array literal: per-element F.lit in a
+    # loop costs a driver round-trip per dimension (round-6 measurement)
+    q = F.lit([float(v) for v in query_vec])
     df = emb
     if exclude_id is not None:
         df = df.where(F.col(id_col) != exclude_id)
@@ -69,7 +71,7 @@ def lsh_bucket_col(vec_col, planes: List[List[float]]):
     """Bucket id = sign bits of plane dot products packed into a long."""
     bits = []
     for i, plane in enumerate(planes):
-        pv = F.array(*[F.lit(float(v)) for v in plane])
+        pv = F.lit([float(v) for v in plane])
         bit = F.when(_dot(vec_col, pv) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
