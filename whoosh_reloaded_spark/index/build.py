@@ -586,6 +586,8 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
             blocks_full.unpersist()
 
         def _write_docmeta():
+            from pyspark.sql import Observation
+
             if ix.docs_raw is not None:
                 # docmeta without re-running the UDF: uid/stored from the
                 # raw doc frame, lengths from the written postings (0 for
@@ -600,11 +602,28 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
                 )
             else:
                 docmeta = ix.docmeta
-            docmeta.repartitionByRange(
-                max(1, term_partitions // 4), "docid"
-            ).sortWithinPartitions("docid").write.mode("overwrite").parquet(
-                f"{path}/docmeta"
+            # global stats ride along with the write as observed metrics —
+            # no separate stats job afterwards.  The CollectMetrics node
+            # sits ABOVE the range exchange, so the boundary-sampling
+            # pass (which executes only the exchange's child) cannot
+            # double-count the rows.
+            obs = Observation("wrs_docmeta_stats")
+            (
+                docmeta.repartitionByRange(
+                    max(1, term_partitions // 4), "docid"
+                )
+                .sortWithinPartitions("docid")
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("doc_count"),
+                    F.coalesce(F.sum("length"), F.lit(0)).alias(
+                        "field_length"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/docmeta")
             )
+            return obs.get
 
         # the derived tables are independent jobs over the written
         # postings — run them from a 2-thread pool so the second job's
@@ -614,25 +633,20 @@ def save_index(ix: InvertedIndex, path: str, term_partitions: int = 0,
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [
-                pool.submit(_write_blocks_then_term_stats),
-                pool.submit(_write_docmeta),
-            ]
-            for fut in futs:
-                fut.result()
+            fut_bt = pool.submit(_write_blocks_then_term_stats)
+            fut_dm = pool.submit(_write_docmeta)
+            fut_bt.result()
+            obs_stats = fut_dm.result()
         _mark("derived writes (blocks + term_stats + docmeta, overlapped)")
     finally:
         to_write.unpersist()
-    # global stats from the WRITTEN docmeta (columnar scan of 2 columns)
-    written = InvertedIndex(
-        docmeta=spark.read.parquet(f"{path}/docmeta"),
-        postings=wp,
-        term_stats=spark.read.parquet(f"{path}/term_stats"),
-        stats=None,
-        uid_col=ix.uid_col,
-        fieldname=ix.fieldname,
-    )
-    stats = written.ensure_stats()
+    doc_count = int(obs_stats["doc_count"])
+    field_length = int(obs_stats["field_length"])
+    stats = {
+        "doc_count": doc_count,
+        "field_length": field_length,
+        "avg_field_length": (field_length / doc_count) if doc_count else 0.0,
+    }
     _mark("global stats")
     ix.stats = stats
     stats_path = os.path.join(path, "stats.json")

@@ -204,18 +204,27 @@ class Searcher:
         self, terms: Sequence[str],
         weight=None, len_byte=None, length=None, positions=None,
     ) -> ScoreContext:
-        """Build a ScoreContext for `terms` with idf/cf literal maps."""
+        """Build a ScoreContext for `terms` with idf/cf literal maps.
+        Single-term contexts embed plain literals (no per-row map lookup);
+        distinct-valued stats collapse the same way."""
         self._lookup_stats(terms)
-        idf_pairs, cf_pairs = [], []
-        for t in terms:
-            idf_pairs += [F.lit(t), F.lit(self._idf_cache[t])]
-            cf_pairs += [F.lit(t), F.lit(self._cf_cache[t])]
+        uniq = list(dict.fromkeys(terms))
+
+        def _stat_col(cache: Dict[str, float]) -> "F.Column":
+            vals = {cache[t] for t in uniq}
+            if len(vals) == 1:
+                return F.lit(next(iter(vals)))
+            pairs = []
+            for t in uniq:
+                pairs += [F.lit(t), F.lit(cache[t])]
+            return F.element_at(F.create_map(*pairs), F.col("term"))
+
         return ScoreContext(
             weight=weight if weight is not None else F.col("weight"),
             len_byte=len_byte if len_byte is not None else F.col("len_byte"),
             length=length if length is not None else F.col("length"),
-            idf=F.element_at(F.create_map(*idf_pairs), F.col("term")),
-            cf=F.element_at(F.create_map(*cf_pairs), F.col("term")),
+            idf=_stat_col(self._idf_cache),
+            cf=_stat_col(self._cf_cache),
             N=self.N,
             avgfl=self.avgfl,
             field_length=self.field_length,
@@ -271,7 +280,9 @@ class Searcher:
             score = self.weighting.score_col(
                 self.score_context(terms, positions=pos_col)
             )
-        if boosts:
+        if boosts and any(float(b) != 1.0 for b in boosts.values()):
+            # all-1.0 boosts (the common unboosted query) skip both the
+            # map construction and the per-row lookup entirely
             bpairs = []
             for t in terms:
                 bpairs += [F.lit(t), F.lit(float(boosts.get(t, 1.0)))]
