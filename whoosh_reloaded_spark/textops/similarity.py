@@ -67,19 +67,55 @@ def simhash_planes(dims: int, n_planes: int) -> List[List[float]]:
     return planes
 
 
+def _arr_sql(values: Sequence[float]) -> str:
+    """A double-array SQL literal with exact round-trip values (string
+    cast: Spark parses bare decimals as DECIMAL, not DOUBLE)."""
+    return (
+        "array("
+        + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+        + ")"
+    )
+
+
+def _dot_sql(vec_sql: str, arr_sql: str) -> str:
+    """SQL-text twin of :func:`_dot` (same fold order, same casts)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def lsh_bucket_col(vec_col, planes: List[List[float]]):
-    """Bucket id = sign bits of plane dot products packed into a long."""
-    bits = []
+    """Bucket id = sign bits of plane dot products packed into a long.
+
+    Built as ONE parsed SQL expression: the per-plane Python-lambda HOFs
+    cost ~450 ms of driver-side py4j conversion for 8x64-dim planes
+    (round-6 measurement); the SQL text parses JVM-side in one call and
+    evaluates identically (same fold order, same casts — A/B verified
+    bit-exact)."""
+    if not isinstance(vec_col, str):
+        # Column objects have no reliable SQL name; keep the original
+        # Column-API construction for that (rare) caller shape
+        bits = []
+        for i, plane in enumerate(planes):
+            pv = F.lit([float(v) for v in plane])
+            bit = F.when(_dot(vec_col, pv) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bits.append(F.shiftleft(bit, i))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+    terms = []
     for i, plane in enumerate(planes):
-        pv = F.lit([float(v) for v in plane])
-        bit = F.when(_dot(vec_col, pv) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        bit = (
+            f"CASE WHEN {_dot_sql(f'`{vec_col}`', _arr_sql(plane))} > 0 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
-        bits.append(F.shiftleft(bit, i))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        terms.append(f"shiftleft({bit}, {i})")
+    return F.expr(" + ".join(terms))
 
 
 def cosine_topk_lsh(emb: DataFrame, query_vec: Sequence[float],
@@ -99,7 +135,7 @@ def cosine_topk_lsh(emb: DataFrame, query_vec: Sequence[float],
     for i, plane in enumerate(planes):
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
         qbits += (1 if dot > 0 else 0) << i
-    df = emb.where(lsh_bucket_col(F.col(vec_col), planes) == qbits)
+    df = emb.where(lsh_bucket_col(vec_col, planes) == qbits)
     return cosine_topk(df, query_vec, id_col, vec_col, k, exclude_id)
 
 
@@ -117,7 +153,7 @@ def save_ann_index(emb: DataFrame, path: str, n_planes: int = 8,
     dims = len(emb.select(vec_col).first()[0])
     planes = simhash_planes(dims, n_planes)
     (
-        emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        emb.withColumn("bucket", lsh_bucket_col(vec_col, planes))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "vectors"))
@@ -177,7 +213,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
     with_b = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket_col(vec_col, planes).alias("_bucket"),
     )
     a = with_b.select(
         F.col(id_col).alias("id_a"),
