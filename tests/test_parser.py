@@ -344,3 +344,37 @@ def test_squote_boost_and_fuzzy_goldens():
     assert p.parse("the~1") == Q.FuzzyTerm("the", "text", maxdist=1, prefixlength=0)
     assert p.parse("BRAVO~1") == Q.FuzzyTerm("bravo", "text", maxdist=1, prefixlength=0)
     assert p.parse("bra-vo~2") == Q.FuzzyTerm("bra-vo", "text", maxdist=2, prefixlength=0)
+
+
+def test_top_group_no_double_wrap_goldens():
+    """The implicit top-level group is built IN PLACE around the top item
+    list — parse() must not wrap it a second time: the artificial
+    Or([Or([...])]) nesting made normalize() run the same-class merge,
+    whose unconditional ss.with_boost(ss.boost * s.boost) pushes the
+    product (1.0) into binary nodes' a sides and wiped their boosts
+    (round-6 or-mode soak find, '*^2 ANDNOT 'alfa alfa'^2'; verified
+    live: the reference preserves the a-side boost in every case below)."""
+    t = lambda w, b=1.0: Q.Term(w, "text", b)
+
+    p = QueryParser()
+    got = p.parse("bravo^3 ANDNOT 'alfa charlie'^2")
+    assert got == Q.And(
+        (Q.AndNot(t("bravo", 3.0), t("alfa")), t("charlie", 2.0))
+    )
+    # whole-input paren: do_groups unwraps it before the top wrap
+    got = p.parse("(bravo^3 ANDNOT alfa charlie)")
+    assert got == Q.And((Q.AndNot(t("bravo", 3.0), t("alfa")), t("charlie")))
+
+    po = QueryParser(group="or", group_scale=0.9)
+    got = po.parse("*^2 ANDNOT 'alfa alfa'^2")
+    assert got == Q.Or(
+        (
+            Q.AndNot(Q.Every(2.0, "text"), t("alfa")),
+            t("alfa", 2.0),
+        ),
+        scale=0.9,
+    )
+    # explicit OR still reaches the root with the factory scale
+    assert po.parse("bravo OR charlie") == Q.Or(
+        (t("bravo"), t("charlie")), scale=0.9
+    )

@@ -588,3 +588,40 @@ def test_orgroup_boost_inside_sqr_golden(fuzz_engines):
     # the round-5 absolute value, so this golden also guards the
     # reference side of the comparison
     assert got["d12"] == pytest.approx(11.431384739246685, rel=1e-9)
+
+
+def test_orgroup_termless_andnot_side_golden(fuzz_engines):
+    """Round-6 or-mode soak find, pinned: scaled-Or SQR `matching` count
+    for an AndNot child whose a side is term-less (Every).  At an
+    AndNot-matched doc the prohibited side's cursor is elsewhere and
+    Every carries no term, so matching = 0 — the reference scores
+    (1 + (0-1)/(2-0.9)^2) * (2-1)/2 = 0.086777 at alfa-less docs; we
+    previously fell back to a constant count that included the
+    prohibited side's term (scoring 0.5)."""
+    from whoosh.qparser import FuzzyTermPlugin, OrGroup
+    from whoosh.qparser import QueryParser as WQP
+    from whoosh.query import Or as WOr
+
+    from whoosh_reloaded_spark.query.parser import QueryParser
+
+    WOr.matcher_type = WOr.DEFAULT_MATCHER
+    _patch_reference_andnot()
+    _patch_reference_coord()
+    wix, ours = fuzz_engines
+
+    qs = "* ANDNOT 'alfa alfa'^2"
+    q = QueryParser(group="or", group_scale=0.9).parse(qs)
+    got = {u: s for _, u, s in ours.search_list(q, 100)}
+
+    with wix.searcher() as s:
+        wqp = WQP("text", wix.schema, group=OrGroup.factory(0.9))
+        wqp.add_plugin(FuzzyTermPlugin())
+        expected = {
+            h["url"]: h.score for h in s.search(wqp.parse(qs), limit=None)
+        }
+
+    assert set(got) == set(expected)
+    for u, sc in expected.items():
+        assert got[u] == pytest.approx(sc, rel=1e-6), u
+    # alfa-less docs score with matching = 0, not the constant fallback
+    assert got["d01"] == pytest.approx(0.08677685950413228, rel=1e-9)

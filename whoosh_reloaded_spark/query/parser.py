@@ -354,6 +354,7 @@ class QueryParser:
         # neutralization while '((X))' keeps one group level
         self._group_depth = 0
         self._unwrap = 1 if self._whole_input_group() else 0
+        self._top_group = None
         q = self._or_expr()
         for plugin in self.plugins:
             q = _map_tree(q, plugin)
@@ -367,6 +368,25 @@ class QueryParser:
         # root of the other class just collapses back out.  In or-mode
         # the wrapper carries group_scale, which is why even explicit
         # 'a OR b' ends with the factory's coordination scale.
+        tg = self._top_group
+        if tg is not None:
+            if q is tg:
+                # the top-level pass already built the implicit group in
+                # place (multi-item input): adding another wrapper would
+                # create nesting the reference does not have (see
+                # _apply_op_passes) — normalize directly
+                return q.normalize()
+            if (
+                self._unwrap
+                and isinstance(q, (Q.And, Q.Or))
+                and len(q.children) == 1
+                and q.children[0] is tg
+                and q.boost == 1.0
+            ):
+                # whole-input paren group: GroupPlugin.do_groups unwraps
+                # it BEFORE the top wrap, so its content group is the
+                # reference's top group
+                return tg.normalize()
         if self.group == "or":
             return Q.Or((q,), scale=self.group_scale).normalize()
         return Q.And((q,)).normalize()
@@ -524,7 +544,18 @@ class QueryParser:
             return qs[0]
         # the enclosing group is the parser's default group (AndGroup,
         # or OrGroup with group='or')
-        return self._make_group(qs)
+        g = self._make_group(qs)
+        if self._group_depth - self._unwrap == 0:
+            # this multi-item group IS the reference's implicit top-level
+            # group (built in place around the top item list) — remember
+            # it so parse() does not wrap it AGAIN: the artificial
+            # nesting would make normalize() run the same-class merge,
+            # whose unconditional ss.with_boost(ss.boost * s.boost)
+            # resets binary nodes' a-side boosts (with_boost pushes the
+            # product — 1.0 — into `a`), e.g. "bravo^3 ANDNOT 'a b'^2"
+            # lost bravo's boost (round-6 or-mode soak find)
+            self._top_group = g
+        return g
 
     def _not_expr(self) -> Q.Query:
         t = self._peek()

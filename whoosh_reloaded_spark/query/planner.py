@@ -139,6 +139,11 @@ def range_condition(q) -> "F.Column":
     return cond
 
 
+def _sql_str(s: str) -> str:
+    """A SQL single-quoted string literal with standard escaping."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def glob_to_java_regex(pat: str) -> str:
     """Translate a * / ? glob into an anchored Java regex for rlike()."""
     out = []
@@ -592,6 +597,16 @@ class Searcher:
             return self.ix.docmeta.select(
                 "docid", F.lit(0).alias("_tm")
             )
+        if isinstance(
+            q,
+            (Q.Every, Q.NullQuery, Q.NumericRange, Q.DateRange, Q.ColumnQuery),
+        ):
+            # term-less leaves: their matchers carry no term, so they
+            # contribute 0 active term matchers at any doc (round-6
+            # or-mode fuzz find, "* ANDNOT 'alfa alfa'^2": the AndNot's
+            # Every side must count 0, not fall back to the constant
+            # that includes the prohibited side's terms)
+            return self.ix.docmeta.select("docid", F.lit(0).alias("_tm"))
         return None
 
     def _n_term_matchers(self, q: Q.Query) -> int:
@@ -667,6 +682,11 @@ class Searcher:
         normalize) this is the upper bound — documented approximation."""
         if isinstance(q, Q.Not):
             return 0
+        if isinstance(q, Q.AndNot):
+            # at an AndNot-matched doc the prohibited side's cursor is by
+            # construction elsewhere: only the a side's matchers are
+            # active (mirrors the _tm_frame AndNot branch)
+            return self._matching_term_count(q.a)
         return self._n_term_matchers(q)
 
     # -- node evaluation -----------------------------------------------------
@@ -1144,23 +1164,24 @@ class Searcher:
         span matcher scoring through IntersectionMatcher (binary.py:95-96).
         """
         words = list(q.words)
-        slop = q.slop
+        slop = int(q.slop)
         j = self._word_maps(words)
 
-        def _adjacent(prev_col):
-            def pred(p):
-                return F.exists(prev_col, lambda x: (p - x > 0) & (p - x <= F.lit(slop)))
-
-            return pred
-
-        matched = F.element_at(F.col("_pm"), words[0])
+        # the matched-position chain as ONE parsed SQL expression: each
+        # Python-lambda HOF costs a ~10-25 ms py4j conversion round-trip
+        # at plan-build time (round-6 measurement) vs ~1 ms to parse the
+        # identical SQL text JVM-side
+        m = f"element_at(_pm, {_sql_str(words[0])})"
         for w in words[1:]:
-            matched = F.filter(F.element_at(F.col("_pm"), w), _adjacent(matched))
+            m = (
+                f"filter(element_at(_pm, {_sql_str(w)}), "
+                f"p -> exists({m}, x -> p - x > 0 AND p - x <= {slop}))"
+            )
         score = sum(
             [F.element_at(F.col("_sm"), w) for w in words], F.lit(0.0)
         )
         return (
-            j.where(F.size(matched) > 0)
+            j.where(F.expr(f"size({m}) > 0"))
             .select("docid", (score * F.lit(q.boost)).alias("score"))
         )
 
@@ -1202,16 +1223,17 @@ class Searcher:
         uniq = sorted(set(words))
         aggs = []
         for i, w in enumerate(uniq):
+            # parsed SQL (not F.first(F.when(...))): ~10 ms of py4j per
+            # aggregate column at plan-build time, identical expression
+            wl = _sql_str(w)
             aggs.append(
-                F.first(
-                    F.when(F.col("term") == w, F.col("positions")),
-                    ignorenulls=True,
+                F.expr(
+                    f"first(CASE WHEN term = {wl} THEN positions END, true)"
                 ).alias(f"_p{i}")
             )
             aggs.append(
-                F.first(
-                    F.when(F.col("term") == w, F.col("score")),
-                    ignorenulls=True,
+                F.expr(
+                    f"first(CASE WHEN term = {wl} THEN score END, true)"
                 ).alias(f"_s{i}")
             )
         g = df.groupBy("docid").agg(*aggs)
@@ -1235,19 +1257,17 @@ class Searcher:
         words = list(q.words)
         j = self._word_maps(words)
 
-        def _after(prev_col):
-            def pred(p):
-                return F.exists(prev_col, lambda x: x < p)
-
-            return pred
-
-        matched = F.element_at(F.col("_pm"), words[0])
+        # single parsed SQL chain, like _eval_phrase (py4j lambda cost)
+        m = f"element_at(_pm, {_sql_str(words[0])})"
         for w in words[1:]:
-            matched = F.filter(F.element_at(F.col("_pm"), w), _after(matched))
+            m = (
+                f"filter(element_at(_pm, {_sql_str(w)}), "
+                f"p -> exists({m}, x -> x < p))"
+            )
         score = sum(
             [F.element_at(F.col("_sm"), w) for w in words], F.lit(0.0)
         )
-        return j.where(F.size(matched) > 0).select(
+        return j.where(F.expr(f"size({m}) > 0")).select(
             "docid", (score * F.lit(q.boost)).alias("score")
         )
 
