@@ -687,13 +687,48 @@ def last_modified(path: str) -> float:
     return os.path.getmtime(os.path.join(path, "stats.json"))
 
 
+#: reader granularity: ~bytes of parquet per scan partition for SMALL
+#: tables.  Spark's file-split planner targets `minPartitionNum` (=
+#: default parallelism) partitions regardless of size, so a few-MB
+#: segment scans as 32 near-empty partitions and every query stage pays
+#: 32 tasks of scheduling for microseconds of work.  Coalescing the read
+#: to ceil(bytes / this) partitions cut the aggregation-query latency
+#: 30-40% at sf1.0 (round-6 measurement: q2_or3 0.38 -> 0.26 p50 at 8
+#: partitions).  Size-driven, not core-count-driven: once a table
+#: exceeds parallelism * this, coalesce(want >= natural) is a no-op and
+#: the natural (maxPartitionBytes) splits rule — at cluster scale this
+#: changes nothing.
+READ_PARTITION_BYTES = 16 << 20
+
+
+def _parquet_dir_bytes(path: str) -> int:
+    total = 0
+    try:
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return 0
+    return total
+
+
+def _sized_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table with size-appropriate scan granularity (see
+    READ_PARTITION_BYTES).  coalesce() never increases the partition
+    count, so large tables keep their natural splits."""
+    df = spark.read.parquet(path)
+    want = max(1, -(-_parquet_dir_bytes(path) // READ_PARTITION_BYTES))
+    return df.coalesce(want)
+
+
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     with open(os.path.join(path, "stats.json")) as f:
         meta = json.load(f)
     blocks = None
     if os.path.isdir(os.path.join(path, "blocks")):
-        blocks = spark.read.parquet(f"{path}/blocks")
-    postings = spark.read.parquet(f"{path}/postings")
+        blocks = _sized_read(spark, f"{path}/blocks")
+    postings = _sized_read(spark, f"{path}/postings")
     # decode stored positions lazily via the recorded codec — column
     # pruning means non-positional queries never pay for this.  Pre-codec
     # indexes: infer 'varint' from a binary column, else 'raw'.
@@ -712,9 +747,9 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
             "positions", decode(F.col("positions"))
         )
     return InvertedIndex(
-        docmeta=spark.read.parquet(f"{path}/docmeta"),
+        docmeta=_sized_read(spark, f"{path}/docmeta"),
         postings=postings,
-        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        term_stats=_sized_read(spark, f"{path}/term_stats"),
         stats=meta["stats"],
         uid_col=meta["uid_col"],
         fieldname=meta["fieldname"],
